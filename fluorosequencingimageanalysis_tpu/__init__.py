@@ -1,0 +1,32 @@
+"""
+fluorosequencingimageanalysis_tpu
+=================================
+
+A TPU-native JAX framework for fluorosequencing image analysis, providing the
+capabilities of the reference pipeline (marcottelab/FluorosequencingImageAnalysis)
+redesigned for XLA/Pallas/pjit execution:
+
+- Spot (peptide PSF) detection and batched 2D-Gaussian PSF fitting
+  (reference: pflib.py) as fused, vmapped array programs.
+- Subpixel FFT phase-correlation registration (reference: phase_correlate.py)
+  as batched XLA FFTs + matrix-multiply upsampled DFTs.
+- Experiment data model, particle tracking and photometry
+  (reference: flexlibrary.py).
+- Intensity-trace step fitting (reference: stepfitting_library.py) vectorized
+  across traces.
+- Monte-Carlo dye simulation and lognormal fluor-count inference
+  (reference: MCsimlib.py, peptide_simulator.py) as vectorized RNG programs.
+
+Layout:
+    ops/       pure jittable kernels (candidates, LM fit, FFT registration,
+               photometry, step fitting, lognormal scoring)
+    models/    composed compute pipelines (whole-field detect+fit, etc.)
+    parallel/  mesh / sharding helpers for multi-chip execution
+    pipeline/  host-side experiment layer (Spots, Images, Traces, Experiments)
+    inference/ calibration + lognormal fitting + background correction
+    sim/       Monte-Carlo peptide simulator
+    utils/     config, hashing, IO, artifact naming
+    apps/      CLI entry points compatible with the reference scripts
+"""
+
+__version__ = "0.1.0"
