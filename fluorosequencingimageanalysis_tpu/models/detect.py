@@ -1,0 +1,277 @@
+"""Whole-field spot detection + PSF fitting — the flagship compute pipeline.
+
+This composes the kernel layer into one jitted program per field:
+
+    candidates -> 5x5 patch gather -> batched bounded LM fit -> R^2 filter
+    -> quality metrics -> consolidation NMS
+
+replacing the reference's per-candidate Python loop around mpfit
+(/root/reference/pflib.py:284-520, ``find_peptides``). The host-facing
+:func:`find_peptides` preserves the reference's dict output contract
+({(rounded h, rounded w): 12-tuple}, pflib.py:395-428) so the experiment
+layer and artifact writers are drop-in compatible.
+
+All intermediate arrays have static shapes ([max_candidates] buckets with
+validity masks) so XLA compiles one program regardless of spot count.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.candidates import (DEFAULT_CORRELATION_MATRIX, find_candidates,
+                              gather_patches)
+from ..ops.consolidate import consolidate
+from ..ops.gaussian import gauss2d_image
+from ..ops.lm import fit_gaussians_batched
+from ..ops.quality import illumina_s_n, r_squared, rmse
+
+
+class SpotFindResult(NamedTuple):
+    """Static-shape result of detect_and_fit (all length max_candidates)."""
+    cand_h: jnp.ndarray        # (K,) int32 candidate pixel row
+    cand_w: jnp.ndarray        # (K,) int32 candidate pixel col
+    params: jnp.ndarray        # (K, 7) (H, A, p2, p3, sh, sw, theta), patch coords
+    center_h: jnp.ndarray      # (K,) fitted center row in image coords
+    center_w: jnp.ndarray      # (K,) fitted center col in image coords
+    rmse: jnp.ndarray          # (K,)
+    r2: jnp.ndarray            # (K,)
+    s_n: jnp.ndarray           # (K,)
+    keep: jnp.ndarray          # (K,) bool: passed R^2 filter + consolidation
+    cand_valid: jnp.ndarray    # (K,) bool: real candidate (not padding)
+    cand_count: jnp.ndarray    # () int32: true candidate count (overflow check)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "median_filter_size", "c_std", "r_2_threshold", "consolidation_radius",
+    "max_candidates", "num_iters"))
+def detect_and_fit(image, median_filter_size=5, correlation_matrix=None,
+                   c_std=2.0, r_2_threshold=0.7, consolidation_radius=4.0,
+                   max_candidates=4096, num_iters=60):
+    """Jitted single-field detection + fit. Image: (H, W) float array."""
+    image = jnp.asarray(image)
+    if correlation_matrix is None:
+        correlation_matrix = DEFAULT_CORRELATION_MATRIX
+    hs, ws, valid, count = find_candidates(
+        image, median_filter_size=median_filter_size,
+        correlation_matrix=jnp.asarray(correlation_matrix, image.dtype),
+        c_std=c_std, max_candidates=max_candidates)
+
+    patches = gather_patches(image, hs, ws, radius=2)
+    params, _cost = fit_gaussians_batched(patches, num_iters=num_iters)
+
+    fit_imgs = gauss2d_image(params, (5, 5), dtype=image.dtype)
+    r2 = r_squared(patches, fit_imgs)
+    rm = rmse(patches, fit_imgs)
+    sn = illumina_s_n(patches)
+
+    # Patch -> image coordinates (pflib.py:456-461): the patch center pixel
+    # sits at 2.5 in the bounded fit window, so center = p + fitted - 2.5.
+    center_h = params[:, 2] + hs.astype(params.dtype) - 2.5
+    center_w = params[:, 3] + ws.astype(params.dtype) - 2.5
+
+    passed = valid & (r2 >= r_2_threshold)
+    keep = consolidate(center_h, center_w, r2, passed,
+                       radius=consolidation_radius)
+    return SpotFindResult(hs, ws, params, center_h, center_w, rm, r2, sn,
+                          keep, valid, count)
+
+
+def find_peptides(image, median_filter_size=5, correlation_matrix=None,
+                  candidate_pixels=None, c_std=2, r_2_threshold=0.7,
+                  consolidation_radius=4, fit_type="gauss", N_iter=10 ** 3,
+                  max_candidates=4096, num_iters=60, dtype=np.float32,
+                  rng_seed=0):
+    """Host-facing spot finder with the reference's output contract.
+
+    Returns {(round(h_0), round(w_0)): (h_0, w_0, H, A, sigma_h, sigma_w,
+    theta, sub_img, fit_img, rmse, r_2, s_n)} exactly as
+    /root/reference/pflib.py:395-428 documents. sub_img is the int64 copy of
+    the 5x5 patch; fit_img the model evaluated on the patch grid.
+
+    fit_type='monte_carlo' replicates the normalized random-search fitter
+    (pflib.py:117-177) vectorized over candidates and samples; its fit image
+    is the best sampled surface (the reference returns the last sampled one —
+    an apparent bug we do not reproduce).
+    """
+    if consolidation_radius < 2:
+        raise ValueError("consolidation_radius must be at least 2")
+    if candidate_pixels is not None:
+        raise NotImplementedError("candidate_pixels: parity with reference "
+                                  "(pflib.py:374) — not yet implemented.")
+    image = np.asarray(image)
+    img_dev = jnp.asarray(image.astype(dtype))
+
+    if fit_type == "monte_carlo":
+        res = _detect_and_fit_monte_carlo(
+            img_dev, median_filter_size=median_filter_size,
+            correlation_matrix=correlation_matrix, c_std=c_std,
+            r_2_threshold=r_2_threshold,
+            consolidation_radius=consolidation_radius,
+            max_candidates=max_candidates, n_iter=N_iter, rng_seed=rng_seed)
+    else:
+        res = detect_and_fit(
+            img_dev, median_filter_size=median_filter_size,
+            correlation_matrix=correlation_matrix, c_std=float(c_std),
+            r_2_threshold=float(r_2_threshold),
+            consolidation_radius=float(consolidation_radius),
+            max_candidates=max_candidates, num_iters=num_iters)
+
+    count = int(res.cand_count)
+    if count > max_candidates:
+        import logging
+        logging.getLogger(__name__).warning(
+            "find_peptides: %d candidates exceed max_candidates=%d; the "
+            "weakest-correlation candidates were dropped. Re-run with a "
+            "larger max_candidates for exhaustive coverage.",
+            count, max_candidates)
+
+    keep = np.asarray(res.keep)
+    idx = np.nonzero(keep)[0]
+    params = np.asarray(res.params)
+    center_h = np.asarray(res.center_h)
+    center_w = np.asarray(res.center_w)
+    rm = np.asarray(res.rmse)
+    r2 = np.asarray(res.r2)
+    sn = np.asarray(res.s_n)
+    cand_h = np.asarray(res.cand_h)
+    cand_w = np.asarray(res.cand_w)
+
+    out = {}
+    for i in idx:
+        h, w = int(cand_h[i]), int(cand_w[i])
+        sub_img = image[h - 2:h + 3, w - 2:w + 3].astype(np.int64)
+        if fit_type == "monte_carlo":
+            # MC path fits the normalized patch; sub_img in the output tuple
+            # is the normalized copy (parity: pflib.py:444-450 normalizes
+            # sub_img in place before fitting and stores it).
+            smin = sub_img.min()
+            shifted = (sub_img - smin).astype(np.float64)
+            sub_img = shifted / max(float(shifted.max()), 1e-300)
+        p = params[i]
+        fit_img = np.asarray(
+            gauss2d_image(jnp.asarray(p, jnp.float64), (5, 5),
+                          dtype=jnp.float64)) \
+            if fit_type != "monte_carlo" else _mc_fit_image(p)
+        h_0, w_0 = float(center_h[i]), float(center_w[i])
+        psf = (h_0, w_0, float(p[0]), float(p[1]), float(p[4]), float(p[5]),
+               float(p[6]), sub_img, fit_img, float(rm[i]), float(r2[i]),
+               float(sn[i]))
+        key = (int(round(h_0)), int(round(w_0)))
+        out.setdefault(key, psf)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Monte-Carlo fit path (reference pflib.py:117-177, fit_type='monte_carlo')
+# ---------------------------------------------------------------------------
+
+def _mc_model(params, h_grid, w_grid):
+    """Circular Gaussian the MC fitter samples (pflib.py:93-115).
+
+    Note the reference's _2d_gaussian_function ignores sigma_w and theta —
+    it is circular with sigma_h only.
+    """
+    H = params[..., 0, None, None]
+    A = params[..., 1, None, None]
+    h0 = params[..., 2, None, None]
+    w0 = params[..., 3, None, None]
+    sh = params[..., 4, None, None]
+    a = (h_grid - h0) ** 2
+    b = (w_grid - w0) ** 2
+    return A * jnp.exp(-(a + b) / (2.0 * sh ** 2)) + H
+
+
+def _mc_fit_image(p):
+    """Best-sample MC fit surface, normalized by its max (pflib.py:159-161)."""
+    h_grid, w_grid = np.meshgrid(np.arange(5.0), np.arange(5.0), indexing="ij")
+    g = p[1] * np.exp(-(((h_grid - p[2]) ** 2) + ((w_grid - p[3]) ** 2))
+                      / (2.0 * p[4] ** 2)) + p[0]
+    return g / g.max()
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "median_filter_size", "c_std", "r_2_threshold", "consolidation_radius",
+    "max_candidates", "n_iter"))
+def _detect_and_fit_monte_carlo(image, median_filter_size=5,
+                                correlation_matrix=None, c_std=2.0,
+                                r_2_threshold=0.7, consolidation_radius=4.0,
+                                max_candidates=4096, n_iter=1000, rng_seed=0):
+    if correlation_matrix is None:
+        correlation_matrix = DEFAULT_CORRELATION_MATRIX
+    hs, ws, valid, count = find_candidates(
+        image, median_filter_size=median_filter_size,
+        correlation_matrix=jnp.asarray(correlation_matrix, image.dtype),
+        c_std=c_std, max_candidates=max_candidates)
+    raw = gather_patches(image, hs, ws, radius=2)
+    # Normalize each patch to [0, 1] (pflib.py:446-447).
+    flat = raw.reshape(raw.shape[0], -1)
+    pmin = jnp.min(flat, axis=-1)[:, None, None]
+    shifted = raw - pmin
+    pmax = jnp.maximum(jnp.max(shifted.reshape(raw.shape[0], -1), axis=-1),
+                       1e-12)[:, None, None]
+    patches = shifted / pmax
+
+    dt = image.dtype
+    h_grid, w_grid = jnp.meshgrid(jnp.arange(5, dtype=dt),
+                                  jnp.arange(5, dtype=dt), indexing="ij")
+
+    # Seed distributions (pflib.py:125-157): centers around the argmax pixel.
+    argmax = jnp.argmax(patches.reshape(patches.shape[0], -1), axis=-1)
+    h0_mean = (argmax // 5).astype(dt)
+    w0_mean = (argmax % 5).astype(dt)
+
+    key = jax.random.PRNGKey(rng_seed)
+    kH, kA, kh, kw, ksh, ksw = jax.random.split(key, 6)
+    n = patches.shape[0]
+    shape = (n_iter, n)
+    H_s = jnp.abs(0.1 * jax.random.normal(kH, shape, dt))
+    A_s = jnp.abs(1.0 + 0.2 * jax.random.normal(kA, shape, dt))
+    h0_s = jnp.clip(h0_mean[None, :] + 0.3 * jax.random.normal(kh, shape, dt),
+                    0.01, 4.99)
+    w0_s = jnp.clip(w0_mean[None, :] + 0.3 * jax.random.normal(kw, shape, dt),
+                    0.01, 4.99)
+    sh_s = jnp.abs(1.2 + 0.3 * jax.random.normal(ksh, shape, dt))
+    sw_s = jnp.abs(1.0 + 0.3 * jax.random.normal(ksw, shape, dt))
+
+    def score_chunk(carry, xs):
+        best_rms, best_p = carry
+        Hc, Ac, h0c, w0c, shc, swc = xs
+        # 6-vector: model uses slots 0-4; slot 5 (sampled sigma_w) rides
+        # along for reporting parity (the reference stores the sampled
+        # sigma_w although its model ignores it, pflib.py:113-177).
+        p = jnp.stack([Hc, Ac, h0c, w0c, shc, swc], axis=-1)  # (n, 6)
+        g = _mc_model(p, h_grid, w_grid)
+        g = g / jnp.max(g.reshape(n, -1), axis=-1)[:, None, None]
+        rms = jnp.sqrt(jnp.sum((patches - g) ** 2, axis=(-2, -1)))
+        better = rms < best_rms
+        best_rms = jnp.where(better, rms, best_rms)
+        best_p = jnp.where(better[:, None], p, best_p)
+        return (best_rms, best_p), None
+
+    init = (jnp.full((n,), jnp.inf, dt), jnp.zeros((n, 6), dt))
+    (best_rms, best_p), _ = jax.lax.scan(
+        score_chunk, init, (H_s, A_s, h0_s, w0_s, sh_s, sw_s))
+
+    params = jnp.stack([best_p[:, 0], best_p[:, 1], best_p[:, 2],
+                        best_p[:, 3], best_p[:, 4], best_p[:, 5],
+                        jnp.zeros((n,), dt)], axis=-1)
+
+    g = _mc_model(best_p, h_grid, w_grid)
+    g = g / jnp.max(g.reshape(n, -1), axis=-1)[:, None, None]
+    r2 = r_squared(patches, g)
+    rm = rmse(patches, g)
+    sn = illumina_s_n(patches)
+
+    center_h = params[:, 2] + hs.astype(dt) - 2.5
+    center_w = params[:, 3] + ws.astype(dt) - 2.5
+    passed = valid & (r2 >= r_2_threshold)
+    keep = consolidate(center_h, center_w, r2, passed,
+                       radius=consolidation_radius)
+    return SpotFindResult(hs, ws, params, center_h, center_w, rm, r2, sn,
+                          keep, valid, count)
