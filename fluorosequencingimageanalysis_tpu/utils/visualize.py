@@ -1,0 +1,71 @@
+"""Sanity-check visualizations: PSF/trace highlight PNGs.
+
+Parity with pflib's save_psfs_png and contrast filters
+(/root/reference/pflib.py:749-880), reimplemented without scikit-image
+(plain NumPy contrast mapping + Pillow drawing).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+from PIL import Image as PILImage
+from PIL import ImageDraw, ImageOps
+
+from .hashing import psfs_filename
+from .imageio import read_image
+
+
+def _histogram_equalization(image, **kwargs):
+    """Histogram-equalize and rescale to 8 bits (pflib.py:749-764)."""
+    image = np.asarray(image)
+    flat = image.ravel()
+    sort_idx = np.argsort(flat, kind="stable")
+    cdf = np.empty_like(flat, dtype=np.float64)
+    cdf[sort_idx] = (np.arange(1, flat.size + 1)) / flat.size
+    eq = cdf.reshape(image.shape)
+    return _intensity_scaling(eq)
+
+
+def _intensity_scaling(image, **kwargs):
+    """Rescale the image's full range into uint8 (pflib.py:767-780)."""
+    image = np.asarray(image, dtype=np.float64)
+    lo, hi = image.min(), image.max()
+    if hi == lo:
+        return np.zeros(image.shape, dtype=np.uint8)
+    return np.clip((image - lo) / (hi - lo) * 255.0, 0, 255).astype(np.uint8)
+
+
+def save_psfs_png(psfs, image_path, timestamp_epoch=None, output_path=None,
+                  square_size=9, square_color="lightblue", square_colors=None,
+                  contrast_filter=_intensity_scaling,
+                  contrast_filter_args=None):
+    """Highlight PSFs with colored squares and save as PNG
+    (pflib.py:783-880)."""
+    image_path = os.path.abspath(image_path)
+    if output_path is None:
+        if timestamp_epoch is None:
+            timestamp_epoch = round(time.time())
+        output_path = psfs_filename(image_path, timestamp_epoch, ".png")
+    converted_path, image = read_image(image_path)
+    if contrast_filter_args is None:
+        contrast_filter_args = {}
+    filtered = contrast_filter(image, **contrast_filter_args)
+    pillow_image = PILImage.fromarray(filtered, mode="L")
+    highlighted = ImageOps.colorize(pillow_image, (0, 0, 0), (255, 255, 255))
+    if square_size % 2 == 0 or square_size < 3:
+        raise ValueError("square_size must be an odd integer >= 3")
+    radius = (square_size - 1) // 2
+    draw = ImageDraw.Draw(highlighted)
+    for (h, w) in psfs:
+        square = ((w - radius, h - radius), (w + radius, h + radius))
+        if square_colors is None or (h, w) not in square_colors:
+            color = square_color
+        else:
+            color = square_colors[(h, w)]
+        if color is not None:
+            draw.rectangle(square, fill=None, outline=color)
+    highlighted.save(output_path)
+    return output_path

@@ -1,0 +1,260 @@
+"""Tests for the experiment layer: photometry, tracking, experiments."""
+
+import numpy as np
+
+from fluorosequencingimageanalysis_tpu.pipeline import (
+    Image, Spot, SequenceExperiment, MultichannelSequenceExperiment,
+    MultifieldMultichannelSequenceExperiment, TimetraceExperiment,
+    Experiment)
+from fluorosequencingimageanalysis_tpu.pipeline import tracking
+
+
+def _frame_with_spots(rng, coords, shape=(64, 64), amp=3000.0,
+                      background=400.0, noise=5.0):
+    img = background + rng.normal(0, noise, shape)
+    for h, w in coords:
+        hh, ww = np.indices(shape).astype(float)
+        img += amp * np.exp(-(((hh - h) ** 2) + ((ww - w) ** 2)) /
+                            (2 * 1.2 ** 2))
+    return np.round(img).astype(np.uint16)
+
+
+def _mexican_hat_oracle(image, h, w, brim_size=6, radius=9):
+    """Direct transcription of flexlibrary.py:172-210 for interior spots."""
+    d = 2 * radius + 1
+    sl = image[h - radius:h + radius + 1, w - radius:w + radius + 1]
+    crown, brim = [], []
+    for (hh, ww), p in np.ndenumerate(sl):
+        if (brim_size <= hh < d - brim_size and
+                brim_size <= ww < d - brim_size):
+            crown.append(p)
+        else:
+            brim.append(p)
+    return sum(crown) - len(crown) * np.median(brim)
+
+
+def test_mexican_hat_matches_oracle():
+    rng = np.random.default_rng(0)
+    img = _frame_with_spots(rng, [(20, 20), (40, 45)])
+    image = Image(image=img)
+    for (h, w) in [(20, 20), (40, 45), (30, 30)]:
+        spot = Spot(image, h, w, 5)
+        image.spots.append(spot)
+    for spot in image.spots:
+        ours = spot.photometry(method="mexican_hat")
+        ref = _mexican_hat_oracle(img.astype(np.float64), spot.h, spot.w)
+        np.testing.assert_allclose(ours, ref, rtol=1e-5)
+
+
+def test_simple_and_maximum_photometry():
+    rng = np.random.default_rng(1)
+    img = _frame_with_spots(rng, [(30, 30)])
+    image = Image(image=img)
+    spot = Spot(image, 30, 30, 5)
+    image.spots.append(spot)
+    simple = spot.photometry(method="simple")
+    ref = img[28:33, 28:33].sum()
+    np.testing.assert_allclose(simple, ref, rtol=1e-6)
+    mx = spot.photometry(method="maximum", radius=5, top=3)
+    ref_m = np.sort(img[25:36, 25:36].ravel())[-3:].sum()
+    np.testing.assert_allclose(mx, ref_m, rtol=1e-6)
+
+
+def test_edge_spot_photometry_uses_truncated_square():
+    rng = np.random.default_rng(2)
+    img = _frame_with_spots(rng, [(4, 4)])
+    image = Image(image=img)
+    spot = Spot(image, 4, 4, 5)
+    image.spots.append(spot)
+    ours = spot.photometry(method="mexican_hat")
+    # Exact truncated-slice semantics.
+    sl = img[0:14, 0:14].astype(np.float64)
+    d = 19
+    crown, brim = [], []
+    for (hh, ww), p in np.ndenumerate(sl):
+        if 6 <= hh < d - 6 and 6 <= ww < d - 6:
+            crown.append(p)
+        else:
+            brim.append(p)
+    ref = sum(crown) - len(crown) * np.median(brim)
+    np.testing.assert_allclose(ours, ref, rtol=1e-6)
+    # And return_invalid=False gives None for the truncated square.
+    assert spot.photometry(method="mexican_hat",
+                           return_invalid=False) is None
+
+
+def test_greedy_tracking_static_spots():
+    rng = np.random.default_rng(3)
+    coords = [(20, 20), (40, 45), (10, 50)]
+    frames = []
+    for f in range(4):
+        img = _frame_with_spots(rng, coords)
+        image = Image(image=img, metadata={"filepath": f"frame{f}.png"})
+        image.spots = [Spot(image, h, w, 5) for h, w in coords]
+        frames.append(image)
+    traces, discarded = tracking.greedy_particle_tracking(
+        [im.spots for im in frames], frames[0].image.shape)
+    assert discarded == 0
+    assert len(traces) == 3
+    for trace in traces:
+        assert all(s is not None for s in trace)
+        hws = {(s.h, s.w) for s in trace}
+        assert len(hws) == 1  # static spots stay linked
+
+
+def test_greedy_tracking_with_gap_and_disappearance():
+    rng = np.random.default_rng(4)
+    a, b = (20, 20), (40, 45)
+    frames = []
+    present = [(True, True), (True, True), (False, True), (True, False)]
+    for pa, pb in present:
+        coords = ([a] if pa else []) + ([b] if pb else [])
+        img = _frame_with_spots(rng, coords)
+        image = Image(image=img)
+        image.spots = [Spot(image, h, w, 5) for h, w in coords]
+        frames.append(image)
+    traces, _ = tracking.greedy_particle_tracking(
+        [im.spots for im in frames], frames[0].image.shape)
+    # Spot a: present 0,1,None,3 -> single trace with a gap (ancestor cache
+    # persists). Spot b: present 0,1,2,None.
+    patterns = sorted(tuple(s is not None for s in t) for t in traces)
+    assert (True, True, False, True) in patterns
+    assert (True, True, True, False) in patterns
+    assert len(traces) == 2
+
+
+def test_greedy_tracking_with_offsets():
+    rng = np.random.default_rng(5)
+    base = [(20, 20), (40, 45)]
+    offsets = [(0, 0), (2, -1), (1, 1)]
+    cum = tracking.accumulate_offsets(offsets)
+    frames = []
+    for f in range(3):
+        # Frame f's content is shifted by -cumulative offset (stage drift).
+        coords = [(h - int(cum[f][0]), w - int(cum[f][1])) for h, w in base]
+        img = _frame_with_spots(rng, coords)
+        image = Image(image=img)
+        image.spots = [Spot(image, h, w, 5) for h, w in coords]
+        frames.append(image)
+    traces, _ = tracking.greedy_particle_tracking(
+        [im.spots for im in frames], frames[0].image.shape, offsets=offsets)
+    assert len(traces) == 2
+    for t in traces:
+        assert all(s is not None for s in t)
+
+
+def test_sequence_experiment_categories_and_remainders():
+    rng = np.random.default_rng(6)
+    a, b = (20, 20), (40, 45)
+    frames = []
+    presence = [(True, True), (True, True), (True, False)]
+    for pa, pb in presence:
+        coords = ([a] if pa else []) + ([b] if pb else [])
+        img = _frame_with_spots(rng, coords)
+        image = Image(image=img, metadata={"filepath": "x.png"})
+        image.spots = [Spot(image, h, w, 5) for h, w in coords]
+        frames.append(image)
+    ex = SequenceExperiment(frames)
+    ex.trace_existing_spots()
+    btc = ex.binary_trace_categories()
+    assert tuple([True, True, True]) in btc
+    assert tuple([True, True, False]) in btc
+    assert ex.count_remainders() == 1
+    assert ex.spot_count() == 5
+    assert ex.singleton_count() == 0
+
+
+def test_fill_in_trace_interpolates_middle_gap():
+    rng = np.random.default_rng(7)
+    a = (20, 20)
+    frames = []
+    for f in range(3):
+        img = _frame_with_spots(rng, [a] if f != 1 else [])
+        image = Image(image=img)
+        image.spots = [Spot(image, *a, 5)] if f != 1 else []
+        frames.append(image)
+    ex = SequenceExperiment(frames)
+    ex.trace_existing_spots()
+    assert len(ex.spot_traces) == 1
+    filled = ex.fill_in_trace(ex.spot_traces[0])
+    assert all(s is not None for s in filled)
+    assert (filled[1].h, filled[1].w) == a
+
+
+def test_mdma_adjustments():
+    rng = np.random.default_rng(8)
+    coords = [(20, 20), (40, 45)]
+    frames = []
+    for f in range(3):
+        img = _frame_with_spots(rng, coords)
+        image = Image(image=img)
+        image.spots = [Spot(image, h, w, 5) for h, w in coords]
+        frames.append(image)
+    ex = SequenceExperiment(frames)
+    ex.trace_existing_spots()
+    adj = ex.multiplicative_delta_median_adjustments()
+    assert len(adj) == 3
+    # Static intensities: adjustments near zero.
+    assert all(abs(a) < 0.2 for a in adj)
+    assert SequenceExperiment.mdma_adjustment(
+        100.0, 0, {"mdma": (0.1, 0, 0)}) == 100.0 * 0.9
+
+
+def test_multifield_csv_emitters(tmp_path):
+    rng = np.random.default_rng(9)
+    fields = []
+    for e in range(2):
+        coords = [(20 + e, 20), (40, 45)]
+        frames = []
+        for f in range(3):
+            img = _frame_with_spots(rng, coords)
+            image = Image(image=img)
+            image.spots = [Spot(image, h, w, 5) for h, w in coords]
+            frames.append(image)
+        ex = SequenceExperiment(frames)
+        fields.append(MultichannelSequenceExperiment({"ch1": ex}))
+    mfmc = MultifieldMultichannelSequenceExperiment(fields)
+    mfmc.trace_existing_spots()
+    counts, merged = mfmc.count_binary_trace_categories()
+    assert counts["ch1"][0][(True, True, True)] == 2
+    csv_path = tmp_path / "tracks.csv"
+    n = mfmc.track_photometries_as_csv(str(csv_path), save_averages=False)
+    assert n == 4
+    lines = csv_path.read_text().strip().split("\n")
+    assert lines[0].startswith("CHANNEL,FIELD,H,W,CATEGORY,FRAME 0")
+    assert len(lines) == 5
+    cat_path = tmp_path / "cats.csv"
+    mfmc.category_counts_as_csv(str(cat_path))
+    assert "Pattern" in cat_path.read_text()
+    s = mfmc.offsets_as_string()
+    assert "Frame 0" in s
+
+
+def test_timetrace_experiment_stepfits(tmp_path):
+    rng = np.random.default_rng(10)
+    coords = [(20, 20), (40, 45)]
+    frames = []
+    n_frames = 30
+    for f in range(n_frames):
+        # Spot at (20,20) bleaches halfway; (40,45) persists.
+        active = coords if f < 15 else [coords[1]]
+        img = _frame_with_spots(rng, active)
+        image = Image(image=img, metadata={"filepath": "x.png"})
+        if f == 0:
+            image.spots = [Spot(image, h, w, 5) for h, w in coords]
+        frames.append(image)
+    tte = TimetraceExperiment(frames)
+    tte.lc_create_traces()
+    assert len(tte.spot_traces) == 2
+    step_fits, intermediates = tte.stepfit_tracks()
+    assert len(step_fits) == 2
+    # The bleaching trace must show a drop near frame 15.
+    bleach_fit = step_fits[(20, 20)]
+    heights = [p[2] for p in bleach_fit.trace]
+    assert heights[0] > heights[-1] * 2 + 1000
+    csv_path = tmp_path / "tt.csv"
+    rows = tte.save_experiment_as_csv(str(csv_path), include_step_fits=True,
+                                      include_intermediates=True)
+    assert rows == 2 * n_frames + 1
+    header = csv_path.read_text().split("\n")[0]
+    assert "Plateau Height" in header and "photometries" in header
