@@ -1,0 +1,146 @@
+"""Intensity calibration: optimal binning, zero-level, one-fluor intensity.
+
+Parity with the reference's calibration chain
+(/root/reference/MCsimlib.py:3888-3979, 5327-5384):
+- Shimazaki-Shinomoto optimal histogram bin count,
+- m0/D/m1 histogram peak/valley split (alpha zero-level),
+- last-drop method for the one-fluor lognormal (beta, beta_sigma).
+
+These run once per experiment on modest histogram data; they are exact host
+NumPy (vectorized over bin counts — the reference's _MP Pool fan-out over
+bin-count chunks is unnecessary here).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from .photometries import _pairwise
+
+
+def optimal_bin_size(raw_photometries, bin_array=None):
+    """Shimazaki & Shinomoto cost scan (MCsimlib.py:3888-3909).
+
+    Returns (min_cost, np.where(cost == min) indices, cost_array).
+    """
+    raw = np.asarray(raw_photometries, dtype=float)
+    rmin, rmax = raw.min(), raw.max()
+    if bin_array is None:
+        bin_array = np.arange(10, 101)
+    bin_array = np.asarray(bin_array)
+    bin_sizes = (rmax - rmin) / bin_array
+    cost_array = np.zeros((bin_sizes.size, 1))
+    for i, bin_size in enumerate(bin_sizes):
+        edges = np.linspace(rmin, rmax, bin_array[i] + 1)
+        hist, _ = np.histogram(raw, bins=edges)
+        cost_array[i] = ((2.0 * np.mean(hist) - np.var(hist)) / bin_size ** 2)
+    min_cost = np.amin(cost_array)
+    return min_cost, np.where(cost_array == min_cost), cost_array
+
+
+def optimal_bin_size_MP(raw_photometries, num_processes=None, min_n_bins=10,
+                        max_n_bins=1000):
+    """Reference-compatible wrapper (MCsimlib.py:3912-3939 ran the scan in a
+    Pool; the vectorized scan needs no processes). Returns
+    (min_result, results, concatenated_cost_array, raw_cost_array) where
+    min_result[1] is the optimal bin count.
+    """
+    bin_array = np.arange(min_n_bins, max_n_bins + 1)
+    min_cost, where, cost_array = optimal_bin_size(raw_photometries,
+                                                   bin_array)
+    best_bin = int(where[0][0]) + min_n_bins
+    min_result = (min_cost, best_bin, cost_array, 0, bin_array)
+    results = [min_result]
+    return min_result, results, cost_array.ravel(), [cost_array]
+
+
+def _get_m0Dm1(raw_photometries, optimal_bin_number=None):
+    """Histogram peak/valley decomposition (MCsimlib.py:3942-3979).
+
+    Returns (optimal_bin_number, alpha, alpha_index, beta, beta_index,
+    gamma, gamma_index, alpha_photometry, beta_photometry,
+    gamma_photometry). Index 7 (the m0 peak mapped back to photometry
+    units) is the zero-fluor level used by lognormal_fitter_v2.
+    """
+    raw = np.asarray(raw_photometries, dtype=float)
+    if optimal_bin_number is None:
+        min_result, *_ = optimal_bin_size_MP(raw, min_n_bins=10,
+                                             max_n_bins=10000)
+        optimal_bin_number = min_result[1]
+    hist, bins = np.histogram(raw, bins=optimal_bin_number)
+    depth_array = np.zeros_like(hist)
+    for gamma_index in range(1, hist.shape[0] - 1):
+        gamma_value = hist[gamma_index]
+        L_max = np.amax(hist[:gamma_index])
+        R_max = np.amax(hist[gamma_index + 1:])
+        if gamma_value > L_max or gamma_value > R_max:
+            continue
+        depth_array[gamma_index] = min(L_max, R_max) - gamma_value
+    gamma_index, gamma = int(np.argmax(depth_array)), np.amax(depth_array)
+    alpha_index = int(np.argmax(hist[:gamma_index]))
+    alpha = np.amax(hist[:gamma_index])
+    beta_index = gamma_index + 1 + int(np.argmax(hist[gamma_index + 1:]))
+    beta = np.amax(hist[gamma_index + 1:])
+    rmin, rmax = raw.min(), raw.max()
+    mapping_factor = float(rmax - rmin) / optimal_bin_number
+
+    def map_bin(bi):
+        return rmin + mapping_factor * bi
+
+    return (optimal_bin_number, alpha, alpha_index, beta, beta_index, gamma,
+            gamma_index, map_bin(alpha_index), map_bin(beta_index),
+            map_bin(gamma_index))
+
+
+def _last_drop_core(last_drop_list):
+    """Shared HWHM-of-log-histogram estimator (MCsimlib.py:5337-5354)."""
+    obn = optimal_bin_size_MP(last_drop_list)[0][1]
+    hist, bins = np.histogram(last_drop_list, bins=obn)
+    hist_max, hist_argmax = np.amax(hist), int(np.argmax(hist))
+    if hist_argmax < len(bins) - 1:
+        hist_max_logP = np.mean([bins[hist_argmax], bins[hist_argmax + 1]])
+    else:
+        hist_max_logP = bins[hist_argmax]
+    hwhm = hist_max_logP / 2.0
+    for i in range(hist_argmax - 1, -1, -1):
+        if hist[i] > hist_max / 2.0:
+            continue
+        hwhm = hist_max_logP - np.mean([bins[i], bins[i + 1]])
+        break
+    beta = math.e ** hist_max_logP
+    beta_sigma = hwhm / math.sqrt(2.0 * math.log(2.0))
+    return beta, beta_sigma
+
+
+def last_drop_method(photometries):
+    """beta/beta_sigma from log(iON - iOFF) at ON->OFF transitions
+    (MCsimlib.py:5327-5354)."""
+    if len(photometries) > 1:
+        raise NotImplementedError("Currently puts all photometries together, "
+                                  "can't handle multiple channels at once.")
+    last_drop_list = [
+        math.log(iON - iOFF)
+        for channel, cdict in photometries.items()
+        for field, fdict in cdict.items()
+        for (h, w), (category, intensities, row) in fdict.items()
+        for i, (iON, iOFF) in enumerate(_pairwise(intensities))
+        if category[i] and not category[i + 1] and iON > iOFF]
+    return _last_drop_core(last_drop_list)
+
+
+def last_drop_method_v2(photometries):
+    """beta/beta_sigma from log(iON) before OFF transitions
+    (MCsimlib.py:5357-5384) — the version lognormal_fitter_v2 uses."""
+    if len(photometries) > 1:
+        raise NotImplementedError("Currently puts all photometries together, "
+                                  "can't handle multiple channels at once.")
+    last_drop_list = [
+        math.log(iON)
+        for channel, cdict in photometries.items()
+        for field, fdict in cdict.items()
+        for (h, w), (category, intensities, row) in fdict.items()
+        for i, (iON, iOFF) in enumerate(_pairwise(intensities))
+        if category[i] and not category[i + 1] and iON > 0]
+    return _last_drop_core(last_drop_list)
