@@ -1,0 +1,346 @@
+"""Error-annotated peptide simulation: PolyfluorSignal / PolyfluorPeptide.
+
+Parity: /root/reference/MCsimlib.py:1929-2532. The default_simulation model
+follows [DOI: 10.1371/journal.pcbi.1004080] (dud removal, mock-phase
+photobleaching, Edman delays, Edman-phase photobleaching), annotating every
+fluor with its event history.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+import string
+from collections import namedtuple
+
+from .proteome import _dp
+from .trie import PolyfluorSignalTrie
+
+
+class PolyfluorSignal:
+    """Simulated fluorosequence with error annotations
+    (MCsimlib.py:1929-2178)."""
+
+    def __init__(self, peptide, signal=None):
+        self.peptide = peptide
+        if signal is None:
+            self.signal = ()
+
+    def default_simulation(self, num_cycles, p=1.0, b=0.0, u=0.0,
+                           random_seed=None, num_mocks=0,
+                           adjust_by_mocks=False, p2=None, b2=None):
+        if random_seed is None:
+            random.seed()
+        else:
+            random.seed(random_seed)
+        p, b, u = float(p), float(b), float(u)
+        if p2 is not None:
+            raise NotImplementedError
+        if b2 is not None:
+            b2r, b2p = b2
+        signal = tuple((aa[0], aa[1], []) for aa in self.peptide.peptide)
+        # Dud removal (position -1).
+        modified = [(s[0], -1, [("u", True)]) if random.random() <= u else s
+                    for s in signal]
+        modified = sorted(modified, key=lambda x: x[1])
+        # Mock-phase photobleaching (position -2 placeholder).
+        updated = list(modified)
+        for index, (aa, pos, err) in enumerate(modified):
+            if pos == -1:
+                continue
+            random_point = random.random()
+            accumulator = 0.0
+            for x in range(num_mocks):
+                if b2 is None:
+                    accumulator += math.e ** (-b * x)
+                    if accumulator * (1.0 - math.e ** -b) >= random_point:
+                        updated[index] = (aa, -2, err + [("mb", x + 1)])
+                        break
+                else:
+                    if x == b2p - 1:
+                        accumulator += math.e ** (-b * x)
+                        if (accumulator * (1.0 - math.e ** -b2r) >=
+                                random_point):
+                            updated[index] = (aa, -2, err + [("mb", x + 1)])
+                            break
+                    elif x < b2p:
+                        accumulator += math.e ** (-b * x)
+                        if accumulator * (1.0 - math.e ** -b) >= random_point:
+                            updated[index] = (aa, -2, err + [("mb", x + 1)])
+                            break
+                    else:
+                        accumulator += math.e ** (-b2r * x)
+                        if (accumulator * (1.0 - math.e ** -b2r) >=
+                                random_point):
+                            updated[index] = (aa, -2, err + [("mb", x + 1)])
+                            break
+        modified = sorted(updated, key=lambda x: x[1])
+        # Edman delays.
+        updated = list(modified)
+        cumulative_e = 0
+        for index, (aa, pos, err) in enumerate(modified):
+            if pos in (-1, -2):
+                continue
+            d = (modified[index][1] - modified[index - 1][1] if index > 0
+                 else modified[index][1])
+            random_point = random.random()
+            e = 0
+            accumulator = 0.0
+            prior_accumulator = -1.0
+            if p < 0.0001:
+                e += 10 * num_cycles
+            elif p > 0.9999:
+                pass
+            else:
+                while accumulator - prior_accumulator > 0.0:
+                    prior_accumulator = accumulator
+                    accumulator += _dp(d, e, p)
+                    if accumulator >= random_point:
+                        break
+                    e += 1
+            cumulative_e += e
+            updated[index] = (aa, pos + cumulative_e + num_mocks,
+                              err + [("p", cumulative_e)])
+        modified = updated
+        # Edman-phase photobleaching.
+        updated = list(modified)
+        for index, (aa, pos, err) in enumerate(modified):
+            if pos in (-1, -2):
+                continue
+            random_point = random.random()
+            accumulator = 0.0
+            exposures = min(num_cycles + 1, pos - num_mocks)
+            for x in range(exposures):
+                if b2 is None:
+                    accumulator += math.e ** (-b * x)
+                    if accumulator * (1.0 - math.e ** -b) >= random_point:
+                        updated[index] = (aa, x + 1 + num_mocks,
+                                          err + [("b", x + 1)])
+                        break
+                else:
+                    if x == b2p - 1:
+                        accumulator += math.e ** (-b * x)
+                        if (accumulator * (1.0 - math.e ** -b2r) >=
+                                random_point):
+                            updated[index] = (aa, x + 1 + num_mocks,
+                                              err + [("b", x + 1)])
+                            break
+                    elif x < b2p:
+                        accumulator += math.e ** (-b * x)
+                        if accumulator * (1.0 - math.e ** -b) >= random_point:
+                            updated[index] = (aa, x + 1 + num_mocks,
+                                              err + [("b", x + 1)])
+                            break
+                    else:
+                        accumulator += math.e ** (-b2r * x)
+                        if (accumulator * (1.0 - math.e ** -b2r) >=
+                                random_point):
+                            updated[index] = (aa, x + 1 + num_mocks,
+                                              err + [("b", x + 1)])
+                            break
+        modified = updated
+        # Restore mock-bleached fluors to their mock positions.
+        updated = list(modified)
+        for index, (aa, pos, err) in enumerate(modified):
+            if pos == -2:
+                fp = None
+                for et, ep in err:
+                    if et == "mb":
+                        fp = ep
+                        break
+                assert fp is not None
+                updated[index] = (aa, fp, err)
+        modified = sorted(updated, key=lambda x: x[1])
+        modified = [(aa, pos, err) for (aa, pos, err) in modified
+                    if pos <= num_cycles + num_mocks]
+        if adjust_by_mocks:
+            raise NotImplementedError
+        return tuple((aa, pos, frozenset(err)) for aa, pos, err in modified)
+
+    @staticmethod
+    def strip_errors(signal):
+        return (tuple((aa, pos) for aa, pos, err in signal),
+                tuple(err for err in signal))
+
+    def simulation_v2(self, num_cycles, p, b, u, random_seed=None,
+                      num_mocks=0):
+        """Unimplemented in the reference (MCsimlib.py:2162-2178)."""
+        raise NotImplementedError()
+
+
+class PolyfluorPeptide:
+    """Multiply-labeled peptide as ((aa, position), ...)
+    (MCsimlib.py:2312-2397)."""
+
+    @staticmethod
+    def sequence_to_peptide(sequence, acids=None):
+        return tuple((acid, index + 1)
+                     for index, acid in enumerate(sequence)
+                     if acid in acids)
+
+    @staticmethod
+    def proteome_to_peptides(proteome, acids=None):
+        return {protein: PolyfluorPeptide.sequence_to_peptide(
+            sequence=sequence, acids=acids)
+            for protein, sequence in proteome.items()}
+
+    def __init__(self, parent_protein=None, sequence=None, acids=None,
+                 peptide=None):
+        self.parent_protein = parent_protein if parent_protein else ""
+        if sequence is None:
+            self.peptide = peptide if peptide is not None else ()
+        else:
+            self.peptide = PolyfluorPeptide.sequence_to_peptide(sequence,
+                                                                acids)
+
+    def default_simulation(self, num_cycles, p=1.0, b=0.0, u=0.0, num_sims=1,
+                           num_mocks=0, adjust_by_mocks=False, p2=None,
+                           b2=None):
+        signal = PolyfluorSignal(peptide=self, signal=None)
+        return tuple(signal.default_simulation(
+            num_cycles=num_cycles, p=p, b=b, u=u, random_seed=None,
+            num_mocks=num_mocks, adjust_by_mocks=adjust_by_mocks, p2=p2,
+            b2=b2) for _ in range(num_sims))
+
+    def default_simulation_as_trie(self, num_cycles, p=1.0, b=0.0, u=0.0,
+                                   num_sims=1, p2=None, b2=None):
+        signal = PolyfluorSignal(peptide=self, signal=None)
+        result = PolyfluorSignalTrie((None, None, None))
+        for _ in range(num_sims):
+            s = signal.default_simulation(num_cycles=num_cycles, p=p, b=b,
+                                          u=u, random_seed=None, p2=p2, b2=b2)
+            result.add_descendant(s, self.parent_protein)
+        return result
+
+    def default_simulation_as_dict(self, num_cycles, p=1.0, b=0.0, u=0.0,
+                                   num_sims=1, num_mocks=0,
+                                   adjust_by_mocks=False, p2=None, b2=None):
+        signal = PolyfluorSignal(peptide=self, signal=None)
+        d = {}
+        for _ in range(num_sims):
+            seq = signal.default_simulation(
+                num_cycles=num_cycles, p=p, b=b, u=u, random_seed=None,
+                num_mocks=num_mocks, adjust_by_mocks=adjust_by_mocks, p2=p2,
+                b2=b2)
+            stripped_seq, stripped_err = PolyfluorSignal.strip_errors(seq)
+            d.setdefault(stripped_seq, {}).setdefault(stripped_err, 0)
+            d[stripped_seq][stripped_err] += 1
+        return d
+
+
+class PolyfluorPeptide_v2:
+    """State-tracking simulation variant (MCsimlib.py:2400-2532)."""
+
+    FluorEvent = namedtuple("FluorEvent", ["original_position",
+                                           "original_amino_acid", "event",
+                                           "cycle_number"])
+
+    @staticmethod
+    def _define_reserved_character(sequence, labels):
+        characters_used = set(labels) | set(sequence)
+        possible = set(string.ascii_letters) | set(string.digits)
+        available = possible - characters_used
+        if not available:
+            raise ValueError("sequence and labels use all possible letters "
+                             "and digits. At least one must remain available "
+                             "as a reserved letter for this class.")
+        return available.pop()
+
+    def __init__(self, sequence, labels, parent_protein=None):
+        self.molecule = tuple(enumerate(sequence, start=1))
+        self.labels = labels
+        self.parent_protein = parent_protein if parent_protein else ""
+        self.reserved_character = self._define_reserved_character(sequence,
+                                                                  labels)
+
+    def _mock(self, molecule, signal, history, removal_buffer, cycle_number,
+              **experimental_parameters):
+        pass
+
+    def _edman(self, molecule, signal, history, removal_buffer, cycle_number,
+               **experimental_parameters):
+        if len(molecule) > 0:
+            if molecule[0] == self.reserved_character:
+                # Destroyed-dye placeholder: removable, never emits.
+                # (The reference would crash unpacking it —
+                # MCsimlib.py:2442 — a latent bug its newer
+                # peptide_simulator module fixed by keeping (char, pos)
+                # tuples; we guard instead.)
+                if random.random() < experimental_parameters["p"]:
+                    molecule.pop(0)
+                return
+            nterm_position, nterm_amino_acid = molecule[0]
+            if random.random() < experimental_parameters["p"]:
+                if nterm_amino_acid in self.labels:
+                    removal_buffer.append(self.FluorEvent(
+                        original_position=nterm_position,
+                        original_amino_acid=nterm_amino_acid,
+                        event="edman", cycle_number=cycle_number))
+                molecule.pop(0)
+            else:
+                history.append(self.FluorEvent(
+                    original_position=nterm_position,
+                    original_amino_acid=nterm_amino_acid,
+                    event="edman error", cycle_number=cycle_number))
+
+    def _tirf(self, molecule, signal, history, removal_buffer, cycle_number,
+              **experimental_parameters):
+        per_cycle_b = experimental_parameters.get(
+            "per_cycle_b", math.e ** -experimental_parameters["b"])
+        for i, entry in enumerate(molecule):
+            if entry == self.reserved_character:
+                continue
+            position, amino_acid = entry
+            if random.random() > per_cycle_b:
+                removal_buffer.append(self.FluorEvent(
+                    original_position=position,
+                    original_amino_acid=amino_acid,
+                    event="dye destruction", cycle_number=cycle_number))
+                molecule[i] = self.reserved_character
+        while removal_buffer:
+            event = removal_buffer.pop()
+            history.append(event)
+            signal.append(event)
+
+    def _dud(self, molecule, signal, history, removal_buffer, cycle_number,
+             **experimental_parameters):
+        for i, entry in enumerate(molecule):
+            if entry == self.reserved_character:
+                continue
+            position, amino_acid = entry
+            if random.random() < experimental_parameters["u"]:
+                history.append(self.FluorEvent(
+                    original_position=position,
+                    original_amino_acid=amino_acid,
+                    event="dye dud", cycle_number=cycle_number))
+                molecule[i] = self.reserved_character
+
+    def simulate_type1(self, num_mocks, num_edmans, random_seed=None,
+                       **experimental_parameters):
+        """Assumes C-term anchoring."""
+        if random_seed is None:
+            random.seed()
+        else:
+            random.seed(random_seed)
+        molecule = list(self.molecule)
+        signal = []
+        history = []
+        removal_buffer = []
+        cycle_number = 0
+        self._dud(molecule, signal, history, removal_buffer, cycle_number,
+                  **experimental_parameters)
+        for _ in range(num_mocks):
+            self._tirf(molecule, signal, history, removal_buffer,
+                       cycle_number, **experimental_parameters)
+            self._mock(molecule, signal, history, removal_buffer,
+                       cycle_number, **experimental_parameters)
+            cycle_number += 1
+        for _ in range(num_edmans):
+            self._tirf(molecule, signal, history, removal_buffer,
+                       cycle_number, **experimental_parameters)
+            self._edman(molecule, signal, history, removal_buffer,
+                        cycle_number, **experimental_parameters)
+            cycle_number += 1
+        self._tirf(molecule, signal, history, removal_buffer, cycle_number,
+                   **experimental_parameters)
+        return molecule, signal, history, removal_buffer, cycle_number

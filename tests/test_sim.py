@@ -1,0 +1,177 @@
+"""Tests for the Monte-Carlo simulation layer."""
+
+import math
+import random
+
+import numpy as np
+
+from fluorosequencingimageanalysis_tpu.sim import (
+    cleave, attach, homogenize_attached, _dp, _exposures, window_filter,
+    random_signal, monte_carlo_trie, SignalTrie, PolyfluorPeptide,
+    simulate_dye_counts, simulate_photometries, peptide_simulation,
+    convert_to_oldstyle, simulate_dye_counts_batched)
+
+
+def test_dp_is_negative_binomial():
+    # _dp(d, e, p) = C(d-1+e, e) p^d q^e; sums to 1 over e.
+    p = 0.9
+    total = sum(_dp(3, e, p) for e in range(200))
+    assert abs(total - 1.0) < 1e-9
+    assert abs(_dp(1, 0, p) - p) < 1e-12
+
+
+def test_cleave_and_attach():
+    peptides = {"P1": "ABKCDKK", "P2": "XYZ"}
+    cleaved = cleave(peptides, "K")
+    assert cleaved["P1"] == ("ABK", "CDK", "K")
+    assert cleaved["P2"] == ("XYZ",)
+    attached = attach(cleaved, "C")
+    assert attached["P1"] == (("", "CDK"),)
+    assert "P2" not in attached
+    cterm = attach(cleaved, "cterm")
+    assert cterm["P1"] == (("ABK", ""), ("CDK", ""), ("K", ""))
+    hom = homogenize_attached({"P1": (("AD", "DE"),)}, "E", ["D"])
+    assert hom["P1"] == (("AE", "EE"),)
+
+
+def test_exposures_and_window_filter():
+    windows = {"A": (1, 2, 3)}
+    # exposures = {0,1,2,3}; before position 3 -> exposures 0,1,2 -> 3.
+    assert _exposures(3, windows) == {"A": 3}
+    signals = [((1, "A"), (5, "A")), ((2, "A"),)]
+    filtered = window_filter(signals, windows)
+    assert filtered == (((1, "A"),), ((2, "A"),))
+
+
+def test_random_signal_deterministic_ideal():
+    random.seed(0)
+    peptide = ("BABA", "CC")
+    windows = {"A": tuple(range(1, 10))}
+    sig = random_signal(peptide, p=1.0, b=0.0, u=0.0, windows=windows)
+    # Ideal: labels at positions 2 and 4.
+    assert sig == ((2, "A"), (4, "A"))
+
+
+def test_random_signal_dud_removal():
+    random.seed(1)
+    peptide = ("AA", "")
+    windows = {"A": tuple(range(1, 5))}
+    # u=1: all fluors dead -> empty signal.
+    assert random_signal(peptide, p=1.0, b=0.0, u=1.0,
+                         windows=windows) == ()
+
+
+def test_signal_trie_operations():
+    trie = SignalTrie((None, None))
+    trie.add_descendant(((2, "A"), (5, "A")), "P1")
+    trie.add_descendant(((2, "A"), (5, "A")), "P1")
+    trie.add_descendant(((2, "A"),), "P2")
+    leaves = {sig: dict(count) for sig, count, node in trie.leaf_iterator()}
+    assert leaves[((2, "A"), (5, "A"))] == {"P1": 2}
+    assert leaves[((2, "A"),)] == {"P2": 1}
+    empty, used = trie.count_nodes()
+    assert used == 2
+    uniques = trie.find_uniques(worst_ratio=None, absolute_min=1)
+    assert ((2, "A"), (5, "A")) in uniques
+    # graft + merge
+    other = SignalTrie((None, None))
+    other.graft(((3, "A"),), {"P3": 7})
+    trie.merge(other)
+    leaves = {sig: dict(count) for sig, count, node in trie.leaf_iterator()}
+    assert leaves[((3, "A"),)] == {"P3": 7}
+    # prune
+    sig, counts = trie.prune(((3, "A"),))
+    assert counts == {"P3": 7}
+    assert ((3, "A"),) not in {s for s, c, n in trie.leaf_iterator()}
+
+
+def test_signal_trie_truncating_projection():
+    trie = SignalTrie((None, None))
+    trie.add_descendant(((2, "A"), (8, "A")), "P1")
+    trie.add_descendant(((2, "A"),), "P1")
+    trie.truncating_projection(5)
+    leaves = {sig: dict(count) for sig, count, node in trie.leaf_iterator()}
+    assert leaves == {((2, "A"),): {"P1": 2}}
+
+
+def test_monte_carlo_trie_ideal():
+    peptides = {"P1": (("BA", ""),)}
+    windows = {"A": tuple(range(1, 5))}
+    trie = monte_carlo_trie(peptides, p=1.0, b=0.0, u=0.0, windows=windows,
+                            sample_size=10, random_seed=42)
+    leaves = {sig: dict(count) for sig, count, node in trie.leaf_iterator()}
+    assert leaves == {((2, "A"),): {"P1": 10}}
+
+
+def test_simulate_dye_counts_deterministic():
+    results = simulate_dye_counts("ABAC", {"A"}, num_mocks=0, num_edmans=4,
+                                  num_simulations=2, random_seed=0,
+                                  p=1.0, b=0.0, u=0.0, s=0.0, sc=0, s2=0.0)
+    for dye_decrements, dye_counts, event_buffer, tracker in results:
+        assert dye_counts["A"] == (2, 1, 1, 0, 0)
+        assert dye_decrements == (("A", 1), ("A", 3))
+        assert tracker[0] == ((1, "A"), (3, "A"))
+
+
+def test_simulate_dye_counts_mocks_do_not_cleave():
+    results = simulate_dye_counts("AB", {"A"}, num_mocks=3, num_edmans=1,
+                                  num_simulations=1, random_seed=0,
+                                  p=1.0, b=0.0, u=0.0, s=0.0, sc=0, s2=0.0)
+    dye_counts = results[0][1]["A"]
+    assert dye_counts == (1, 1, 1, 1, 0)
+
+
+def test_simulate_photometries_shapes():
+    random.seed(2)
+    np.random.seed(2)
+    category, intensities = simulate_photometries(
+        (2, 1, 0), beta=30000.0, beta_sigma=0.2, number=3)
+    assert category == (True, True, False)
+    assert len(intensities) == 3 and len(intensities[0]) == 3
+    for row in intensities:
+        assert row[2] == 0.0
+        assert row[0] > 0 and row[1] > 0
+
+
+def test_batched_matches_host_statistics():
+    seq = "AXAXXAXX"
+    params = dict(p=0.9, b=0.05, u=0.1, s=0.01, sc=4, s2=0.02)
+    host = simulate_dye_counts(seq, {"A"}, num_mocks=2, num_edmans=6,
+                               num_simulations=3000, random_seed=3, **params)
+    host_counts = np.array([r[1]["A"] for r in host])
+    batched, label = simulate_dye_counts_batched(
+        seq, {"A"}, num_mocks=2, num_edmans=6, num_simulations=3000,
+        seed=3, **params)
+    assert label == "A"
+    assert batched.shape == host_counts.shape
+    # Per-cycle mean dye counts agree statistically.
+    hm = host_counts.mean(axis=0)
+    bm = batched.mean(axis=0)
+    np.testing.assert_allclose(bm, hm, atol=0.12)
+    # Counts are monotone nonincreasing in both.
+    assert (np.diff(batched, axis=1) <= 0).all()
+    assert (np.diff(host_counts, axis=1) <= 0).all()
+
+
+def test_peptide_simulation_and_oldstyle():
+    merged = peptide_simulation("AXA", {"A"}, num_mocks=1, num_edmans=3,
+                                num_simulations=20, random_seed=4,
+                                p=0.95, b=0.02, u=0.05, s=0.0, sc=0, s2=0.0,
+                                beta=30000.0, beta_sigma=0.2)
+    assert len(merged) == 20
+    oldstyle = convert_to_oldstyle(merged)
+    for decrements, dye_counts, event_buffer, ci in oldstyle:
+        category, (intensities,) = ci["A"]
+        counts = next(iter(dye_counts.values()))
+        assert len(category) == len(counts) == len(intensities)
+        assert all(aa == "A" for aa, pos in decrements)
+
+
+def test_polyfluor_default_simulation_ideal():
+    pep = PolyfluorPeptide(parent_protein="P", sequence="BABA", acids={"A"})
+    assert pep.peptide == (("A", 2), ("A", 4))
+    sims = pep.default_simulation(num_cycles=6, p=1.0, b=0.0, u=0.0,
+                                  num_sims=3)
+    for s in sims:
+        stripped = tuple((aa, pos) for aa, pos, err in s)
+        assert stripped == (("A", 2), ("A", 4))
