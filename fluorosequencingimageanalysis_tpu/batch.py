@@ -1,0 +1,129 @@
+"""Batch image processing + PSF artifact writers.
+
+Parity with pflib's output writers and batch drivers
+(/root/reference/pflib.py:594-711, 883-1111). The reference's
+multiprocessing fan-out (load-balanced by candidate counts,
+pflib.py:1000-1111) is unnecessary on TPU — every field costs the same
+under SIMD padding — so parallel_image_batch accepts num_processes for
+compatibility and simply batches the images through the device.
+"""
+
+from __future__ import annotations
+
+import csv
+import logging
+import os
+import pickle
+import time
+
+import numpy as np
+
+from .utils.hashing import psfs_filename
+from .utils.imageio import read_image
+from .utils.visualize import save_psfs_png  # noqa: F401 (re-export)
+from .models.detect import find_peptides
+
+logger = logging.getLogger(__name__)
+logger.addHandler(logging.NullHandler())
+
+
+def save_psfs_pkl(psfs, image_path=None, timestamp_epoch=None,
+                  output_path=None):
+    """Pickle the psfs dict (pflib.py:594-636)."""
+    if image_path is None and output_path is None:
+        raise ValueError("Either image_path or output_path must be provided.")
+    if image_path is not None:
+        image_path = os.path.abspath(image_path)
+    if output_path is None:
+        if timestamp_epoch is None:
+            timestamp_epoch = round(time.time())
+        output_path = psfs_filename(image_path, timestamp_epoch, ".pkl")
+    with open(output_path, "wb") as f:
+        pickle.dump(psfs, f)
+    return output_path
+
+
+def save_psfs_csv(psfs, image_path=None, timestamp_epoch=None,
+                  output_path=None):
+    """Tab-delimited PSF summary (pflib.py:639-711; excel-tab dialect,
+    header order preserved)."""
+    if image_path is None and output_path is None:
+        raise ValueError("Either image_path or output_path must be provided.")
+    if image_path is not None:
+        image_path = os.path.abspath(image_path)
+    if output_path is None:
+        if timestamp_epoch is None:
+            timestamp_epoch = round(time.time())
+        output_path = psfs_filename(image_path, timestamp_epoch, ".csv")
+    with open(output_path, "w", newline="") as output_file:
+        output_writer = csv.writer(output_file, dialect="excel-tab")
+        output_writer.writerow(
+            ["Absolute image path", "PSF center (h) coordinate",
+             "PSF center (w) coordinate", "PSF base (H)eight",
+             "PSF (A)mplitude", "PSF width (sigma_h)",
+             "PSF width (sigma_w)", "PSF (theta)", "PSF (rmse)",
+             "PSF (r_2)", "PSF (s_n)"])
+        for ((h, w), (h_0, w_0, H, A, sigma_h, sigma_w, theta, sub_img,
+                      fit_img, rmse, r_2, s_n)) in psfs.items():
+            output_writer.writerow([image_path, str(h_0), str(w_0), str(H),
+                                    str(A), str(sigma_h), str(sigma_w),
+                                    str(theta), str(rmse), str(r_2),
+                                    str(s_n)])
+    return output_path
+
+
+def image_batch(image_paths, find_peptides_parameters=None,
+                timestamp_epoch=None):
+    """Find + persist PSFs for a set of images (pflib.py:883-997).
+
+    Per-image failures are logged and skipped, matching the reference's
+    checkpointing behavior.
+    """
+    if timestamp_epoch is None:
+        timestamp_epoch = round(time.time())
+    image_paths = list(dict.fromkeys(os.path.abspath(p)
+                                     for p in image_paths))
+    if find_peptides_parameters is None:
+        find_peptides_parameters = {}
+    processed_images = {}
+    for image_path in image_paths:
+        output_tuple = [None, None, None, None]
+        try:
+            converted_path, image = read_image(image_path)
+        except Exception:
+            logger.exception("image_batch: read_image failed for %s",
+                             image_path)
+            continue
+        output_tuple[0] = converted_path
+        try:
+            psfs = find_peptides(image, **find_peptides_parameters)
+        except Exception:
+            logger.exception("image_batch: find_peptides failed for %s",
+                             image_path)
+            continue
+        try:
+            output_tuple[1] = save_psfs_pkl(psfs, image_path=converted_path,
+                                            timestamp_epoch=timestamp_epoch)
+            output_tuple[2] = save_psfs_csv(psfs, image_path=converted_path,
+                                            timestamp_epoch=timestamp_epoch)
+            output_tuple[3] = save_psfs_png(psfs, image_path=converted_path,
+                                            timestamp_epoch=timestamp_epoch)
+        except Exception:
+            logger.exception("image_batch: artifact write failed for %s",
+                             image_path)
+            continue
+        processed_images.setdefault(image_path, tuple(output_tuple))
+    return processed_images
+
+
+def parallel_image_batch(image_paths, find_peptides_parameters=None,
+                         timestamp_epoch=None, num_processes=None):
+    """Reference-signature batch driver (pflib.py:1000-1111).
+
+    The Pool fan-out and candidate-count load balancer are obsolete on
+    TPU (every image is one fixed-shape program); num_processes is
+    accepted and ignored.
+    """
+    return image_batch(image_paths,
+                       find_peptides_parameters=find_peptides_parameters,
+                       timestamp_epoch=timestamp_epoch)

@@ -1,0 +1,8 @@
+"""Compatibility shim: the reference's ``jupyter_development`` helpers
+(/root/reference/jupyter_development.py)."""
+
+from fluorosequencingimageanalysis_tpu.notebook import (  # noqa
+    _pairwise, grab_ON_OFFS, ON_OFF_adjust_photometries, signal_to_sequence,
+    sequence_to_signal, sequence_to_category, r_squared, make_histx,
+    fast_mode, qq, generate_intensities, generate_sequences, split_heatmap,
+    unwind_photometries, diff_signals, fasta_to_dict, match_diagnostic)

@@ -1,0 +1,81 @@
+"""Compatibility shim: the reference's ``pflib`` module surface
+(/root/reference/pflib.py), backed by the TPU-native framework.
+
+Scripts written against the reference (``import pflib``;
+pflib.parallel_image_batch / find_peptides / save_psfs_* / epoch hashes)
+run unmodified on top of fluorosequencingimageanalysis_tpu.
+"""
+
+import numpy as np
+
+from fluorosequencingimageanalysis_tpu.models.detect import find_peptides
+from fluorosequencingimageanalysis_tpu.ops.candidates import (
+    DEFAULT_CORRELATION_MATRIX, candidate_map)
+from fluorosequencingimageanalysis_tpu.batch import (
+    image_batch, parallel_image_batch, save_psfs_pkl, save_psfs_csv,
+    save_psfs_png)
+from fluorosequencingimageanalysis_tpu.utils.hashing import (
+    epoch_to_hash as _epoch_to_hash, hash_to_epoch as _hash_to_epoch,
+    psfs_filename as _psfs_filename)
+from fluorosequencingimageanalysis_tpu.utils.imageio import (read_image,
+                                                             convert_image)
+from fluorosequencingimageanalysis_tpu.utils.visualize import (
+    _histogram_equalization, _intensity_scaling)
+
+default_correlation_matrix = np.asarray(DEFAULT_CORRELATION_MATRIX,
+                                        dtype=np.int64)
+
+
+def _psf_candidates(image, median_filter_size=5,
+                    correlation_matrix=None, c_std=2, **kwargs):
+    """Candidate pixels as a list of (h, w) (pflib.py:217-258)."""
+    if correlation_matrix is None:
+        correlation_matrix = default_correlation_matrix
+    correlation_matrix = np.asarray(correlation_matrix)
+    if (correlation_matrix.shape[0] != correlation_matrix.shape[1] or
+            correlation_matrix.shape[0] % 2 == 0):
+        raise ValueError("correlation_matrix must be square, with an odd "
+                         "number of rows and columns")
+    _, mask = candidate_map(np.asarray(image, dtype=np.float64),
+                            median_filter_size=median_filter_size,
+                            correlation_matrix=correlation_matrix,
+                            c_std=c_std)
+    hs, ws = np.nonzero(np.asarray(mask))
+    return list(zip(hs.tolist(), ws.tolist()))
+
+
+def illumina_s_n(sub_img):
+    """(pflib.py:261-281)"""
+    sub_img = np.asarray(sub_img, dtype=np.float64)
+    if not (sub_img.ndim == 2 and sub_img.shape[0] == sub_img.shape[1]):
+        raise ValueError("sub_img must be square, but has shape " +
+                         str(sub_img))
+    edge = np.concatenate([sub_img[0, :], sub_img[-1, :],
+                           sub_img[1:-1, 0], sub_img[1:-1, -1]])
+    return (sub_img.max() - edge.mean()) / edge.std()
+
+
+def _fit_2d_gaussian(subimage, implementation="agpy"):
+    """Single-patch fit with the pflib contract (pflib.py:180-214)."""
+    subimage = np.asarray(subimage)
+    assert subimage.shape[0] == 5 and subimage.shape[1] == 5
+    if implementation != "agpy":
+        raise NotImplementedError("Currently, only agpy is supported.")
+    from fluorosequencingimageanalysis_tpu.ops.lm import fit_gaussians_batched
+    from fluorosequencingimageanalysis_tpu.ops.gaussian import gauss2d_image
+    import jax.numpy as jnp
+    params, _ = fit_gaussians_batched(
+        subimage[None].astype(np.float64), num_iters=120)
+    p = np.asarray(params[0])
+    fit_img = np.asarray(gauss2d_image(jnp.asarray(p, jnp.float64), (5, 5),
+                                       dtype=jnp.float64))
+    return (p[2], p[3], p[0], p[1], p[4], p[5], p[6], fit_img)
+
+
+__all__ = [
+    "default_correlation_matrix", "convert_image", "find_peptides",
+    "_psf_candidates", "illumina_s_n", "_fit_2d_gaussian", "_epoch_to_hash",
+    "_hash_to_epoch", "_psfs_filename", "save_psfs_pkl", "save_psfs_csv",
+    "save_psfs_png", "read_image", "_histogram_equalization",
+    "_intensity_scaling", "image_batch", "parallel_image_batch",
+]
