@@ -1,0 +1,210 @@
+"""End-to-end integration tests for the CLI apps on synthetic data."""
+
+import csv
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+
+def _write_field_png(path, coords, shape=(96, 96), rng=None, amp=3000.0):
+    import imageio.v2 as iio
+    rng = rng or np.random.default_rng(0)
+    img = 400 + rng.normal(0, 6, shape)
+    hh, ww = np.indices(shape).astype(float)
+    for h, w in coords:
+        img += amp * np.exp(-(((hh - h) ** 2) + ((ww - w) ** 2)) /
+                            (2 * 1.2 ** 2))
+    iio.imwrite(path, np.round(img).astype(np.uint16))
+
+
+def test_basic_experiment_script_end_to_end(tmp_path, monkeypatch):
+    # Layout: one directory per cycle, one file per field. Persistent
+    # anchor spots make self-registration well-determined (with only a
+    # couple of spots the cross-correlation peak is degenerate — real
+    # fields have hundreds of spots).
+    rng = np.random.default_rng(1)
+    # Subpixel centers (+0.3/+0.6): integer-centered spots sit exactly on
+    # the bounded fit's edge and round unstably (the reference's fitter
+    # has the same property).
+    anchors0 = [(12.3, 80.6), (80.3, 12.3), (84.6, 84.3), (15.3, 40.6),
+                (55.6, 85.3), (85.3, 55.6)]
+    anchors1 = [(12.6, 12.3), (80.3, 85.6), (84.3, 40.3), (40.6, 84.6),
+                (14.3, 55.3), (60.6, 12.6)]
+    spots_field0 = [(20.3, 20.6), (40.6, 45.3), (70.3, 30.3)]
+    spots_field1 = [(25.3, 60.6), (50.6, 20.3)]
+    presence0 = [(True, True, True), (True, True, False),
+                 (True, False, False)]
+    presence1 = [(True, True), (True, True), (True, False)]
+    peptide_files = []
+    for cycle in range(3):
+        d = tmp_path / f"cycle_{cycle:02d}"
+        d.mkdir()
+        c0 = anchors0 + [s for s, p in zip(spots_field0, presence0[cycle])
+                         if p]
+        c1 = anchors1 + [s for s, p in zip(spots_field1, presence1[cycle])
+                         if p]
+        f0 = d / "field_00.png"
+        f1 = d / "field_01.png"
+        _write_field_png(str(f0), c0, rng=rng)
+        _write_field_png(str(f1), c1, rng=rng)
+        peptide_files += [str(f0), str(f1)]
+
+    import basic_experiment_script
+    outdir = tmp_path / "out"
+    outdir.mkdir()
+    monkeypatch.chdir(tmp_path)
+    mfmc = basic_experiment_script.main([
+        "--peptide_files", *peptide_files,
+        "--output_directory", str(outdir),
+        "--no_sanity_check_images",
+        "-L", str(tmp_path / "log.txt"),
+    ])
+    # Track photometries CSV written with all frames.
+    csvs = [p for p in os.listdir(outdir)
+            if p.startswith("track_photometries_NO_NONES_")]
+    assert len(csvs) == 1
+    with open(outdir / csvs[0]) as f:
+        rows = list(csv.reader(f))
+    assert rows[0][:5] == ["CHANNEL", "FIELD", "H", "W", "CATEGORY"]
+    assert len(rows[0]) == 5 + 3  # three frames
+    assert len(rows) > 1
+    # Categories: the persistent spots must appear as [ON][ON][ON].
+    cat_csvs = [p for p in os.listdir(outdir)
+                if p.startswith("category_counts_")]
+    assert len(cat_csvs) == 1
+    text = open(outdir / cat_csvs[0]).read()
+    assert "[ON]" in text
+    # Offsets dict written.
+    assert any(p.startswith("offsets_dict_") for p in os.listdir(outdir))
+    # Tracking found the right trace structure: 12 persistent anchors +
+    # the 5 planted bleaching/persistent spots.
+    counts, merged = mfmc.count_binary_trace_categories()
+    agg = {}
+    for chan in counts.values():
+        for ex_counts in chan.values():
+            for pattern, c in ex_counts.items():
+                agg[pattern] = agg.get(pattern, 0) + c
+    assert agg[(True, True, True)] == 12 + 2
+    assert agg[(True, True, False)] == 2
+    assert agg[(True, False, False)] == 1
+    assert sum(agg.values()) == 17
+
+
+def test_basic_timetrace_script_end_to_end(tmp_path, monkeypatch):
+    rng = np.random.default_rng(2)
+    frames = []
+    for f in range(12):
+        coords = [(30, 30), (60, 70)] if f < 6 else [(60, 70)]
+        path = tmp_path / f"frame_{f:03d}.png"
+        _write_field_png(str(path), coords, rng=rng)
+        frames.append(str(path))
+    import basic_timetrace_script
+    outdir = tmp_path / "out"
+    monkeypatch.chdir(tmp_path)
+    tte = basic_timetrace_script.main([
+        "--output_directory", str(outdir),
+        "--no_sanity_check_images",
+        "-L", str(tmp_path / "log.txt"),
+        *frames,
+    ])
+    assert (outdir / "test.csv").exists()
+    with open(outdir / "test.csv") as f:
+        rows = list(csv.reader(f))
+    assert rows[0][:5] == ["Trace #", "Hcoord", "Wcoord", "Frame #",
+                           "Photometry"]
+    assert "Plateau Height" in rows[0]
+    # 2 traces x 12 frames + header.
+    assert len(rows) == 2 * 12 + 1
+    # The bleaching spot's step fit shows a drop. (The detected key can be
+    # +-1 px from the planted center due to the reference's axis quirk.)
+    key = min(tte.step_fits,
+              key=lambda k: (k[0] - 30) ** 2 + (k[1] - 30) ** 2)
+    fits = tte.step_fits[key]
+    heights = [p[2] for p in fits.trace]
+    assert heights[0] > heights[-1] + 5000
+
+
+def test_simulate_peptide_and_lognormal_closure(tmp_path, monkeypatch):
+    import simulate_peptide
+    monkeypatch.chdir(tmp_path)
+    signals, molecular = simulate_peptide.main([
+        "AXXA", "A", "-N", "300", "-m", "1", "-o", "1", "-e", "4",
+        "--edman_efficiency", "0.95", "--dye_destruction", "0.02",
+        "--dud_dyes", "0.2", "--surface_degradation_1", "0.0",
+        "--surface_degradation_1_num_cycles", "0",
+        "--surface_degradation_2", "0.0",
+        "--fluor_intensity", "30000", "--beta_sigma", "0.2",
+        "--output_directory", str(tmp_path),
+    ])
+    assert sum(signals.values()) > 50
+    # The dominant fitted signal should involve drops at cycles 1 and 4
+    # (the two labeled positions under near-ideal chemistry).
+    top_signal = max(signals, key=signals.get)
+    sig, is_zero, si = top_signal
+    assert is_zero in (True, False)
+    pkls = [p for p in os.listdir(tmp_path) if p.startswith("Simulated_")
+            and p.endswith(".pkl")]
+    assert len(pkls) == 1
+    with open(tmp_path / pkls[0], "rb") as f:
+        loaded_args, loaded_signals, loaded_mes = pickle.load(f)
+    assert loaded_signals == signals
+
+
+def test_remainder_correction_app(tmp_path, monkeypatch):
+    # Build a small track CSV with remainders.
+    path = tmp_path / "tracks.csv"
+    with open(path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["CHANNEL", "FIELD", "H", "W", "CATEGORY",
+                    "FRAME 0", "FRAME 1", "FRAME 2"])
+        for t in range(6):
+            w.writerow(["ch1", 0, t, 0, "(True, True, True)",
+                        1000, 1100, 1000])
+        w.writerow(["ch1", 0, 99, 0, "(True, True, False)", 900, 950, 10])
+    import remainder_correction
+    monkeypatch.chdir(tmp_path)
+    out = remainder_correction.main([str(path), "--method", "4"])
+    assert os.path.exists(out)
+    with open(out) as f:
+        rows = list(csv.reader(f))
+    assert rows[0][:5] == ["CHANNEL", "FIELD", "H", "W", "CATEGORY"]
+    # Frame-1 drift (+10%) removed from the remainders.
+    vals = [float(r[6]) for r in rows[1:] if r[2] != "99"]
+    np.testing.assert_allclose(vals, 1100 * 0.9, rtol=1e-6)
+
+
+def test_iterative_background_app(tmp_path, monkeypatch):
+    keys = [((("A", i),), True, 1) for i in range(1, 7)]
+    rng = np.random.default_rng(3)
+    ac_paths = []
+    for i in range(3):
+        signals = {k: 100 + int(rng.integers(-10, 10)) for k in keys}
+        p = tmp_path / f"ac_{i}.pkl"
+        with open(p, "wb") as f:
+            pickle.dump(signals, f)
+        ac_paths.append(str(p))
+    ac_csv = tmp_path / "ac.csv"
+    with open(ac_csv, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["index", "filepath"])
+        for i, p in enumerate(ac_paths):
+            w.writerow([i, p])
+    boc = {k: 100 for k in keys}
+    boc[((("A", 3),), True, 1)] = 1000
+    boc_path = tmp_path / "boc.pkl"
+    with open(boc_path, "wb") as f:
+        pickle.dump(boc, f)
+    import iterative_background_v2
+    outdir = tmp_path / "out"
+    monkeypatch.chdir(tmp_path)
+    corrected = iterative_background_v2.main([
+        "--boc_file", str(boc_path), "--ac_file", str(ac_csv),
+        "--num_cycles", "6", "--output_directory", str(outdir),
+    ])
+    assert corrected[((("A", 3),), True, 1)] > 0
+    outs = os.listdir(outdir)
+    for prefix in ("average_background_", "std_background_",
+                   "experiment_background_", "corrected_experiment_"):
+        assert any(p.startswith(prefix) for p in outs)
