@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.candidates import (DEFAULT_CORRELATION_MATRIX, find_candidates,
-                              gather_patches)
+                              find_candidates_batch, gather_patches)
 from ..ops.consolidate import consolidate
 from ..ops.gaussian import gauss2d_image
 from ..ops.lm import fit_gaussians_batched
@@ -48,38 +48,75 @@ class SpotFindResult(NamedTuple):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "median_filter_size", "c_std", "r_2_threshold", "consolidation_radius",
-    "max_candidates", "num_iters"))
-def detect_and_fit(image, median_filter_size=5, correlation_matrix=None,
-                   c_std=2.0, r_2_threshold=0.7, consolidation_radius=4.0,
-                   max_candidates=4096, num_iters=60):
-    """Jitted single-field detection + fit. Image: (H, W) float array."""
-    image = jnp.asarray(image)
+    "median_filter_size", "correlation_matrix", "c_std", "r_2_threshold",
+    "consolidation_radius", "max_candidates", "num_iters", "use_pallas"))
+def detect_and_fit_batch(images, median_filter_size=5,
+                         correlation_matrix=None, c_std=2.0,
+                         r_2_threshold=0.7, consolidation_radius=4.0,
+                         max_candidates=4096, num_iters=60,
+                         use_pallas=False):
+    """Jitted batched detection + fit. images: (B, H, W) float array.
+
+    All per-image candidate buckets are fused into ONE lane-major LM call
+    (B*K fits) — the TPU-efficient layout — and the candidate maps come
+    from the fused Pallas kernel when use_pallas is set.
+    """
+    from ..ops.candidates import HashableArray
+    images = jnp.asarray(images)
+    B = images.shape[0]
     if correlation_matrix is None:
-        correlation_matrix = DEFAULT_CORRELATION_MATRIX
-    hs, ws, valid, count = find_candidates(
-        image, median_filter_size=median_filter_size,
-        correlation_matrix=jnp.asarray(correlation_matrix, image.dtype),
-        c_std=c_std, max_candidates=max_candidates)
+        correlation_matrix = HashableArray(DEFAULT_CORRELATION_MATRIX)
+    elif not isinstance(correlation_matrix, HashableArray):
+        correlation_matrix = HashableArray(correlation_matrix)
+    hs, ws, valid, count = find_candidates_batch(
+        images, median_filter_size=median_filter_size,
+        correlation_matrix=correlation_matrix,
+        c_std=float(c_std), max_candidates=max_candidates,
+        use_pallas=use_pallas)
 
-    patches = gather_patches(image, hs, ws, radius=2)
-    params, _cost = fit_gaussians_batched(patches, num_iters=num_iters)
+    patches = jax.vmap(
+        lambda img, h, w: gather_patches(img, h, w, radius=2))(images, hs, ws)
+    flat = patches.reshape(B * max_candidates, 5, 5)
+    params, _cost = fit_gaussians_batched(flat, num_iters=num_iters)
 
-    fit_imgs = gauss2d_image(params, (5, 5), dtype=image.dtype)
-    r2 = r_squared(patches, fit_imgs)
-    rm = rmse(patches, fit_imgs)
-    sn = illumina_s_n(patches)
+    fit_imgs = gauss2d_image(params, (5, 5), dtype=images.dtype)
+    r2 = r_squared(flat, fit_imgs).reshape(B, max_candidates)
+    rm = rmse(flat, fit_imgs).reshape(B, max_candidates)
+    sn = illumina_s_n(flat).reshape(B, max_candidates)
+    params = params.reshape(B, max_candidates, 7)
 
     # Patch -> image coordinates (pflib.py:456-461): the patch center pixel
     # sits at 2.5 in the bounded fit window, so center = p + fitted - 2.5.
-    center_h = params[:, 2] + hs.astype(params.dtype) - 2.5
-    center_w = params[:, 3] + ws.astype(params.dtype) - 2.5
+    center_h = params[:, :, 2] + hs.astype(params.dtype) - 2.5
+    center_w = params[:, :, 3] + ws.astype(params.dtype) - 2.5
 
     passed = valid & (r2 >= r_2_threshold)
-    keep = consolidate(center_h, center_w, r2, passed,
-                       radius=consolidation_radius)
+    keep = jax.vmap(
+        lambda ch, cw, r, p: consolidate(ch, cw, r, p,
+                                         radius=consolidation_radius))(
+        center_h, center_w, r2, passed)
     return SpotFindResult(hs, ws, params, center_h, center_w, rm, r2, sn,
                           keep, valid, count)
+
+
+def detect_and_fit(image, median_filter_size=5, correlation_matrix=None,
+                   c_std=2.0, r_2_threshold=0.7, consolidation_radius=4.0,
+                   max_candidates=4096, num_iters=60, use_pallas=None):
+    """Single-field detection + fit (batch of one). Image: (H, W)."""
+    from ..ops.candidates import HashableArray
+    if use_pallas is None:
+        use_pallas = jax.default_backend() in ("tpu", "axon")
+    if correlation_matrix is not None and \
+            not isinstance(correlation_matrix, HashableArray):
+        correlation_matrix = HashableArray(correlation_matrix)
+    res = detect_and_fit_batch(
+        jnp.asarray(image)[None], median_filter_size=median_filter_size,
+        correlation_matrix=correlation_matrix, c_std=float(c_std),
+        r_2_threshold=float(r_2_threshold),
+        consolidation_radius=float(consolidation_radius),
+        max_candidates=max_candidates, num_iters=num_iters,
+        use_pallas=bool(use_pallas))
+    return SpotFindResult(*(x[0] for x in res))
 
 
 def find_peptides(image, median_filter_size=5, correlation_matrix=None,

@@ -34,6 +34,20 @@ DEFAULT_CORRELATION_MATRIX = np.array(
      [-5935, -5935, -5935, -5935, -5935]], dtype=np.float64)
 
 
+class HashableArray:
+    """Static (hashable) array wrapper for compile-time kernel weights."""
+
+    def __init__(self, arr):
+        self.arr = np.asarray(arr)
+        self._key = (self.arr.tobytes(), self.arr.shape, str(self.arr.dtype))
+
+    def __hash__(self):
+        return hash(self._key)
+
+    def __eq__(self, other):
+        return isinstance(other, HashableArray) and self._key == other._key
+
+
 def median_filter_2d(image, size: int):
     """Square median filter with scipy-'reflect' (jnp 'symmetric') boundary."""
     r_lo = (size - 1) // 2
@@ -81,6 +95,56 @@ def candidate_map(image, median_filter_size=5, correlation_matrix=None,
     return image_cm, mask
 
 
+def _threshold_and_extract(image_cm, max_candidates, c_std):
+    """Shared masking + static-shape extraction from a correlation map."""
+    h, w = image_cm.shape
+    threshold = jnp.mean(image_cm) + c_std * jnp.std(image_cm)
+    hh = jnp.arange(h)[:, None]
+    ww = jnp.arange(w)[None, :]
+    interior = ((hh >= 2) & (hh < h - 2) & (ww >= 2) & (ww < w - 2))
+    mask = (image_cm >= threshold) & interior
+    flat_scores = jnp.where(mask, image_cm, -jnp.inf).reshape(-1)
+    count = jnp.sum(mask.astype(jnp.int32))
+    top_scores, top_idx = lax.top_k(flat_scores, max_candidates)
+    valid = top_scores > -jnp.inf
+    hs = jnp.where(valid, top_idx // w, 2).astype(jnp.int32)
+    ws = jnp.where(valid, top_idx % w, 2).astype(jnp.int32)
+    return hs, ws, valid, count
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "median_filter_size", "correlation_matrix", "c_std", "max_candidates",
+    "use_pallas"))
+def find_candidates_batch(images, median_filter_size=5,
+                          correlation_matrix=None, c_std=2.0,
+                          max_candidates=4096, use_pallas=False):
+    """Batched static-shape candidate extraction over (B, H, W) images.
+
+    Returns (hs, ws, valid, count) with leading batch dimension. On TPU
+    (use_pallas=True) the correlation maps come from the fused Pallas
+    kernel (one HBM pass per image); elsewhere from the jnp recipe.
+    """
+    if correlation_matrix is None:
+        correlation_matrix = HashableArray(DEFAULT_CORRELATION_MATRIX)
+    corr_np = correlation_matrix.arr
+    if use_pallas:
+        from .pallas_candidates import candidate_map_fused
+        cms = candidate_map_fused(images, corr_np)
+    else:
+        kernel = jnp.asarray(corr_np, images.dtype)
+
+        def one_cm(image):
+            med = median_filter_2d(image, median_filter_size)
+            image_mf = image - jnp.minimum(med, image)
+            return jnp.maximum(correlate_2d_same(image_mf, kernel), 0.0)
+
+        cms = jax.vmap(one_cm)(images)
+    return jax.vmap(
+        functools.partial(_threshold_and_extract,
+                          max_candidates=max_candidates,
+                          c_std=float(c_std)))(cms)
+
+
 @functools.partial(jax.jit, static_argnames=(
     "median_filter_size", "c_std", "max_candidates"))
 def find_candidates(image, median_filter_size=5, correlation_matrix=None,
@@ -107,7 +171,20 @@ def find_candidates(image, median_filter_size=5, correlation_matrix=None,
 
 
 def gather_patches(image, hs, ws, radius=2):
-    """Gather (2r+1)x(2r+1) patches centered at (hs, ws), vmapped."""
+    """Gather (2r+1)x(2r+1) patches centered at (hs, ws).
+
+    One fused XLA gather (advanced indexing) — ~7x faster on TPU than a
+    vmapped dynamic_slice per patch for 5x5 windows. Centers must be at
+    least `radius` from every edge.
+    """
+    d = jnp.arange(-radius, radius + 1)
+    return image[hs[:, None, None] + d[None, :, None],
+                 ws[:, None, None] + d[None, None, :]]
+
+
+def gather_patches_dynslice(image, hs, ws, radius):
+    """Per-patch dynamic_slice gather — faster than one big XLA gather for
+    LARGE windows (e.g. the 19x19 photometry squares)."""
     size = 2 * radius + 1
 
     def one(h, w):

@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .candidates import gather_patches
+from .candidates import gather_patches_dynslice as gather_patches
 
 
 def crown_flat_indices(radius: int, brim_size: int) -> np.ndarray:

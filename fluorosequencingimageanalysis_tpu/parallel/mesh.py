@@ -56,26 +56,29 @@ def shard_fields(stack, mesh):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("mesh", "max_candidates", "num_iters",
+    static_argnames=("mesh", "max_candidates", "max_spots", "num_iters",
                      "upsample_factor", "photometry_radius",
                      "photometry_brim"))
-def experiment_step_sharded(stack, mesh, max_candidates=256, num_iters=30,
-                            upsample_factor=10, photometry_radius=9,
-                            photometry_brim=6):
+def experiment_step_sharded(stack, mesh, max_candidates=256, max_spots=None,
+                            num_iters=30, upsample_factor=10,
+                            photometry_radius=9, photometry_brim=6):
     """One full experiment step over a [fields, cycles, H, W] stack.
 
     Stages (all inside one jitted program, partitioned over the mesh):
       1. registration: phase-correlate consecutive cycles per field,
       2. detection + batched LM PSF fit on every (field, cycle) image,
-      3. photometry (mexican hat) at every fitted spot.
+      3. compaction of surviving spots into a [max_spots] bucket,
+      4. photometry (mexican hat) at the surviving spots only.
 
     Returns a dict of sharded arrays:
       offsets_h/w: [F, C] per-cycle offsets
       params:      [F, C, K, 7] PSF fits
       keep:        [F, C, K] surviving-fit mask
-      photometry:  [F, C, K] mexican-hat photometries at the fit centers
+      spot_h/w:    [F, C, S] compacted surviving-spot centers
+      spot_valid:  [F, C, S]
+      photometry:  [F, C, S] mexican-hat photometries at the kept spots
     """
-    from ..models.detect import detect_and_fit
+    from ..models.detect import detect_and_fit_batch
     from ..ops.registration import phase_correlate_stack
     from ..ops.photometry import mexican_hat_batch
 
@@ -87,41 +90,55 @@ def experiment_step_sharded(stack, mesh, max_candidates=256, num_iters=30,
     off_h, off_w, _, _ = jax.vmap(
         lambda frames: phase_correlate_stack(frames, upsample_factor))(stack)
 
-    # 2. Detection + fit per (field, cycle). The candidate bucket axis is
-    # sharded over 'model' so the LM FLOPs spread across the second mesh
-    # axis as well.
+    # 2. Detection + fit, batched over all (field, cycle) images in ONE
+    # lane-major LM call; the candidate bucket axis is sharded over
+    # 'model' so the LM FLOPs spread across the second mesh axis as well.
+    # The fused Pallas candidate kernel runs on single-chip TPU meshes
+    # (multi-chip partitioning of the custom call goes through shard_map;
+    # not wired yet — the jnp path partitions automatically).
     imgs = stack.reshape(F * C, H, W)
-
-    def per_image(img):
-        res = detect_and_fit(img, max_candidates=max_candidates,
-                             num_iters=num_iters)
-        return res.params, res.keep, res.center_h, res.center_w
-
-    params, keep, ch, cw = jax.vmap(per_image)(imgs)
+    use_pallas = (jax.default_backend() in ("tpu", "axon") and
+                  mesh.size == 1)
+    res = detect_and_fit_batch(imgs, max_candidates=max_candidates,
+                               num_iters=num_iters, use_pallas=use_pallas)
     params = jax.lax.with_sharding_constraint(
-        params.reshape(F, C, max_candidates, 7),
+        res.params.reshape(F, C, max_candidates, 7),
         NamedSharding(mesh, P("data", None, "model", None)))
-    keep = keep.reshape(F, C, max_candidates)
-    ch = ch.reshape(F, C, max_candidates)
-    cw = cw.reshape(F, C, max_candidates)
+    keep = res.keep.reshape(F, C, max_candidates)
+    ch = res.center_h.reshape(F, C, max_candidates)
+    cw = res.center_w.reshape(F, C, max_candidates)
 
-    # 3. Photometry at the (rounded) fit centers, masked by validity and
-    # interior-ness.
+    # 3. Compact surviving spots into a small static bucket so photometry
+    # only touches real spots (typically ~10% of candidates).
+    if max_spots is None:
+        max_spots = max(min(max_candidates, 512), 8)
+    keep_flat = keep.reshape(F * C, max_candidates)
+    score = jnp.where(keep_flat, res.r2.reshape(F * C, -1), -jnp.inf)
+    top_score, top_idx = jax.lax.top_k(score, max_spots)
+    spot_valid = top_score > -jnp.inf
+    ch_flat = res.center_h.reshape(F * C, -1)
+    cw_flat = res.center_w.reshape(F * C, -1)
+    sh = jnp.take_along_axis(ch_flat, top_idx, axis=-1)
+    sw = jnp.take_along_axis(cw_flat, top_idx, axis=-1)
+
+    # 4. Photometry at the (rounded) kept-spot centers.
     r = photometry_radius
-    rch = jnp.clip(jnp.round(ch).astype(jnp.int32), r, H - r - 1)
-    rcw = jnp.clip(jnp.round(cw).astype(jnp.int32), r, W - r - 1)
+    rch = jnp.clip(jnp.round(sh).astype(jnp.int32), r, H - r - 1)
+    rcw = jnp.clip(jnp.round(sw).astype(jnp.int32), r, W - r - 1)
 
     def phot_one(img, hs, ws):
         return mexican_hat_batch(img, hs, ws, brim_size=photometry_brim,
                                  radius=r)
 
-    phot = jax.vmap(phot_one)(imgs, rch.reshape(F * C, -1),
-                              rcw.reshape(F * C, -1))
-    phot = phot.reshape(F, C, max_candidates) * keep
+    phot = jax.vmap(phot_one)(imgs, rch, rcw)
+    phot = phot.reshape(F, C, max_spots) * spot_valid.reshape(F, C, -1)
 
     return {
         "offsets_h": off_h, "offsets_w": off_w,
         "params": params, "keep": keep,
         "center_h": ch, "center_w": cw,
+        "spot_h": sh.reshape(F, C, max_spots),
+        "spot_w": sw.reshape(F, C, max_spots),
+        "spot_valid": spot_valid.reshape(F, C, max_spots),
         "photometry": phot,
     }
