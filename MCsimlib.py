@@ -37,3 +37,29 @@ from fluorosequencingimageanalysis_tpu.inference.background import (  # noqa
     interpolate_signal, outlier_z_scores, iterative_peak_finding,
     iterative_peak_finding_v2, iterative_peak_finding_v3,
     subtract_false_positives, expected_background)
+
+# Legacy fitter generations v1-v7 + nearest neighbor (inference/lognormal_legacy.py)
+from fluorosequencingimageanalysis_tpu.inference.lognormal_legacy import (  # noqa
+    _intensities_to_signal_lognormal, _photometries_lognormal_fit_MP,
+    _per_cycle_intensities_to_signal_lognormal,
+    _intensities_to_signal_lognormal_v2, _photometries_lognormal_fit_MP_v2,
+    _intensities_to_signal_lognormal_v3, _photometries_lognormal_fit_MP_v3,
+    _intensities_to_signal_lognormal_v4, _photometries_lognormal_fit_MP_v4,
+    _intensities_to_signal_lognormal_v5, _photometries_lognormal_fit_MP_v5,
+    _intensities_to_signal_lognormal_v6, _photometries_lognormal_fit_MP_v6,
+    _intensities_to_signal_lognormal_v7, _photometries_lognormal_fit_MP_v7,
+    _find_deltas, _lognormal_nearest_neighbor, _lognormal_nearest_neighbor_MP)
+
+# GMM / cluster fitters + parameter sweeps (inference/gmm.py)
+from fluorosequencingimageanalysis_tpu.inference.gmm import (  # noqa
+    _gmm_photometries, _gmm_photometries_MP, _per_cycle_gmm_MP, _gmm_adjust,
+    _cluster_fit, _cluster_fit_2, _collate_means_into_fit,
+    _find_experiment_levels, _translate_plateaus_into_signal,
+    _translate_plateaus_into_signal_2, _translate_plateaus_into_signal_3,
+    _parallel_cluster_fit, _save_clustered_photometries_csv,
+    _parameter_sweep, _parameter_sweep_2, _parallel_parameter_sweep,
+    _ps_results_analysis)
+
+# FWHM calibration (inference/calibration.py)
+from fluorosequencingimageanalysis_tpu.inference.calibration import (  # noqa
+    fwhm_method, fwhm_method_v2)

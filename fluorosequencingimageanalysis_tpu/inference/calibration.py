@@ -144,3 +144,105 @@ def last_drop_method_v2(photometries):
         for i, (iON, iOFF) in enumerate(_pairwise(intensities))
         if category[i] and not category[i + 1] and iON > 0]
     return _last_drop_core(last_drop_list)
+
+
+def fwhm_method(raw_photometries, optimal_bin_number=None):
+    """Alpha/beta sigmas from histogram half-widths (MCsimlib.py:4213-4282)."""
+    (optimal_bin_number, alpha, alpha_index, beta, beta_index, gamma,
+     gamma_index, alpha_photometry, beta_photometry, gamma_photometry) = \
+        _get_m0Dm1(raw_photometries=raw_photometries,
+                   optimal_bin_number=optimal_bin_number)
+    sub_alpha = [p for p in raw_photometries if p <= alpha_photometry]
+    SAP_obn = optimal_bin_size_MP(sub_alpha)[0][1]
+    SAP_hist, SAP_bins = np.histogram(sub_alpha, bins=SAP_obn)
+    SAP_hwhm = (gamma_photometry - alpha_photometry) / 2.0
+    for i in range(SAP_hist.shape[0]):
+        if SAP_hist[i] < alpha / 2.0:
+            continue
+        mapping = (float(max(sub_alpha) - min(sub_alpha)) / SAP_obn)
+        SAP_hwhm = alpha_photometry - (i * mapping + min(sub_alpha))
+        break
+    alpha_sigma = SAP_hwhm / math.sqrt(2.0 * math.log(2.0))
+    sub_beta = [math.log(p) for p in raw_photometries
+                if 0 < p <= beta_photometry]
+    SBP_obn = optimal_bin_size_MP(sub_beta)[0][1]
+    SBP_hist, SBP_bins = np.histogram(sub_beta, bins=SBP_obn)
+    SBP_hwhm = (beta_photometry - gamma_photometry)
+    for i in range(SBP_hist.shape[0] - 1, -1, -1):
+        if SBP_hist[i] > beta / 2.0:
+            continue
+        mapping = (float(max(sub_beta) - min(sub_beta)) / SBP_obn)
+        SBP_hwhm = ((SBP_hist.shape[0] - i) * mapping + min(sub_beta))
+        break
+    beta_sigma = SBP_hwhm / math.sqrt(2.0 * math.log(2.0))
+    return (optimal_bin_number, alpha, alpha_index, beta, beta_index, gamma,
+            gamma_index, alpha_photometry, beta_photometry, gamma_photometry,
+            SAP_obn, SAP_hwhm, alpha_sigma, SBP_obn, SBP_hwhm, beta_sigma,
+            SAP_hist, SAP_bins, SBP_hist, SBP_bins)
+
+
+def fwhm_method_v2(photometries, optimal_bin_number=None):
+    """Alpha-adjusted alpha/beta estimation (MCsimlib.py:4285-4382)."""
+    if len(photometries) > 1:
+        raise NotImplementedError("Currently puts all photometries together, "
+                                  "can't handle multiple channels at once.")
+    raw_photometries = [intensity
+                        for channel, cdict in photometries.items()
+                        for field, fdict in cdict.items()
+                        for (h, w), (category, intensities, row)
+                        in fdict.items()
+                        for intensity in intensities]
+    (optimal_bin_number, alpha, alpha_index, beta, beta_index, gamma,
+     gamma_index, alpha_photometry, beta_photometry, gamma_photometry) = \
+        _get_m0Dm1(raw_photometries=raw_photometries,
+                   optimal_bin_number=optimal_bin_number)
+    sub_alpha = [p for p in raw_photometries if p <= alpha_photometry]
+    SAP_obn = optimal_bin_size_MP(sub_alpha)[0][1]
+    SAP_hist, SAP_bins = np.histogram(sub_alpha, bins=SAP_obn)
+    SAP_hwhm = (gamma_photometry - alpha_photometry) / 2.0
+    default_SAP_hwhm = True
+    for i in range(SAP_hist.shape[0]):
+        if SAP_hist[i] < alpha / 2.0:
+            continue
+        mapping = (float(max(sub_alpha) - min(sub_alpha)) / SAP_obn)
+        SAP_hwhm = alpha_photometry - (i * mapping + min(sub_alpha))
+        default_SAP_hwhm = False
+        break
+    alpha_sigma = SAP_hwhm / math.sqrt(2.0 * math.log(2.0))
+    adjusted_raw = [p - alpha_photometry for p in raw_photometries]
+    adjusted_photometries = {}
+    for channel, cdict in photometries.items():
+        for field, fdict in cdict.items():
+            for (h, w), (category, intensities, row) in fdict.items():
+                adj = [i - alpha_photometry for i in intensities]
+                adjusted_photometries.setdefault(channel, {}).setdefault(
+                    field, {}).setdefault((h, w), (category, adj, row))
+    beta_photometry -= alpha_photometry
+    gamma_photometry -= alpha_photometry
+    alpha_photometry = 0
+    super_gamma = [math.log(p) for p in adjusted_raw
+                   if p > gamma_photometry]
+    SGP_obn = optimal_bin_size_MP(super_gamma, min_n_bins=10,
+                                  max_n_bins=10000)[0][1]
+    SGP_hist, SGP_bins = np.histogram(super_gamma, bins=SGP_obn)
+    SGP_max, SGP_argmax = np.amax(SGP_hist), int(np.argmax(SGP_hist))
+    if SGP_argmax < len(SGP_hist) - 1:
+        SGP_max_logP = np.mean([SGP_bins[SGP_argmax],
+                                SGP_bins[SGP_argmax + 1]])
+    else:
+        SGP_max_logP = SGP_bins[SGP_argmax]
+    beta_photometry = math.e ** SGP_max_logP
+    SGP_hwhm = abs(SGP_max_logP - math.log(gamma_photometry)) / 2.0
+    default_SGP_hwhm = True
+    for i in range(SGP_argmax - 1, -1, -1):
+        if SGP_hist[i] > SGP_max / 2.0:
+            continue
+        SGP_hwhm = SGP_max_logP - np.mean([SGP_bins[i], SGP_bins[i + 1]])
+        default_SGP_hwhm = False
+        break
+    beta_sigma = SGP_hwhm / math.sqrt(2.0 * math.log(2.0))
+    return (alpha_photometry, alpha_sigma, beta_photometry, beta_sigma,
+            adjusted_raw, adjusted_photometries, SAP_hist, SAP_bins,
+            SGP_hist, SGP_bins, optimal_bin_number, alpha, alpha_index,
+            beta, beta_index, gamma, gamma_index, gamma_photometry,
+            default_SAP_hwhm, default_SGP_hwhm)
