@@ -125,3 +125,39 @@ def test_jupyter_development_shim():
         {"ch1": {0: {(5, 5): ((True, False), (100.0, 50.0), 1)}}},
         on_offs, alpha=0)
     assert adj["ch1"][0][(5, 5)][1][1] == 50.0
+
+
+def test_onedgaussfit_recovers():
+    import gaussfitter as gf
+    x = np.linspace(-5, 5, 101)
+    rng = np.random.default_rng(0)
+    y = gf.onedgaussian(x, 10, 100, 1.0, 0.8) + rng.normal(0, 1, 101)
+    mpp, model, perr, chi2 = gf.onedgaussfit(x, y, usemoments=True)
+    assert abs(mpp[1] - 100) < 3
+    assert abs(mpp[2] - 1.0) < 0.05
+    assert abs(mpp[3] - 0.8) < 0.05
+    assert model.shape == y.shape and chi2 > 0
+
+
+def test_multigaussfit_two_peaks():
+    import gaussfitter as gf
+    x = np.linspace(-5, 5, 101)
+    rng = np.random.default_rng(1)
+    y = gf.n_gaussian(pars=[50, -2, 0.5, 80, 2, 0.7])(x) + rng.normal(0, 1, 101)
+    mpp, model, perr, chi2 = gf.multigaussfit(
+        x, y, ngauss=2, params=[40, -2.2, 0.6, 70, 1.9, 0.6])
+    assert abs(mpp[0] - 50) < 5 and abs(mpp[1] + 2) < 0.1
+    assert abs(mpp[3] - 80) < 5 and abs(mpp[4] - 2) < 0.1
+
+
+def test_collapse_gaussfit_cube():
+    import gaussfitter as gf
+    rng = np.random.default_rng(2)
+    cube = np.zeros((21, 3, 3))
+    for i in range(3):
+        for j in range(3):
+            cube[:, i, j] = (gf.onedgaussian(np.arange(21), 0, 50, 10, 2) +
+                             rng.normal(0, 1, 21))
+    w, o, a, c2 = gf.collapse_gaussfit(cube, axis=0)
+    assert abs(np.nanmean(w) - 2.0) < 0.2
+    assert abs(np.nanmean(o) - 10.0) < 0.2
