@@ -63,3 +63,8 @@ from fluorosequencingimageanalysis_tpu.inference.gmm import (  # noqa
 # FWHM calibration (inference/calibration.py)
 from fluorosequencingimageanalysis_tpu.inference.calibration import (  # noqa
     fwhm_method, fwhm_method_v2)
+
+# Native (C++) batch signal sampler — fills the reference's documented-but-
+# missing ``randsiggen`` C slot (MCsimlib.py:1823-1830).
+from fluorosequencingimageanalysis_tpu.native import (  # noqa
+    have_native, random_signal_batch, monte_carlo_trie_native)

@@ -1,0 +1,160 @@
+"""ctypes binding for the native randsiggen batch signal sampler.
+
+Fills the reference's documented-but-missing C slot: MCsimlib.py:1823-1830
+calls ``randsiggen.random_signal(peptide, protein, p, b, u, rsg_windows,
+batch_size, seed, trie)``; the .c source is absent from its tree, so the
+reference's ``monte_carlo_trie`` cannot actually run. Here the native batch
+sampler returns flat arrays and trie accumulation happens in Python, keeping
+the C ABI free of CPython internals (pybind11 is unavailable; ctypes is the
+binding layer).
+
+Builds ``_randsiggen.so`` from the bundled .cpp on first use (g++ -O3),
+cached next to the source. If the toolchain is unavailable, ``have_native()``
+returns False and callers fall back to the pure-Python model in
+``sim/signals.py`` (statistically identical).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "randsiggen.cpp")
+_SO = os.path.join(_HERE, "_randsiggen.so")
+
+_lock = threading.Lock()
+_lib = None
+_load_failed = False
+
+
+def _build() -> bool:
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+           _SRC, "-o", _SO]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=300)
+        return True
+    except Exception:
+        try:  # portable fallback without -march=native
+            subprocess.run(["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+                            _SRC, "-o", _SO],
+                           check=True, capture_output=True, timeout=300)
+            return True
+        except Exception:
+            return False
+
+
+def _load():
+    """Load (building if needed) the shared library; None if unavailable."""
+    global _lib, _load_failed
+    if _lib is not None or _load_failed:
+        return _lib
+    with _lock:
+        if _lib is not None or _load_failed:
+            return _lib
+        if not os.path.exists(_SO) or (os.path.exists(_SRC) and
+                                       os.path.getmtime(_SO) <
+                                       os.path.getmtime(_SRC)):
+            if not _build():
+                _load_failed = True
+                return None
+        try:
+            lib = ctypes.CDLL(_SO)
+            fn = lib.rsg_random_signal_batch
+            fn.restype = ctypes.c_int
+            fn.argtypes = [
+                ctypes.c_char_p, ctypes.c_char_p,           # head, tail
+                ctypes.c_double, ctypes.c_double, ctypes.c_double,  # p, b, u
+                ctypes.c_char_p,                             # window_acids
+                np.ctypeslib.ndpointer(np.int32, flags="C"),  # positions
+                np.ctypeslib.ndpointer(np.int32, flags="C"),  # offsets
+                ctypes.c_int32, ctypes.c_int32,              # n_acids, batch
+                ctypes.c_uint64, ctypes.c_int32,             # seed, max_len
+                np.ctypeslib.ndpointer(np.int32, flags="C"),  # out_positions
+                np.ctypeslib.ndpointer(np.int8, flags="C"),   # out_acids
+                np.ctypeslib.ndpointer(np.int32, flags="C"),  # out_lengths
+            ]
+            _lib = lib
+        except Exception:
+            _load_failed = True
+    return _lib
+
+
+def have_native() -> bool:
+    """True if the C++ sampler built and loaded."""
+    return _load() is not None
+
+
+def _pack_windows(windows):
+    acids = list(windows)
+    offsets = [0]
+    flat = []
+    for a in acids:
+        flat.extend(int(x) for x in windows[a])
+        offsets.append(len(flat))
+    return ("".join(acids).encode("ascii"),
+            np.asarray(flat, dtype=np.int32),
+            np.asarray(offsets, dtype=np.int32),
+            len(acids))
+
+
+def random_signal_batch(peptide, p, b, u, windows, batch_size, seed,
+                        max_len=None):
+    """Generate ``batch_size`` signals for one (head, tail) peptide.
+
+    Returns a list of signal tuples ``((pos, acid), ...)`` with the same
+    distribution as sim/signals.py:random_signal (MCsimlib.py:863-1074).
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native randsiggen unavailable (g++ build failed)")
+    head, tail = peptide
+    if max_len is None:
+        n_fluors = sum(head.count(a) + tail.count(a) for a in windows)
+        max_len = max(4, n_fluors + 1)
+    acids_b, positions, offsets, n_acids = _pack_windows(windows)
+    out_pos = np.empty(batch_size * max_len, dtype=np.int32)
+    out_acid = np.empty(batch_size * max_len, dtype=np.int8)
+    out_len = np.empty(batch_size, dtype=np.int32)
+    rc = lib.rsg_random_signal_batch(
+        head.encode("ascii"), tail.encode("ascii"),
+        float(p), float(b), float(u), acids_b, positions, offsets,
+        np.int32(n_acids), np.int32(batch_size), np.uint64(seed),
+        np.int32(max_len), out_pos, out_acid, out_len)
+    if rc != 0:  # should be impossible: max_len covers every fluor
+        raise RuntimeError("randsiggen signal overflowed max_len")
+    out_pos = out_pos.reshape(batch_size, max_len)
+    out_acid = out_acid.reshape(batch_size, max_len)
+    signals = []
+    for i in range(batch_size):
+        n = int(out_len[i])
+        signals.append(tuple((int(out_pos[i, j]), chr(out_acid[i, j]))
+                             for j in range(n)))
+    return signals
+
+
+def monte_carlo_trie_native(peptides, p, b, u, windows, sample_size=100,
+                            random_seed=None, silent=True):
+    """Native-sampler version of monte_carlo_trie (MCsimlib.py:1787-1849):
+    batch-generate signals in C++, accumulate into a SignalTrie in Python
+    (the reference's intended split, MCsimlib.py:1823-1834)."""
+    from ..sim.trie import SignalTrie
+    rng = np.random.default_rng(random_seed)
+    return_trie = SignalTrie((None, None))
+    for protein in peptides:
+        for peptide in peptides[protein]:
+            remaining = sample_size
+            while remaining > 0:
+                batch = min(10 ** 4, remaining)
+                seed = int(rng.integers(0, 2 ** 63 - 1))
+                for signal in random_signal_batch(peptide, p, b, u, windows,
+                                                  batch, seed):
+                    if signal:
+                        return_trie.add_descendant(
+                            sorted(signal, key=lambda x: x[0]), protein)
+                remaining -= batch
+    return return_trie
