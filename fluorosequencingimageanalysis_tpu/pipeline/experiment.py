@@ -1002,7 +1002,21 @@ class TimetraceExperiment(Experiment):
 
     def stepfit_tracks(self, photometry_min=None,
                        photometry_method="mexican_hat", mirror_start=0,
-                       chung_kennedy=0, p_threshold=0.01, **kwargs):
+                       chung_kennedy=0, p_threshold=0.01, batched=True,
+                       **kwargs):
+        """Step-fit every track (flexlibrary.py:3642-3713).
+
+        With ``batched=True`` (default) the Chung-Kennedy filter and the
+        sliding-t detector run as single jitted TPU calls over the full
+        (num_tracks, num_frames) photometry stack (ops/stepfit_batch.py);
+        results are identical to the per-trace host chain.
+        """
+        if batched and len(self.spot_traces) > 1:
+            return self._stepfit_tracks_batched(
+                photometry_min=photometry_min,
+                photometry_method=photometry_method,
+                mirror_start=mirror_start, chung_kennedy=chung_kennedy,
+                p_threshold=p_threshold, **kwargs)
         step_fits = {}
         step_fit_intermediates = {}
         for t, trace in enumerate(self.spot_traces):
@@ -1022,6 +1036,49 @@ class TimetraceExperiment(Experiment):
                 "ck_filtered_photometries": ck,
                 "plateaus": plateaus,
                 "t_filtered_plateaus": t_filtered,
+            }
+        self.step_fits = step_fits
+        for (h, w), intermediates in step_fit_intermediates.items():
+            self.step_fit_intermediates.setdefault((h, w), {})
+            try:
+                self.step_fit_intermediates[(h, w)].update(intermediates)
+            except Exception:
+                self.step_fit_intermediates[(h, w)] = intermediates
+        return self.step_fits, self.step_fit_intermediates
+
+    def _stepfit_tracks_batched(self, photometry_min=None,
+                                photometry_method="mexican_hat",
+                                mirror_start=0, chung_kennedy=0,
+                                p_threshold=0.01, **kwargs):
+        """Batched fast path of stepfit_tracks: one TPU dispatch for the
+        CK filter and one for the sliding-t detector across all tracks."""
+        from ..ops.stepfit_batch import stepfit_batched
+        from .traces import PhotometryTrace, PlateauTrace
+        hw = []
+        phot_rows = []
+        for trace in self.spot_traces:
+            h, w = trace.h, trace.w
+            if (h, w) in set(hw):
+                raise Exception("Two tracks have initial Spots with "
+                                "identical (h, w).")
+            hw.append((h, w))
+            phot_rows.append(trace.photometries(
+                photometry_min=photometry_min,
+                photometry_method=photometry_method, **kwargs))
+        results = stepfit_batched(np.asarray(phot_rows, dtype=np.float64),
+                                  mirror_start=mirror_start,
+                                  chung_kennedy=chung_kennedy,
+                                  p_threshold=p_threshold)
+        step_fits = {}
+        step_fit_intermediates = {}
+        for (h, w), (photometries, ck, plateaus, t_filtered) in zip(hw,
+                                                                    results):
+            step_fits[(h, w)] = PlateauTrace(t_filtered, h, w)
+            step_fit_intermediates[(h, w)] = {
+                "photometries": PhotometryTrace(photometries, h, w),
+                "ck_filtered_photometries": PhotometryTrace(ck, h, w),
+                "plateaus": PlateauTrace(plateaus, h, w),
+                "t_filtered_plateaus": PlateauTrace(t_filtered, h, w),
             }
         self.step_fits = step_fits
         for (h, w), intermediates in step_fit_intermediates.items():

@@ -1,0 +1,129 @@
+"""Batched stepfit fast path (ops/stepfit_batch.py) vs the exact host chain
+(stepfitting.py, port of the reference's stepfitting_library.py)."""
+
+import numpy as np
+
+from fluorosequencingimageanalysis_tpu import stepfitting as sf
+from fluorosequencingimageanalysis_tpu.ops.stepfit_batch import (
+    chung_kennedy_batch, sliding_t_masks, stepfit_batched)
+
+
+def _step_traces(rng, n=5, t=40, noise=800.0):
+    levels = np.where(np.arange(t) < 15, 60000.0,
+                      np.where(np.arange(t) < 28, 30000.0, 1000.0))
+    return levels[None] + rng.normal(0, noise, (n, t))
+
+
+def test_chung_kennedy_batch_matches_host():
+    rng = np.random.default_rng(0)
+    for t in (20, 40, 61):
+        traces = rng.normal(0, 1, (3, t)) + np.where(np.arange(t) < t // 2,
+                                                     10.0, 4.0)
+        ours = np.asarray(chung_kennedy_batch(traces,
+                                              window_lengths=(2, 4, 8, 16)))
+        for i in range(traces.shape[0]):
+            ref = sf.chung_kennedy_filter(list(traces[i]),
+                                          window_lengths=(2, 4, 8, 16))
+            np.testing.assert_allclose(ours[i], ref, atol=1e-9)
+
+
+def test_sliding_t_masks_match_host_welch():
+    rng = np.random.default_rng(1)
+    traces = _step_traces(rng, n=4, t=50, noise=300.0)
+    mask = np.asarray(sliding_t_masks(traces, window_radius=6,
+                                      p_threshold=0.01))
+    for i in range(traces.shape[0]):
+        seq = list(traces[i])
+        expected = []
+        for f in range(len(seq)):
+            t_stat, p = sf._welch_t(seq[f - 5:f], seq[f:f + 5])
+            expected.append(p < 0.01)
+        assert list(mask[i]) == expected
+
+
+def test_stepfit_batched_matches_trace_chain():
+    rng = np.random.default_rng(2)
+    phot = _step_traces(rng, n=4, t=40)
+    for mirror_start, ck_n in ((0, 0), (5, 1)):
+        batched = stepfit_batched(phot, mirror_start=mirror_start,
+                                  chung_kennedy=ck_n, p_threshold=0.01)
+        for i in range(phot.shape[0]):
+            photometries = tuple(phot[i].tolist())
+            mirrored = sf.mirror_photometries(photometries,
+                                              mirror_size=mirror_start)
+            ck = mirrored
+            for _ in range(ck_n):
+                ck = sf.chung_kennedy_filter(luminosities=mirrored,
+                                             window_lengths=(2, 4, 8, 16))
+            plateaus = sf.sliding_t_fitter(
+                luminosity_sequence=ck, window_radius=6, p_threshold=0.01,
+                median_filter_size=None, downsteps_only=False,
+                min_step_magnitude=None)
+            plateaus = sf.refit_plateaus(mirrored, plateaus)
+            t_filtered = sf.t_test_filter(
+                luminosities=mirrored, plateaus=plateaus, p_threshold=0.01,
+                drop_sort=True, no_merge_start=mirror_start)
+            un_plateaus = sf.unmirror_plateaus(plateaus,
+                                               mirror_size=mirror_start)
+            un_t = sf.unmirror_plateaus(t_filtered,
+                                        mirror_size=mirror_start)
+            b_phot, b_ck, b_pl, b_t = batched[i]
+            np.testing.assert_allclose(b_phot, photometries)
+            np.testing.assert_allclose(
+                b_ck, sf.unmirror_photometries(ck, mirror_size=mirror_start),
+                atol=1e-8)
+            assert [(a, b) for a, b, _ in b_pl] == \
+                [(a, b) for a, b, _ in un_plateaus]
+            assert [(a, b) for a, b, _ in b_t] == \
+                [(a, b) for a, b, _ in un_t]
+            np.testing.assert_allclose([h for _, _, h in b_t],
+                                       [h for _, _, h in un_t])
+
+
+def test_stepfit_tracks_batched_equals_sequential():
+    from fluorosequencingimageanalysis_tpu.pipeline.experiment import \
+        TimetraceExperiment
+    from fluorosequencingimageanalysis_tpu.pipeline.traces import SimpleTrace
+    from fluorosequencingimageanalysis_tpu.pipeline.spots import Spot, Image
+
+    rng = np.random.default_rng(3)
+    num_frames = 30
+    levels = np.where(np.arange(num_frames) < 12, 50000.0, 2000.0)
+    centers = [(10, 10), (20, 30), (40, 5)]
+    frames = []
+    for f in range(num_frames):
+        arr = rng.normal(100, 5, (64, 64))
+        for (h, w) in centers:
+            arr[h - 2:h + 3, w - 2:w + 3] += levels[f] / 25.0
+        frames.append(Image(image=arr.astype(np.float64)))
+
+    def make_trace(h, w):
+        spots = []
+        for f in range(num_frames):
+            spot = Spot(frames[f], h, w, 5)
+            frames[f].spots.append(spot)
+            spots.append(spot)
+        return SimpleTrace(spots)
+
+    exp = TimetraceExperiment.__new__(TimetraceExperiment)
+    exp.spot_traces = [make_trace(10, 10), make_trace(20, 30),
+                       make_trace(40, 5)]
+    exp.step_fits = {}
+    exp.step_fit_intermediates = {}
+    fits_b, inter_b = exp.stepfit_tracks(photometry_method="simple",
+                                         batched=True)
+    exp2 = TimetraceExperiment.__new__(TimetraceExperiment)
+    exp2.spot_traces = exp.spot_traces
+    exp2.step_fits = {}
+    exp2.step_fit_intermediates = {}
+    fits_s, inter_s = exp2.stepfit_tracks(photometry_method="simple",
+                                          batched=False)
+    assert set(fits_b) == set(fits_s)
+    for hw in fits_b:
+        assert [(a, b) for a, b, _ in fits_b[hw].trace] == \
+            [(a, b) for a, b, _ in fits_s[hw].trace]
+        np.testing.assert_allclose([h for _, _, h in fits_b[hw].trace],
+                                   [h for _, _, h in fits_s[hw].trace])
+        np.testing.assert_allclose(
+            inter_b[hw]["ck_filtered_photometries"].trace,
+            inter_s[hw]["ck_filtered_photometries"].trace, atol=1e-8)
