@@ -68,3 +68,31 @@ from fluorosequencingimageanalysis_tpu.inference.calibration import (  # noqa
 # missing ``randsiggen`` C slot (MCsimlib.py:1823-1830).
 from fluorosequencingimageanalysis_tpu.native import (  # noqa
     have_native, random_signal_batch, monte_carlo_trie_native)
+
+# Nested-pool helpers (MCsimlib.py:3475-3487). Retained for API parity;
+# the TPU build's parallelism is sharded array programs, not process pools.
+import multiprocessing
+import multiprocessing.pool
+
+
+class NoDaemonProcess(multiprocessing.Process):
+    """Process whose daemon flag is pinned False so it may spawn children
+    (MCsimlib.py:3475-3482)."""
+
+    @property
+    def daemon(self):
+        return False
+
+    @daemon.setter
+    def daemon(self, value):
+        pass
+
+
+class MyPool(multiprocessing.pool.Pool):
+    """Pool of NoDaemonProcesses, allowing nested pools
+    (MCsimlib.py:3484-3487)."""
+
+    @staticmethod
+    def Process(ctx, *args, **kwds):
+        proc = NoDaemonProcess(*args, **kwds)
+        return proc

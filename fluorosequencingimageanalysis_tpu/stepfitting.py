@@ -619,3 +619,32 @@ def unmirror_plateaus(plateaus, mirror_size):
         else:
             out.append((a, o, h))
     return out
+
+
+def _triplewise(iterable):
+    """s -> (s0,s1,s2), (s1,s2,s3), ... (stepfitting_library.py:570-592)."""
+    a, b, c = itertools.tee(iterable, 3)
+    next(b, None)
+    next(c, None)
+    next(c, None)
+    return zip(a, b, c)
+
+
+def mean_filter(luminosities, rank):
+    """Deprecated in the reference (stepfitting_library.py:532-543)."""
+    raise DeprecationWarning("This function was made, but not used. I'm not "
+                             "sure it handles edges the way I want it to "
+                             "right now.")
+
+
+def remove_blips(luminosities, plateaus, smoothing_stddev=0.8):
+    """Deprecated in the reference (stepfitting_library.py:1276-1279)."""
+    raise DeprecationWarning("This function was made quickly, and has some "
+                             "fundamental logical errors. Use at own risk.")
+
+
+def best_t_test_split(luminosities, plateau_a, plateau_b, p_threshold,
+                      split_range=None, find_best_p=True):
+    """Deprecated in the reference (stepfitting_library.py:1666-1677)."""
+    raise DeprecationWarning("This was used as a function for some algorithm "
+                             "we were trying. Not really needed right now.")

@@ -79,3 +79,53 @@ __all__ = [
     "save_psfs_png", "read_image", "_histogram_equalization",
     "_intensity_scaling", "image_batch", "parallel_image_batch",
 ]
+
+
+def _2d_gaussian_function(H, A, h_0, w_0, sigma_h, sigma_w, theta, h, w):
+    """The Monte-Carlo fitter's model (pflib.py:93-116). Parity note: the
+    reference's body ignores theta and sigma_w — it is circular with
+    sigma_h only — reproduced exactly."""
+    a = (h - h_0) ** 2
+    b = (w - w_0) ** 2
+    return A * np.exp(-np.divide(a + b, 2 * sigma_h ** 2)) + H
+
+
+def _fit_2d_gaussian_monte_carlo(subimage, N_iter=10 ** 3):
+    """Random-search circular Gaussian fit of a max-normalized 5x5 patch
+    (pflib.py:117-177): draw (H, A, h_0, w_0, sigma_h, sigma_w, theta) from
+    the reference's proposal distributions, keep the lowest-RMS candidate.
+    Returns (h_0, w_0, H, A, sigma_h, sigma_w, theta, fit_image).
+
+    The batched TPU version over many patches is
+    models.detect._detect_and_fit_monte_carlo.
+    """
+    subimage = np.asarray(subimage, dtype=np.float64)
+    assert subimage.shape[0] == 5 and subimage.shape[1] == 5
+    y = np.array([np.arange(5) for _ in np.arange(5)])
+    x = y.T
+    (idx, idy) = np.where(np.max(subimage) == subimage)
+    h0mean, w0mean = idx[0], idy[0]
+    h0std = w0std = 0.3
+    sigmah_mean, sigmah_std = 1.2, 0.3
+    sigmaw_mean, sigmaw_std = 1.0, 0.3
+    best = None
+    rms_current = 10 ** 7 * 25 * np.max(subimage)
+    for _ in range(N_iter):
+        H = np.abs(np.random.normal(0.0, 0.1))
+        A = np.abs(np.random.normal(1.0, 0.2))
+        h_0 = np.clip(np.random.normal(h0mean, h0std), 0.01, 4.99)
+        w_0 = np.clip(np.random.normal(w0mean, w0std), 0.01, 4.99)
+        sigmah = np.abs(np.random.normal(sigmah_mean, sigmah_std))
+        sigmaw = np.abs(np.random.normal(sigmaw_mean, sigmaw_std))
+        theta = np.clip(0 * np.random.exponential(), 0, 2 * np.pi)
+        gauss = _2d_gaussian_function(H, A, h_0, w_0, sigmah, sigmaw, theta,
+                                      x, y)
+        gauss = gauss / np.max(gauss)
+        rms = np.sqrt(np.sum((subimage - gauss) ** 2))
+        if rms < rms_current:
+            rms_current = rms
+            best = (h_0, w_0, H, A, sigmah, sigmaw, theta, gauss)
+    return best
+
+
+__all__ += ["_2d_gaussian_function", "_fit_2d_gaussian_monte_carlo"]
