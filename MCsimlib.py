@@ -87,6 +87,14 @@ class NoDaemonProcess(multiprocessing.Process):
     def daemon(self, value):
         pass
 
+    # Py2-style accessor aliases (the reference defines the property via
+    # _get_daemon/_set_daemon, MCsimlib.py:3476-3482).
+    def _get_daemon(self):
+        return False
+
+    def _set_daemon(self, value):
+        pass
+
 
 class MyPool(multiprocessing.pool.Pool):
     """Pool of NoDaemonProcesses, allowing nested pools

@@ -485,6 +485,52 @@ class MultifieldSequenceExperiment(Experiment):
                                  "MultifieldMultichannelSequenceExperiment "
                                  "instead.")
 
+    # Per-field aggregation methods (flexlibrary.py:2405-2470). Unreachable
+    # in practice — __init__ raises — kept for API parity.
+
+    def trace_existing_spots(self):
+        for ex in self.experimental_fields:
+            ex.trace_existing_spots()
+
+    def plot_traces(self, timestamp_epoch=None, trace_directory=None):
+        for e, ex in enumerate(self.experimental_fields):
+            ex.plot_traces(timestamp_epoch=timestamp_epoch,
+                           trace_directory=trace_directory, prefix=str(e))
+
+    def binary_trace_categories(self):
+        merged = {}
+        for ex in self.experimental_fields:
+            for k, v in ex.binary_trace_categories().items():
+                merged.setdefault(k, [])
+                merged[k] += v
+        return merged
+
+    def count_binary_trace_categories(self):
+        merged = self.binary_trace_categories()
+        return {k: len(v) for k, v in merged.items()}, merged
+
+    def filtered_binary_trace_category_counts(self):
+        counts, merged = self.count_binary_trace_categories()
+        return {bt: count for bt, count in counts.items()
+                if tuple(sorted(bt, reverse=True)) == bt and bt[1]}
+
+    def plot_filtered_binary_trace_counts(self, output_filepath):
+        raise DeprecationWarning("Deprecating for now in favor of outputting "
+                                 "CSV files. Assume this function is no "
+                                 "longer maintained.")
+
+    def count_discarded_spots(self):
+        return sum(ex.num_discarded_spots for ex in self.experimental_fields)
+
+    def spot_count(self):
+        return sum(ex.spot_count() for ex in self.experimental_fields)
+
+    def trace_count(self):
+        return sum(len(ex.spot_traces) for ex in self.experimental_fields)
+
+    def singleton_count(self):
+        return sum(ex.singleton_count() for ex in self.experimental_fields)
+
 
 class MultichannelSequenceExperiment(SequenceExperiment):
     """Dict-of-channels wrapper (flexlibrary.py:2471-2629)."""
@@ -539,6 +585,13 @@ class MultichannelSequenceExperiment(SequenceExperiment):
         return {c: {bt: count for bt, count in chan.items()
                     if tuple(sorted(bt, reverse=True)) == bt and bt[1]}
                 for c, chan in counts.items()}
+
+    def plot_filtered_binary_trace_counts(self, output_directory,
+                                          output_prefix=""):
+        """Deprecated in the reference (flexlibrary.py:2561-2565)."""
+        raise DeprecationWarning("Deprecating for now in favor of outputting "
+                                 "CSV files. Assume this function is no "
+                                 "longer maintained.")
 
     def count_discarded_spots(self):
         return {c: chan.num_discarded_spots
@@ -652,6 +705,11 @@ class MultifieldMultichannelSequenceExperiment(Experiment):
                     merged[c][e].setdefault(k, [])
                     merged[c][e][k] += v
         return merged
+
+    def all_raw_photometries(self, method="mexican_hat", interpolate=False):
+        """Unimplemented stub in the reference (flexlibrary.py:2750-2753:
+        the body is ``pass``) — kept for API parity."""
+        pass
 
     def track_photometries_as_csv(self, filepath, dialect="excel",
                                   photometry_method="mexican_hat",

@@ -151,6 +151,20 @@ class Spot:
         return float((sl.max() - edge.mean()) / edge.std())
 
 
+class CircularAperture:
+    """Minimal photutils.CircularAperture stand-in: (w, h) positions plus
+    radius, enough for the Image.photometry_apertures cache contract
+    (flexlibrary.py:477-486)."""
+
+    def __init__(self, positions, r):
+        self.positions = np.asarray(positions, dtype=float)
+        self.r = float(r)
+
+    def __repr__(self):
+        return f"CircularAperture(positions={self.positions.tolist()}, " \
+               f"r={self.r})"
+
+
 class Image:
     """A fluorosequencing image, its metadata, and its Spots.
 
@@ -262,6 +276,25 @@ class Image:
                 raise ValueError(method)
             values[id(s)] = float(v)
         return values
+
+    def get_photometry_aperture(self, spot, radius=3):
+        """Cached per-spot circular aperture (flexlibrary.py:472-496).
+
+        The reference caches photutils.CircularAperture objects; photutils
+        is not a dependency here, so a lightweight stand-in with the same
+        (positions, r) attributes is cached under the same
+        ``photometry_apertures[radius]`` contract.
+        """
+        if radius not in self.photometry_apertures or \
+                len(self.photometry_apertures[radius]) != len(self.spots):
+            # In photutils the coordinates are swapped: (w, h).
+            self.photometry_apertures[radius] = [
+                CircularAperture([s.w, s.h], r=radius) for s in self.spots]
+        for i, s in enumerate(self.spots):
+            if spot is s:
+                return self.photometry_apertures[radius][i]
+        raise Exception("argument spot not in self.spots; locals() = " +
+                        str(locals()))
 
     # -- background estimation (sextractor metric support) -----------------
 

@@ -332,6 +332,13 @@ class PolyfluorSignalTrie:
                     subsignal[1:])
             return None
 
+    def isoerr_get_descendant(self, subsignal):
+        """Unfinished stub in the reference (MCsimlib.py:2274-2277): strips
+        error annotations then falls through returning None — kept as-is."""
+        if len(subsignal) == 0:
+            return
+        subsignal = [s[:2] for s in subsignal]
+
     def graft(self, signal, signal_count):
         if self._is_root():
             self.descendants.setdefault(signal[0],

@@ -243,3 +243,50 @@ def test_deprecated_stepfitting_stubs():
     with _pytest.raises(DeprecationWarning):
         sfl.best_t_test_split([1, 2, 3], (0, 1, 1.0), (2, 2, 2.0), 0.01)
     assert list(sfl._triplewise([5, 7, 11, 4])) == [(5, 7, 11), (7, 11, 4)]
+
+
+def test_reference_class_methods_complete():
+    """Every method of every class in the reference's main modules exists
+    on the corresponding shim class."""
+    import re
+    import importlib
+
+    def class_methods(path):
+        src = open(path).read().replace("\t", "        ")
+        classes = {}
+        cur = None
+        for line in src.split("\n"):
+            m = re.match(r"^class\s+([A-Za-z_][A-Za-z0-9_]*)", line)
+            if m:
+                cur = m.group(1)
+                classes[cur] = set()
+                continue
+            m = re.match(r"^\s{4}def\s+([A-Za-z_][A-Za-z0-9_]*)", line)
+            if m and cur:
+                classes[cur].add(m.group(1))
+            elif re.match(r"^def\s", line):
+                cur = None
+        return classes
+
+    for mod_name, ref_path in [
+            ("flexlibrary", "/root/reference/flexlibrary.py"),
+            ("MCsimlib", "/root/reference/MCsimlib.py"),
+            ("peptide_simulator", "/root/reference/peptide_simulator.py")]:
+        mod = importlib.import_module(mod_name)
+        for cls_name, methods in class_methods(ref_path).items():
+            cls = getattr(mod, cls_name, None)
+            assert cls is not None, f"{mod_name}.{cls_name} missing"
+            missing = sorted(m for m in methods if not hasattr(cls, m))
+            assert not missing, f"{mod_name}.{cls_name} missing {missing}"
+
+
+def test_photometry_aperture_cache():
+    import flexlibrary
+    img = flexlibrary.Image(image=np.zeros((32, 32)))
+    s1 = flexlibrary.Spot(img, 10, 12, 5)
+    s2 = flexlibrary.Spot(img, 20, 8, 5)
+    img.spots.extend([s1, s2])
+    ap = img.get_photometry_aperture(s2, radius=3)
+    assert ap.r == 3.0
+    assert list(ap.positions) == [8, 20]  # photutils swaps to (w, h)
+    assert len(img.photometry_apertures[3]) == 2
