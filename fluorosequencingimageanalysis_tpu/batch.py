@@ -72,6 +72,9 @@ def save_psfs_csv(psfs, image_path=None, timestamp_epoch=None,
     return output_path
 
 
+from .utils.profiling import stage as _stage
+
+
 def image_batch(image_paths, find_peptides_parameters=None,
                 timestamp_epoch=None):
     """Find + persist PSFs for a set of images (pflib.py:883-997).
@@ -89,14 +92,16 @@ def image_batch(image_paths, find_peptides_parameters=None,
     for image_path in image_paths:
         output_tuple = [None, None, None, None]
         try:
-            converted_path, image = read_image(image_path)
+            with _stage("io/read_image"):
+                converted_path, image = read_image(image_path)
         except Exception:
             logger.exception("image_batch: read_image failed for %s",
                              image_path)
             continue
         output_tuple[0] = converted_path
         try:
-            psfs = find_peptides(image, **find_peptides_parameters)
+            with _stage("detect/find_peptides"):
+                psfs = find_peptides(image, **find_peptides_parameters)
         except Exception:
             logger.exception("image_batch: find_peptides failed for %s",
                              image_path)

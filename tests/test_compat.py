@@ -290,3 +290,34 @@ def test_photometry_aperture_cache():
     assert ap.r == 3.0
     assert list(ap.positions) == [8, 20]  # photutils swaps to (w, h)
     assert len(img.photometry_apertures[3]) == 2
+
+
+def test_profiling_stage_timers():
+    from fluorosequencingimageanalysis_tpu.utils import profiling
+    profiling.reset_timings()
+    with profiling.stage("unit-test-stage"):
+        sum(range(1000))
+    with profiling.stage("unit-test-stage"):
+        sum(range(1000))
+    t = profiling.timings()["unit-test-stage"]
+    assert t["count"] == 2 and t["total"] > 0 and t["mean"] > 0
+    assert "unit-test-stage" in profiling.report()
+    import jax.numpy as jnp
+    best, out = profiling.device_time(lambda x: x * 2, jnp.ones(8),
+                                      warmup=1, iters=2)
+    assert best > 0 and float(out[0]) == 2.0
+
+
+def test_pipeline_config():
+    from fluorosequencingimageanalysis_tpu.config import (
+        DetectConfig, PipelineConfig, StepfitConfig)
+    cfg = DetectConfig.from_cli("{'c_std': 3, 'r_2_threshold': 0.5}")
+    assert cfg.c_std == 3 and cfg.r_2_threshold == 0.5
+    assert cfg.median_filter_size == 5  # untouched default
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        DetectConfig.from_cli("{'not_a_key': 1}")
+    full = PipelineConfig(stepfit=StepfitConfig(chung_kennedy=2))
+    d = full.asdict()
+    assert d["stepfit"]["chung_kennedy"] == 2
+    assert d["detect"]["c_std"] == 2.0
