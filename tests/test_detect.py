@@ -135,3 +135,23 @@ def test_monte_carlo_fit_path_runs():
         assert 0 <= v[10] <= 1.0 or v[10] < 0  # r_2 well-formed
         # Normalized sub_img in [0, 1] (reference normalizes in place).
         assert v[7].min() >= 0 and v[7].max() <= 1.0
+
+
+def test_consolidate_fixpoint_equals_scan():
+    """The parallel fixpoint NMS must match the sequential greedy scan
+    exactly, including r2 ties and dense rival chains."""
+    import jax.numpy as jnp
+    from fluorosequencingimageanalysis_tpu.ops.consolidate import (
+        consolidate, _consolidate_scan)
+    rng = np.random.default_rng(42)
+    for trial in range(8):
+        n = 256
+        span = 40 if trial % 2 == 0 else 500  # dense chains vs sparse
+        ch = jnp.asarray(rng.uniform(0, span, n))
+        cw = jnp.asarray(rng.uniform(0, span, n))
+        r2 = jnp.asarray(np.round(rng.uniform(0, 1, n), 2))  # force ties
+        valid = jnp.asarray(rng.uniform(0, 1, n) < 0.6)
+        a = np.asarray(consolidate(ch, cw, r2, valid))
+        b = np.asarray(_consolidate_scan(ch, cw, r2, valid))
+        assert (a == b).all(), f"trial {trial}"
+        assert not a[~np.asarray(valid)].any()
