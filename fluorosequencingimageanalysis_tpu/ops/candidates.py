@@ -112,6 +112,60 @@ def _threshold_and_extract(image_cm, max_candidates, c_std):
     return hs, ws, valid, count
 
 
+def _threshold_and_extract_batch(cms, max_candidates, c_std, block_m=16):
+    """Batched extraction with an exact hierarchical top-k.
+
+    A flat ``lax.top_k`` over H*W pixels is a full sort and dominates the
+    candidate stage. Above-threshold pixels are sparse (mean + c_std*sigma
+    threshold), so instead: take the top ``block_m`` of every 128-pixel
+    lane block, then top-k over the merged (8x smaller) set. When every
+    block holds <= block_m above-threshold pixels the per-block top is the
+    complete above-threshold set, so the merge is EXACT; a lax.cond falls
+    back to the flat top_k in the (rare) overflowing case. Tie ordering at
+    exactly equal scores can differ from the flat sort — candidate order
+    is semantically irrelevant downstream (the fit/NMS rank by R^2).
+    """
+    B, h, w = cms.shape
+    mean = jnp.mean(cms, axis=(1, 2), keepdims=True)
+    std = jnp.std(cms, axis=(1, 2), keepdims=True)
+    hh = jnp.arange(h)[:, None]
+    ww = jnp.arange(w)[None, :]
+    interior = ((hh >= 2) & (hh < h - 2) & (ww >= 2) & (ww < w - 2))
+    mask = (cms >= mean + c_std * std) & interior
+    flat = jnp.where(mask, cms, -jnp.inf).reshape(B, -1)
+    count = jnp.sum(mask.reshape(B, -1).astype(jnp.int32), axis=1)
+    n = flat.shape[1]
+    pad = (-n) % 128
+    flat_p = jnp.pad(flat, ((0, 0), (0, pad)),
+                     constant_values=-jnp.inf) if pad else flat
+    blocks = flat_p.reshape(B, -1, 128)
+    nb = blocks.shape[1]
+
+    if max_candidates > nb * block_m or n <= nb * block_m:
+        top_scores, top_idx = lax.top_k(flat, max_candidates)
+    else:
+        blk_counts = jnp.sum(blocks > -jnp.inf, axis=2)
+        cheap_is_exact = jnp.max(blk_counts) <= block_m
+
+        def cheap(_):
+            bs, bi = lax.top_k(blocks, block_m)
+            base = (jnp.arange(nb, dtype=bi.dtype) * 128)[None, :, None]
+            merged_idx = (bi + base).reshape(B, -1)
+            ts, ti = lax.top_k(bs.reshape(B, -1), max_candidates)
+            return ts, jnp.take_along_axis(merged_idx, ti, axis=1)
+
+        def full(_):
+            ts, ti = lax.top_k(flat, max_candidates)
+            return ts, ti
+
+        top_scores, top_idx = lax.cond(cheap_is_exact, cheap, full, None)
+
+    valid = top_scores > -jnp.inf
+    hs = jnp.where(valid, top_idx // w, 2).astype(jnp.int32)
+    ws = jnp.where(valid, top_idx % w, 2).astype(jnp.int32)
+    return hs, ws, valid, count
+
+
 @functools.partial(jax.jit, static_argnames=(
     "median_filter_size", "correlation_matrix", "c_std", "max_candidates",
     "use_pallas"))
@@ -139,10 +193,8 @@ def find_candidates_batch(images, median_filter_size=5,
             return jnp.maximum(correlate_2d_same(image_mf, kernel), 0.0)
 
         cms = jax.vmap(one_cm)(images)
-    return jax.vmap(
-        functools.partial(_threshold_and_extract,
-                          max_candidates=max_candidates,
-                          c_std=float(c_std)))(cms)
+    return _threshold_and_extract_batch(cms, max_candidates=max_candidates,
+                                        c_std=float(c_std))
 
 
 @functools.partial(jax.jit, static_argnames=(

@@ -155,3 +155,38 @@ def test_consolidate_fixpoint_equals_scan():
         b = np.asarray(_consolidate_scan(ch, cw, r2, valid))
         assert (a == b).all(), f"trial {trial}"
         assert not a[~np.asarray(valid)].any()
+
+
+def test_hierarchical_extraction_equals_flat():
+    """The two-stage blocked top-k extraction must select the same
+    candidate set as the flat top_k, including the overflow fallback."""
+    import jax.numpy as jnp
+    from fluorosequencingimageanalysis_tpu.ops.candidates import (
+        _threshold_and_extract, _threshold_and_extract_batch)
+    rng = np.random.default_rng(7)
+    # heavy-tailed maps -> sparse above-threshold pixels (cheap exact path)
+    cms = jnp.asarray(np.abs(rng.normal(0, 1, (3, 128, 128)) ** 3))
+    hs_b, ws_b, val_b, cnt_b = _threshold_and_extract_batch(cms, 256, 2.0)
+    for i in range(cms.shape[0]):
+        hs, ws, val, cnt = _threshold_and_extract(cms[i], 256, 2.0)
+        assert int(cnt) == int(cnt_b[i])
+        flat_set = set(zip(np.asarray(hs)[np.asarray(val)].tolist(),
+                           np.asarray(ws)[np.asarray(val)].tolist()))
+        blk_set = set(zip(np.asarray(hs_b[i])[np.asarray(val_b[i])].tolist(),
+                          np.asarray(ws_b[i])[np.asarray(val_b[i])].tolist()))
+        assert flat_set == blk_set
+
+    # dense maps: many blocks exceed block_m -> cond falls back to the
+    # flat sort, still exact
+    dense = jnp.asarray(rng.uniform(0.9, 1.0, (2, 64, 64)) +
+                        np.where(rng.uniform(0, 1, (2, 64, 64)) < 0.5,
+                                 10.0, 0.0))
+    hs_b, ws_b, val_b, cnt_b = _threshold_and_extract_batch(dense, 512, 0.0)
+    for i in range(2):
+        hs, ws, val, cnt = _threshold_and_extract(dense[i], 512, 0.0)
+        assert int(cnt) == int(cnt_b[i])
+        flat_set = set(zip(np.asarray(hs)[np.asarray(val)].tolist(),
+                           np.asarray(ws)[np.asarray(val)].tolist()))
+        blk_set = set(zip(np.asarray(hs_b[i])[np.asarray(val_b[i])].tolist(),
+                          np.asarray(ws_b[i])[np.asarray(val_b[i])].tolist()))
+        assert flat_set == blk_set
