@@ -217,7 +217,7 @@ def fit_gaussians_batched(patches, p0=None, lo=None, hi=None, num_iters=60,
         r = m - data
         return jnp.sum(r * r, axis=0)
 
-    def body(_, state):
+    def body(_it, state):
         p, lam, cost = state
         m, J = _model_and_jac(p, hg, wg, want_jac=True)
         r = m - data
@@ -259,6 +259,10 @@ def fit_gaussians_batched(patches, p0=None, lo=None, hi=None, num_iters=60,
                         jnp.minimum(lam * lam_up, 1e12))
         return p, lam, cost
 
+    # Fixed-trip fori_loop, not an early-exit while_loop: lockstep batches
+    # essentially never have EVERY fit converge early (noise patches wander
+    # at their bounds), so a convergence test only adds a cross-lane
+    # reduction per iteration — measured as a net loss on TPU.
     lam_init = jnp.full((n,), lam0, dt)
     state0 = (p, lam_init, cost_of(p))
     p, _, cost = lax.fori_loop(0, num_iters, body, state0)
