@@ -321,3 +321,70 @@ def test_pipeline_config():
     d = full.asdict()
     assert d["stepfit"]["chung_kennedy"] == 2
     assert d["detect"]["c_std"] == 2.0
+
+
+def test_mpfit_class_contract():
+    from mpfit import mpfit
+
+    x = np.linspace(0, 10, 50)
+    truth = (2.5, -1.3, 0.7)
+    rng = np.random.default_rng(0)
+    y = truth[0] + truth[1] * x + truth[2] * x ** 2 + rng.normal(0, 0.05, 50)
+
+    def fcn(p, fjac=None, x=None, y=None, err=None):
+        model = p[0] + p[1] * x + p[2] * x ** 2
+        return [0, (y - model) / err]
+
+    functkw = {"x": x, "y": y, "err": np.full(50, 0.05)}
+    m = mpfit(fcn, [1.0, 1.0, 1.0], functkw=functkw)
+    assert m.status > 0, m.errmsg
+    np.testing.assert_allclose(m.params, truth, atol=0.1)
+    assert m.perror is not None and np.all(m.perror > 0)
+    assert m.fnorm > 0 and m.dof == 47 and m.nfev > 0
+
+    # fixed parameter stays put
+    parinfo = [{"value": 2.0, "fixed": 1},
+               {"value": 0.0, "fixed": 0, "limited": [0, 0],
+                "limits": [0.0, 0.0]},
+               {"value": 1.0, "fixed": 0}]
+    m2 = mpfit(fcn, parinfo=parinfo, functkw=functkw)
+    assert m2.params[0] == 2.0
+    assert m2.perror[0] == 0.0
+
+    # bounds respected
+    parinfo = [{"value": 1.0, "limited": [1, 1], "limits": [0.0, 1.5]},
+               {"value": 1.0}, {"value": 1.0}]
+    m3 = mpfit(fcn, parinfo=parinfo, functkw=functkw)
+    assert 0.0 <= m3.params[0] <= 1.5
+
+    # tied parameter follows its expression
+    def fcn2(p, fjac=None, x=None, y=None, err=None):
+        model = p[0] + p[1] * x + p[2] * x ** 2
+        return [0, (y2 - model) / err]
+
+    y2 = 1.0 + 2.0 * x + 1.0 * x ** 2
+    parinfo = [{"value": 1.0}, {"value": 1.0, "tied": "2 * p[2]"},
+               {"value": 1.0}]
+    m4 = mpfit(fcn2, parinfo=parinfo, functkw=functkw)
+    np.testing.assert_allclose(m4.params[1], 2 * m4.params[2], rtol=1e-8)
+
+    # out-of-bounds start is an error, like the reference (mpfit.py:1003)
+    parinfo = [{"value": 5.0, "limited": [1, 1], "limits": [0.0, 1.0]},
+               {"value": 1.0}, {"value": 1.0}]
+    m5 = mpfit(fcn, parinfo=parinfo, functkw=functkw)
+    assert m5.status == 0 and "limits" in m5.errmsg
+
+
+def test_mpfitexpr():
+    from mpfitexpr import mpfitexpr
+    rng = np.random.default_rng(1)
+    x = np.linspace(0, 5, 40)
+    y = 3.0 + 0.5 * (x - 1.0) + rng.normal(0, 0.01, 40)
+    params, yfit = mpfitexpr("p[0]+p[2]*(x-p[1])", x, y, np.full(40, 0.01),
+                             [1.0, 0.0, 1.0])
+    model = params[0] + params[2] * (x - params[1])
+    np.testing.assert_allclose(yfit, model)
+    np.testing.assert_allclose(model, y, atol=0.1)
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        mpfitexpr("no params here", x, y, np.full(40, 0.01), [1.0])
