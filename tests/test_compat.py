@@ -388,3 +388,39 @@ def test_mpfitexpr():
     import pytest as _pytest
     with _pytest.raises(Exception):
         mpfitexpr("no params here", x, y, np.full(40, 0.01), [1.0])
+
+
+def test_psffit_airy():
+    import psf_fitter
+    yy, xx = np.indices((21, 21))
+    truth = psf_fitter.airy([5.0, 100.0, 10.3, 9.7, 2.0], circle=True,
+                            rotate=False, vheight=True, shape=(21, 21))
+    rng = np.random.default_rng(2)
+    data = truth + rng.normal(0, 0.5, truth.shape)
+    p = psf_fitter.psffit(data, params=[0.0, 80.0, 10.0, 10.0, 1.5],
+                          circle=True, rotate=0, vheight=1,
+                          limitedmin=[False, False, False, False, True],
+                          limitedmax=[False] * 5,
+                          minpars=[0, 0, 0, 0, 0.1], maxpars=[0] * 5)
+    assert abs(p[1] - 100.0) < 5
+    assert abs(p[2] - 10.3) < 0.2 and abs(p[3] - 9.7) < 0.2
+    assert abs(p[4] - 2.0) < 0.2
+    (p2, fitimg) = psf_fitter.psffit(data,
+                                     params=[0.0, 80.0, 10.0, 10.0, 1.5],
+                                     circle=True, rotate=0, vheight=1,
+                                     limitedmin=[False, False, False, False,
+                                                 True],
+                                     limitedmax=[False] * 5,
+                                     minpars=[0, 0, 0, 0, 0.1],
+                                     maxpars=[0] * 5, returnfitimage=True)
+    assert fitimg.shape == data.shape
+
+
+def test_cross_correlation_fit_lag():
+    import cross_correlation as cc
+    x = np.linspace(-1, 1, 200)
+    base = np.exp(-x ** 2 / (2 * 0.1 ** 2))
+    lag_true = 7.3
+    shifted = np.real(cc.shift(base, lag_true))
+    res = cc.fit_lag(shifted, base)
+    assert abs(res.params["lag"].value - lag_true) < 0.2
