@@ -10,6 +10,7 @@ The photometries dict convention (the compatibility surface):
 from __future__ import annotations
 
 import csv
+import math
 import itertools
 
 import numpy as np
@@ -21,14 +22,35 @@ def _pairwise(iterable):
     return zip(a, b)
 
 
+def _py2_round(x):
+    """Python-2 round: half away from zero (the reference is Py2)."""
+    return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
+
+
 def read_track_photometries_csv(path, downstep_filtered=False, head_truncate=0,
                                 tail_truncate=0, omit_header=True,
-                                channels=None):
+                                channels=None, use_native=True):
     """Parse a track_photometries CSV (MCsimlib.py:2534-2575).
 
     Returns (d, d2): d is the photometries dict; d2 maps CSV row index to
     the parsed row tuple.
+
+    With ``use_native`` (default) the tokenizing/number-parsing pass runs
+    in the C++ parser (native/trackcsv.cpp) and only the dict assembly
+    stays in Python; identical output, with automatic fallback to the pure-
+    Python reader for ragged files or a missing toolchain.
     """
+    if use_native:
+        try:
+            from ..native.trackcsv import parse_track_csv_native
+            out = parse_track_csv_native(
+                path, downstep_filtered=downstep_filtered,
+                head_truncate=head_truncate, tail_truncate=tail_truncate,
+                omit_header=omit_header, channels=channels)
+            if out is not None:
+                return out
+        except Exception:
+            pass
     with open(path) as f:
         reader = csv.reader(f)
         d = {}
@@ -42,8 +64,11 @@ def read_track_photometries_csv(path, downstep_filtered=False, head_truncate=0,
                 continue
             if h == "None" or w == "None":
                 continue
-            field, h, w = (int(round(float(field))), int(round(float(h))),
-                           int(round(float(w))))
+            # Py2 int(round(x)) rounds half AWAY from zero; Python 3's
+            # banker's rounding would disagree on *.5 values
+            # (MCsimlib.py:2550-2552).
+            field, h, w = (_py2_round(float(field)), _py2_round(float(h)),
+                           _py2_round(float(w)))
             category = category[1:-1]
             category = category.split(" ")
             parsed_cat = tuple(c in ("True,", "True") for c in category)
@@ -56,7 +81,7 @@ def read_track_photometries_csv(path, downstep_filtered=False, head_truncate=0,
                 if not (tuple(sorted(parsed_cat, reverse=True)) == parsed_cat
                         and parsed_cat[0]):
                     continue
-            parsed_frames = [int(round(float(x))) for x in frames]
+            parsed_frames = [_py2_round(float(x)) for x in frames]
             if tail_truncate > 0:
                 parsed_frames = parsed_frames[head_truncate:-tail_truncate]
             else:

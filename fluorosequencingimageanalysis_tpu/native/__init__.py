@@ -9,3 +9,5 @@ the resulting ``.so`` is cached next to the source.
 
 from .randsiggen import (  # noqa: F401
     have_native, random_signal_batch, monte_carlo_trie_native)
+from .trackcsv import (  # noqa: F401
+    parse_track_csv_native, read_track_photometries_arrays)

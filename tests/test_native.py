@@ -102,3 +102,74 @@ def test_native_throughput_exceeds_python():
         random_signal(PEPTIDE, p=0.9, b=0.05, u=0.1, windows=WINDOWS)
     t_py_per = (time.perf_counter() - t0) / 500
     assert t_nat / n < t_py_per, "native sampler slower than Python"
+
+
+def _write_track_csv(path, n_rows=200, n_frames=8, seed=0):
+    import csv
+    import random as _random
+    rng = _random.Random(seed)
+    with open(path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["CHANNEL", "FIELD", "H", "W", "CATEGORY"] +
+                   [f"FRAME {i}" for i in range(n_frames)])
+        for i in range(n_rows):
+            cat = tuple(rng.random() < 0.5 for _ in range(n_frames))
+            # .5-valued intensities exercise the Py2 rounding semantics
+            w.writerow([f"ch{i % 3}", i % 5, (i * 13) % 512, (i * 29) % 512,
+                        "(" + ", ".join(str(c) for c in cat) + ")"] +
+                       [round(rng.uniform(0, 60000), 1)
+                        for _ in range(n_frames)])
+        w.writerow(["ch0", 1, "None", "None",
+                    "(" + ", ".join(["True"] * n_frames) + ")"] +
+                   [0] * n_frames)
+
+
+def test_trackcsv_native_equals_python(tmp_path):
+    from fluorosequencingimageanalysis_tpu.native import trackcsv as tc
+    from fluorosequencingimageanalysis_tpu.inference.photometries import (
+        read_track_photometries_csv)
+    if not tc.have_native():
+        pytest.skip("native trackcsv did not build")
+    path = str(tmp_path / "tracks.csv")
+    _write_track_csv(path)
+    for kwargs in ({}, {"head_truncate": 2}, {"tail_truncate": 3},
+                   {"downstep_filtered": True}, {"channels": ["ch1"]}):
+        dn, dn2 = read_track_photometries_csv(path, use_native=True,
+                                              **kwargs)
+        dp, dp2 = read_track_photometries_csv(path, use_native=False,
+                                              **kwargs)
+        assert dn == dp, kwargs
+        assert dn2 == dp2, kwargs
+
+
+def test_trackcsv_arrays_api(tmp_path):
+    from fluorosequencingimageanalysis_tpu.native.trackcsv import (
+        read_track_photometries_arrays)
+    from fluorosequencingimageanalysis_tpu.inference.photometries import (
+        read_track_photometries_csv)
+    path = str(tmp_path / "tracks.csv")
+    _write_track_csv(path, n_rows=50, n_frames=6)
+    arrs = read_track_photometries_arrays(path)
+    if arrs is None:
+        pytest.skip("native trackcsv did not build")
+    d, d2 = read_track_photometries_csv(path, use_native=False)
+    assert arrs["intensities"].shape == (50, 6)
+    assert arrs["categories"].dtype == bool
+    for i in range(50):
+        r = int(arrs["rows"][i])
+        channel, field, h, w, cat, frames = d2[r]
+        assert channel == arrs["channels"][i]
+        assert (field, h, w) == (int(arrs["fields"][i]),
+                                 int(arrs["hs"][i]), int(arrs["ws"][i]))
+        assert cat == tuple(arrs["categories"][i].tolist())
+        assert frames == tuple(arrs["intensities"][i].tolist())
+
+
+def test_py2_round_semantics():
+    from fluorosequencingimageanalysis_tpu.inference.photometries import (
+        _py2_round)
+    # Python 2 round: half away from zero (the reference interpreter).
+    assert _py2_round(2.5) == 3
+    assert _py2_round(3.5) == 4
+    assert _py2_round(-2.5) == -3
+    assert _py2_round(2.4) == 2
