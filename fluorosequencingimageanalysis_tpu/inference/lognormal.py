@@ -142,3 +142,93 @@ def _photometries_lognormal_fit_MP_v8(photometries, beta, beta_sigma,
         allow_upsteps=allow_upsteps, allow_multidrop=allow_multidrop,
         max_deviation=max_deviation, quench_factor=quench_factor,
         quench_factors=quench_factors)
+
+
+def lognormal_fit_v8_from_csv(path, beta, beta_sigma, max_possible=5,
+                              allow_upsteps=False, allow_multidrop=True,
+                              max_deviation=3, quench_factors=None,
+                              downstep_filtered=False, head_truncate=0,
+                              tail_truncate=0, alpha_adjust=0.0):
+    """End-to-end arrays path: track CSV -> batched v8 fit, dict-free.
+
+    The reference pipeline is CSV -> photometries dict -> one Pool task per
+    trace (MCsimlib.py:5517-5540). Here the native parser
+    (native/trackcsv.cpp) emits flat (N, F) arrays which feed the batched
+    MXU scorer directly; the signals dict is only assembled for the final
+    aggregated output. Falls back to the dict reader when the native parser
+    is unavailable.
+
+    Returns (signals, total_count, none_count, all_fit_info) with the same
+    structure as photometries_lognormal_fit_v8.
+    """
+    from ..native.trackcsv import read_track_photometries_arrays
+    arrs = read_track_photometries_arrays(
+        path, downstep_filtered=downstep_filtered,
+        head_truncate=head_truncate, tail_truncate=tail_truncate)
+    if arrs is None:
+        from .photometries import read_track_photometries_csv
+        photometries, _ = read_track_photometries_csv(
+            path, downstep_filtered=downstep_filtered,
+            head_truncate=head_truncate, tail_truncate=tail_truncate)
+        if alpha_adjust:
+            photometries = {
+                c: {f: {hw: (cat,
+                             tuple(x - alpha_adjust for x in ints), row)
+                        for hw, (cat, ints, row) in fd.items()}
+                    for f, fd in cd.items()}
+                for c, cd in photometries.items()}
+        return photometries_lognormal_fit_v8(
+            photometries, beta, beta_sigma, max_possible=max_possible,
+            allow_upsteps=allow_upsteps, allow_multidrop=allow_multidrop,
+            max_deviation=max_deviation, quench_factors=quench_factors)
+
+    if quench_factors is None or len(quench_factors) != max_possible + 2:
+        raise ValueError("quench_factors required for v8+")
+    log_fluor_means = [math.log(beta) + math.log(i + 1.0) - quench_factors[i]
+                       for i in range(max_possible + 2)]
+    n = arrs["intensities"].shape[0]
+    if n == 0:
+        return {}, 0, 0, []
+    intensities = arrs["intensities"].astype(np.float64) - alpha_adjust
+    categories = arrs["categories"]
+    best_seqs, found, best_ls = score_traces(
+        intensities, categories, log_fluor_means, beta_sigma,
+        max_possible=max_possible, allow_multidrop=allow_multidrop,
+        allow_upsteps=allow_upsteps, max_deviation=max_deviation)
+
+    signals = {}
+    none_count = 0
+    all_fit_info = []
+    found = np.asarray(found)
+    best_seqs = np.asarray(best_seqs)
+    best_ls = np.asarray(best_ls)
+    for i in range(n):
+        channel = arrs["channels"][i]
+        field = int(arrs["fields"][i])
+        h, w = int(arrs["hs"][i]), int(arrs["ws"][i])
+        row = int(arrs["rows"][i])
+        category = tuple(categories[i].tolist())
+        ints = tuple(intensities[i].tolist())
+        if not found[i]:
+            signal, is_zero, best_seq, starting_intensity = (None, None,
+                                                             None, None)
+            best_score = -1
+            best_scores = None
+        else:
+            best_seq = tuple(int(v) for v in best_seqs[i])
+            signal, is_zero, starting_intensity = seq_to_signal(best_seq)
+            best_score = float(np.exp(best_ls[i]))
+            log_int = [math.log(x) if x > 0 else -10000 for x in ints]
+            best_scores = [1.0 if v == 0 else
+                           _norm_pdf(log_int[f], log_fluor_means[v - 1],
+                                     beta_sigma)
+                           for f, v in enumerate(best_seq)]
+        all_fit_info.append((channel, field, h, w, row, category, ints,
+                             signal, is_zero, best_seq, max_possible,
+                             best_score, best_scores, starting_intensity))
+        if signal is None:
+            none_count += 1
+        else:
+            key = (signal, is_zero, starting_intensity)
+            signals[key] = signals.get(key, 0) + 1
+    return signals, n, none_count, all_fit_info

@@ -239,3 +239,42 @@ def test_plateau_fit_exhaustive():
     fit, r2 = _plateau_fit(ints, max_num_drops=2)
     assert fit == [[100, 100], [50, 50]]
     assert r2 == 1.0
+
+
+def test_lognormal_fit_v8_from_csv(tmp_path):
+    """The dict-free CSV->v8 path must match the dict-driver output."""
+    import csv
+    import math
+    from fluorosequencingimageanalysis_tpu.inference.lognormal import (
+        lognormal_fit_v8_from_csv, photometries_lognormal_fit_v8)
+    from fluorosequencingimageanalysis_tpu.inference.photometries import (
+        read_track_photometries_csv)
+
+    rng = np.random.default_rng(0)
+    beta, beta_sigma = 30000.0, 0.2
+    path = str(tmp_path / "tracks.csv")
+    n_frames = 5
+    with open(path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["CHANNEL", "FIELD", "H", "W", "CATEGORY"] +
+                   [f"FRAME {i}" for i in range(n_frames)])
+        for t in range(30):
+            seq = (2, 1, 1, 0, 0) if t % 2 == 0 else (1, 1, 0, 0, 0)
+            ints = [int(rng.lognormal(math.log(beta * v), beta_sigma))
+                    if v else int(rng.normal(0, 200)) for v in seq]
+            cat = tuple(v > 0 for v in seq)
+            w.writerow(["ch1", 0, 10 + t, 20 + t,
+                        "(" + ", ".join(str(c) for c in cat) + ")"] + ints)
+
+    qf = (0.0,) * 7
+    sig_a, total_a, none_a, info_a = lognormal_fit_v8_from_csv(
+        path, beta, beta_sigma, quench_factors=qf)
+    photometries, _ = read_track_photometries_csv(path)
+    sig_b, total_b, none_b, info_b = photometries_lognormal_fit_v8(
+        photometries, beta, beta_sigma, quench_factors=qf)
+    assert total_a == total_b == 30
+    assert none_a == none_b
+    assert sig_a == sig_b
+    # the dominant fitted signals match the planted sequences
+    top = max(sig_a, key=sig_a.get)
+    assert top[0] in (((("A", 1), ("A", 3))), ((("A", 2),),))
