@@ -1,0 +1,132 @@
+"""Content-hash keyed artifact store (checkpoint / resume).
+
+The reference checkpoints via file naming: PSF pkls keyed by image path +
+timestamp hash, scripts globbing for existing ``*_psfs_*.pkl`` and fitting
+only missing images (basic_experiment_script.py:16-23,241-257;
+flexlibrary.py:540-546). This module is the framework-level generalization
+(SURVEY.md section 5): artifacts are keyed by a SHA-256 of their inputs +
+parameters, so any stage can ask "was this exact computation already done?"
+regardless of file paths or wall clock.
+
+Array trees are stored with orbax when available (zarr-backed, handles
+jax.Array shardings), falling back to ``np.savez``. Non-array metadata goes
+to JSON next to the arrays.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+
+import numpy as np
+
+
+def content_key(*parts) -> str:
+    """SHA-256 key from heterogeneous inputs: bytes, strings, numbers,
+    dicts/lists (canonical JSON), and numpy arrays (raw bytes + dtype +
+    shape)."""
+    h = hashlib.sha256()
+    for part in parts:
+        if isinstance(part, bytes):
+            h.update(b"b"); h.update(part)
+        elif isinstance(part, str):
+            h.update(b"s"); h.update(part.encode("utf-8"))
+        elif isinstance(part, (int, float, bool)) or part is None:
+            h.update(b"n"); h.update(repr(part).encode("utf-8"))
+        elif isinstance(part, np.ndarray):
+            h.update(b"a")
+            h.update(str(part.dtype).encode())
+            h.update(str(part.shape).encode())
+            h.update(np.ascontiguousarray(part).tobytes())
+        elif isinstance(part, (dict, list, tuple)):
+            h.update(b"j")
+            h.update(json.dumps(part, sort_keys=True, default=str).encode())
+        else:
+            h.update(b"r"); h.update(repr(part).encode("utf-8"))
+    return h.hexdigest()[:32]
+
+
+class ArtifactStore:
+    """Directory of content-addressed artifacts.
+
+    >>> store = ArtifactStore("/tmp/artifacts")
+    >>> key = content_key("detect", image_bytes, {"c_std": 2.0})
+    >>> if not store.exists(key):
+    ...     store.save(key, {"params": params}, meta={"stage": "detect"})
+    >>> out = store.load(key)
+    """
+
+    def __init__(self, root: str, use_orbax: bool | None = None):
+        self.root = os.path.abspath(root)
+        os.makedirs(self.root, exist_ok=True)
+        if use_orbax is None:
+            try:
+                import orbax.checkpoint  # noqa: F401
+                use_orbax = True
+            except Exception:
+                use_orbax = False
+        self.use_orbax = use_orbax
+
+    def _dir(self, key: str) -> str:
+        return os.path.join(self.root, key)
+
+    def exists(self, key: str) -> bool:
+        return os.path.exists(os.path.join(self._dir(key), "_COMPLETE"))
+
+    def save(self, key: str, tree: dict, meta: dict | None = None) -> str:
+        """Atomically store a dict of arrays (+ JSON metadata)."""
+        d = self._dir(key)
+        tmp = d + ".tmp"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        os.makedirs(tmp, exist_ok=True)
+        arrays = {k: np.asarray(v) for k, v in tree.items()}
+        if self.use_orbax:
+            import orbax.checkpoint as ocp
+            ckptr = ocp.PyTreeCheckpointer()
+            ckptr.save(os.path.join(tmp, "tree"), arrays)
+        else:
+            np.savez(os.path.join(tmp, "tree.npz"), **arrays)
+        if meta is not None:
+            with open(os.path.join(tmp, "meta.json"), "w") as f:
+                json.dump(meta, f, sort_keys=True, default=str)
+        with open(os.path.join(tmp, "_COMPLETE"), "w") as f:
+            f.write(key)
+        if os.path.exists(d):
+            shutil.rmtree(d)
+        os.rename(tmp, d)
+        return d
+
+    def load(self, key: str) -> dict:
+        d = self._dir(key)
+        if not self.exists(key):
+            raise KeyError(f"artifact {key} not found in {self.root}")
+        tree_dir = os.path.join(d, "tree")
+        if os.path.isdir(tree_dir):
+            import orbax.checkpoint as ocp
+            ckptr = ocp.PyTreeCheckpointer()
+            return dict(ckptr.restore(tree_dir))
+        with np.load(os.path.join(d, "tree.npz")) as z:
+            return {k: z[k] for k in z.files}
+
+    def meta(self, key: str) -> dict | None:
+        p = os.path.join(self._dir(key), "meta.json")
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    def keys(self):
+        for name in sorted(os.listdir(self.root)):
+            if self.exists(name):
+                yield name
+
+    def get_or_compute(self, key: str, fn, meta: dict | None = None) -> dict:
+        """Load if present, else compute fn() -> dict-of-arrays and save."""
+        if self.exists(key):
+            return self.load(key)
+        tree = fn()
+        self.save(key, tree, meta=meta)
+        return tree

@@ -424,3 +424,38 @@ def test_cross_correlation_fit_lag():
     shifted = np.real(cc.shift(base, lag_true))
     res = cc.fit_lag(shifted, base)
     assert abs(res.params["lag"].value - lag_true) < 0.2
+
+
+def test_artifact_store(tmp_path):
+    from fluorosequencingimageanalysis_tpu.utils.checkpoint import (
+        ArtifactStore, content_key)
+    k1 = content_key("detect", np.arange(5), {"c_std": 2.0})
+    k2 = content_key("detect", np.arange(5), {"c_std": 3.0})
+    k3 = content_key("detect", np.arange(5), {"c_std": 2.0})
+    assert k1 == k3 and k1 != k2
+
+    store = ArtifactStore(str(tmp_path / "store"))
+    assert not store.exists(k1)
+    calls = {"n": 0}
+
+    def compute():
+        calls["n"] += 1
+        return {"params": np.ones((3, 7)), "keep": np.array([True, False])}
+
+    out1 = store.get_or_compute(k1, compute, meta={"stage": "detect"})
+    out2 = store.get_or_compute(k1, compute)
+    assert calls["n"] == 1  # second hit loads, doesn't recompute
+    np.testing.assert_allclose(out1["params"], out2["params"])
+    assert store.meta(k1) == {"stage": "detect"}
+    assert list(store.keys()) == [k1]
+    loaded = store.load(k1)
+    assert set(loaded) == {"params", "keep"}
+
+
+def test_artifact_store_npz_fallback(tmp_path):
+    from fluorosequencingimageanalysis_tpu.utils.checkpoint import (
+        ArtifactStore)
+    store = ArtifactStore(str(tmp_path / "store2"), use_orbax=False)
+    store.save("k", {"x": np.arange(4)})
+    out = store.load("k")
+    np.testing.assert_array_equal(out["x"], np.arange(4))
