@@ -93,14 +93,31 @@ def experiment_step_sharded(stack, mesh, max_candidates=256, max_spots=None,
     # 2. Detection + fit, batched over all (field, cycle) images in ONE
     # lane-major LM call; the candidate bucket axis is sharded over
     # 'model' so the LM FLOPs spread across the second mesh axis as well.
-    # The fused Pallas candidate kernel runs on single-chip TPU meshes
-    # (multi-chip partitioning of the custom call goes through shard_map;
-    # not wired yet — the jnp path partitions automatically).
+    # On multi-chip meshes detection runs under shard_map over 'data'
+    # (fields are independent, so each chip detects its own shard — this is
+    # also how the fused Pallas kernel partitions, since custom calls are
+    # not auto-partitionable by GSPMD).
     imgs = stack.reshape(F * C, H, W)
-    use_pallas = (jax.default_backend() in ("tpu", "axon") and
-                  mesh.size == 1)
-    res = detect_and_fit_batch(imgs, max_candidates=max_candidates,
-                               num_iters=num_iters, use_pallas=use_pallas)
+    use_pallas = jax.default_backend() in ("tpu", "axon")
+    n_data = mesh.shape["data"]
+    if n_data > 1:
+        from jax.experimental.shard_map import shard_map
+
+        def detect_shard(im):
+            return detect_and_fit_batch(im, max_candidates=max_candidates,
+                                        num_iters=num_iters,
+                                        use_pallas=use_pallas)
+
+        example = jax.eval_shape(detect_shard, imgs)
+        out_specs = jax.tree_util.tree_map(
+            lambda s: P(*(["data"] + [None] * (len(s.shape) - 1))), example)
+        res = shard_map(detect_shard, mesh=mesh,
+                        in_specs=P("data", None, None),
+                        out_specs=out_specs, check_rep=False)(imgs)
+    else:
+        res = detect_and_fit_batch(imgs, max_candidates=max_candidates,
+                                   num_iters=num_iters,
+                                   use_pallas=use_pallas)
     params = jax.lax.with_sharding_constraint(
         res.params.reshape(F, C, max_candidates, 7),
         NamedSharding(mesh, P("data", None, "model", None)))
