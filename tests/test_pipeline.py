@@ -258,3 +258,98 @@ def test_timetrace_experiment_stepfits(tmp_path):
     assert rows == 2 * n_frames + 1
     header = csv_path.read_text().split("\n")[0]
     assert "Plateau Height" in header and "photometries" in header
+
+
+def test_trace_binary_helpers():
+    from fluorosequencingimageanalysis_tpu.pipeline.experiment import \
+        Experiment
+    img = Image(image=np.zeros((32, 32)))
+    s = Spot(img, 10, 10, 5)
+    assert Experiment.trace_to_binary([s, None, s]) == [True, False, True]
+    assert Experiment.truefalse_to_onoff([True, False]) == "[ON]  [OFF]"
+
+
+def test_binary_trace_categories_photometry_and_extract_tracks():
+    rng = np.random.default_rng(10)
+    a, b = (20, 20), (40, 45)
+    frames = []
+    presence = [(True, True), (True, True), (True, False)]
+    for pa, pb in presence:
+        coords = ([a] if pa else []) + ([b] if pb else [])
+        img = _frame_with_spots(rng, coords)
+        image = Image(image=img)
+        image.spots = [Spot(image, h, w, 5) for h, w in coords]
+        frames.append(image)
+    ex = SequenceExperiment(frames)
+    ex.trace_existing_spots()
+
+    btcp = ex.binary_trace_categories_photometry(method="simple")
+    all_on = (True, True, True)
+    assert all_on in btcp
+    for trace_p in btcp[all_on]:
+        assert len(trace_p) == 3
+        assert all(ph is not None for h, w, ph in trace_p)
+    # the (T,T,F) category has None photometry in its OFF frame
+    off_cat = (True, True, False)
+    assert btcp[off_cat][0][2] == (None, None, None)
+    import pytest as _pytest
+    with _pytest.raises(DeprecationWarning):
+        ex.binary_trace_categories_photometry(discard_invalid=True)
+
+    tracks = ex.extract_tracks(all_on, radius=3, number=5)
+    assert len(tracks) == 1
+    (nh, nw), seq = tracks[0]
+    assert (round(nh), round(nw)) == a
+    assert len(seq) == 3
+    for subimg, frame in seq:
+        assert subimg.shape == (7, 7)
+    # category with an OFF frame: the gap subimage comes from the raw frame
+    tracks2 = ex.extract_tracks(off_cat, radius=3)
+    assert len(tracks2) == 1
+    assert tracks2[0][1][2][0].shape == (7, 7)
+    assert ex.extract_tracks((False, False, False)) == []
+
+
+def test_discard_invalid_traces_keeps_interior():
+    rng = np.random.default_rng(11)
+    good = (30, 30)
+    edge = (2, 30)  # too close to the border for a valid 5x5 + brim
+    frames = []
+    for f in range(3):
+        coords = [good, edge]
+        img = _frame_with_spots(rng, coords)
+        image = Image(image=img)
+        image.spots = [Spot(image, h, w, 5, gaussian_fit=(h, w))
+                       for h, w in coords]
+        frames.append(image)
+    ex = SequenceExperiment(frames)
+    ex.trace_existing_spots()
+    n_before = len(ex.spot_traces)
+    invalid = ex.discard_invalid_traces(photometry_method="mexican_hat")
+    assert len(ex.spot_traces) + len(invalid) == n_before
+    assert all((t[0].h, t[0].w) == good for t in ex.spot_traces)
+
+
+def test_remainder_threshold_fields():
+    from fluorosequencingimageanalysis_tpu.pipeline.experiment import (
+        MultichannelSequenceExperiment,
+        MultifieldMultichannelSequenceExperiment)
+    rng = np.random.default_rng(12)
+
+    def make_field(n_persistent):
+        coords = [(15 + 9 * i, 15 + 7 * i) for i in range(n_persistent)]
+        frames = []
+        for f in range(2):
+            img = _frame_with_spots(rng, coords)
+            image = Image(image=img)
+            image.spots = [Spot(image, h, w, 5) for h, w in coords]
+            frames.append(image)
+        ex = SequenceExperiment(frames)
+        ex.trace_existing_spots()
+        return MultichannelSequenceExperiment({"ch1": ex})
+
+    mfmc = MultifieldMultichannelSequenceExperiment(
+        [make_field(6), make_field(2)])
+    mask = mfmc.remainder_threshold_fields(min_remainders=5)
+    assert mask[0] is True or mask[0] == True  # noqa: E712
+    assert mask[1] == False  # noqa: E712
