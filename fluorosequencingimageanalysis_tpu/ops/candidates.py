@@ -244,3 +244,33 @@ def gather_patches_dynslice(image, hs, ws, radius):
                                  (size, size))
 
     return jax.vmap(one)(hs, ws)
+
+
+def gather_patches_onehot(image, hs, ws, radius=2):
+    """Patch gather as one-hot contractions (exact, MXU-targeted).
+
+    XLA's gather of many small 2D slices is latency-bound (each 5x5 patch
+    is 25 scattered element loads). On MXU-rich hardware the same gather is
+    two one-hot contractions: rows = OH(K*S, H) @ image, then a per-
+    candidate (S, W) x (W, S) batched contraction — ~5 GFLOP per 2048-
+    candidate image, trivial for a full-speed MXU. Bit-exact with
+    gather_patches (one-hot entries are exactly 0/1; precision=HIGHEST
+    keeps f32 products unrounded).
+
+    Note: on the axon remote chip the MXU measures ~500x below v5e spec
+    (see DESIGN.md), so the default path remains gather_patches there;
+    switch to this on real TPU pods.
+    """
+    S = 2 * radius + 1
+    H, W = image.shape
+    d = jnp.arange(-radius, radius + 1, dtype=jnp.int32)
+    hidx = (hs.astype(jnp.int32)[:, None] + d[None, :]).reshape(-1)  # (K*S,)
+    OH = (hidx[:, None] ==
+          jnp.arange(H, dtype=jnp.int32)[None, :]).astype(image.dtype)
+    rows = lax.dot(OH, image,
+                   precision=lax.Precision.HIGHEST).reshape(-1, S, W)
+    widx = ws.astype(jnp.int32)[:, None] + d[None, :]                # (K, S)
+    OW = (widx[:, :, None] ==
+          jnp.arange(W, dtype=jnp.int32)[None, None, :]).astype(image.dtype)
+    return lax.dot_general(rows, OW, (((2,), (2,)), ((0,), (0,))),
+                           precision=lax.Precision.HIGHEST)

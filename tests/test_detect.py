@@ -190,3 +190,17 @@ def test_hierarchical_extraction_equals_flat():
         blk_set = set(zip(np.asarray(hs_b[i])[np.asarray(val_b[i])].tolist(),
                           np.asarray(ws_b[i])[np.asarray(val_b[i])].tolist()))
         assert flat_set == blk_set
+
+
+def test_gather_patches_onehot_exact():
+    import jax
+    import jax.numpy as jnp
+    from fluorosequencingimageanalysis_tpu.ops.candidates import (
+        gather_patches, gather_patches_onehot)
+    rng = np.random.default_rng(3)
+    img = jnp.asarray(rng.normal(1000, 100, (64, 64)))
+    hs = jnp.asarray(rng.integers(2, 61, 37), jnp.int32)
+    ws = jnp.asarray(rng.integers(2, 61, 37), jnp.int32)
+    a = jax.jit(gather_patches)(img, hs, ws)
+    b = jax.jit(gather_patches_onehot)(img, hs, ws)
+    assert bool(jnp.all(a == b))
