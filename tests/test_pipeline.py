@@ -353,3 +353,64 @@ def test_remainder_threshold_fields():
     mask = mfmc.remainder_threshold_fields(min_remainders=5)
     assert mask[0] is True or mask[0] == True  # noqa: E712
     assert mask[1] == False  # noqa: E712
+
+
+def test_save_psfs_png_and_plot_traces(tmp_path):
+    from PIL import Image as PILImage
+    from fluorosequencingimageanalysis_tpu.utils.visualize import \
+        save_psfs_png
+    from fluorosequencingimageanalysis_tpu.pipeline.experiment import \
+        Experiment
+
+    rng = np.random.default_rng(13)
+    coords = [(20, 20), (40, 45)]
+    img_paths = []
+    frames = []
+    for f in range(2):
+        arr = _frame_with_spots(rng, coords)
+        p = str(tmp_path / f"frame{f}.png")
+        PILImage.fromarray((arr / arr.max() * 255).astype(np.uint8),
+                           mode="L").save(p)
+        img_paths.append(p)
+        image = Image(image=arr, metadata={"filepath": p})
+        image.spots = [Spot(image, h, w, 5) for h, w in coords]
+        frames.append(image)
+
+    psfs = {c: tuple([0] * 12) for c in coords}
+    out = save_psfs_png(psfs, img_paths[0],
+                        output_path=str(tmp_path / "psfs.png"))
+    assert out.endswith("psfs.png")
+    png = PILImage.open(out)
+    assert png.size[0] > 0 and png.mode == "RGB"
+
+    traces = [[frames[0].spots[0], frames[1].spots[0]],
+              [frames[0].spots[1], None]]
+    outs = Experiment.plot_traces(
+        traces, [str(tmp_path / "t0.png"), str(tmp_path / "t1.png")])
+    assert len(outs) >= 1
+    for o in outs:
+        assert PILImage.open(o).size[0] > 0
+
+
+def test_plot_histogram_and_heatmaps(tmp_path):
+    import plotting as pl
+    rng = np.random.default_rng(14)
+    h = pl.plot_histogram(rng.lognormal(10, 0.3, 500), "t", "count",
+                          "intensity", True, str(tmp_path / "hist.html"))
+    assert open(h).read().startswith("<!DOCTYPE html>") or \
+        "<html" in open(h).read()
+    signals = {((("A", 1),), True): 10, ((("A", 2),), True): 5,
+               ((("A", 1), ("A", 2)), True): 3}
+    f1 = pl.single_drops_heatmap(signals, 1, 2, 0, "PEP", 647, 0, 10,
+                                 str(tmp_path / "sd.html"))
+    assert "html" in open(f1).read().lower()
+    f2 = pl.double_drops_heatmap(signals, 1, 2, 0, "PEP", 647, 0, 10,
+                                 str(tmp_path / "dd.html"))
+    assert "html" in open(f2).read().lower()
+    v2 = {((("A", 1),), True, 1): 7, ((("A", 2),), True, 2): 2}
+    f3 = pl.single_drops_heatmap_v2(v2, 1, 2, 0, "PEP", 561, 0, 10,
+                                    str(tmp_path / "sd2.html"))
+    assert "html" in open(f3).read().lower()
+    f4 = pl.double_drops_heatmap_v2(v2, 1, 2, 0, "PEP", 561, 0, 10,
+                                    str(tmp_path / "dd2.html"))
+    assert "html" in open(f4).read().lower()
