@@ -544,17 +544,133 @@ def fasta_to_dict(fasta_path):
     return out
 
 
-def match_diagnostic(fit_info, simulated_signals, num_frames=None):
-    """Compare fitted signals against simulated ground truth.
+import collections
 
-    Spiritual parity with jupyter_development.match_diagnostic
-    (jupyter_development.py:786): returns per-trace matches between the
-    fitted signal and the ground-truth signal, plus aggregate accuracy.
+IncompatibilityKey = collections.namedtuple(
+    "IncompatibilityKey",
+    ["metric", "reverse_order", "normalize_counts",
+     "heatmap_normalize_counts", "heatmap_only", "zero_only",
+     "allow_multidrop", "small_count_cutoff", "matching_p", "split_cycle",
+     "incompatibility_threshold", "compute_incompatibility_scores"])
+
+incompatibility_scores_cache = {}
+
+
+def match_diagnostic(all_simulations, observed_signals, metric,
+                     reverse_order, normalize_counts,
+                     heatmap_normalize_counts, heatmap_only, zero_only,
+                     allow_multidrop, small_count_cutoff, matching_p,
+                     split_cycle, incompatibility_threshold,
+                     compute_incompatibility_scores, num_mocks,
+                     num_mocks_omitted, num_edmans):
+    """Sim-vs-observed diagnostic (jupyter_development.py:786-1010 core).
+
+    Scores every simulated (p, b, u) parameter point against the observed
+    signal counts with :func:`signal_correlation`, picks the best by the
+    requested metric/order, and returns the normalized best-fit signals and
+    their per-signal %diff against the observations. The reference's
+    incompatibility pass depends on an undefined notebook global
+    (``ADJ_SDL_signals``) and a shelve file; here it runs against
+    ``observed_signals`` with an in-module cache. The plotly subplot
+    rendering at the tail of the reference is notebook-side display and is
+    not reproduced; the returned dict carries everything those panels show.
+
+    Returns dict with: optimal_pbu, normalization_factor, contributions,
+    normalized_plot_signals, normalized_plot_molecular_signals,
+    diff_plot_signals, exclude_signals, incompatibility_scores.
     """
-    matches = []
-    for info in fit_info:
-        signal = info[7]
-        truth = info[-1] if num_frames is None else None
-        matches.append((signal, truth, signal == truth))
-    n_match = sum(1 for s, t, m in matches if m)
-    return matches, (float(n_match) / len(matches) if matches else 0.0)
+    num_cycles = num_mocks + num_mocks_omitted - num_edmans
+    if normalize_counts == heatmap_normalize_counts:
+        raise ValueError("normalize_counts == heatmap_normalize_counts")
+    if heatmap_only:
+        if not heatmap_normalize_counts or allow_multidrop:
+            raise ValueError("If heatmap_only, then "
+                             "heatmap_normalize_counts "
+                             "and not allow_multidrop")
+    if (incompatibility_threshold is not None and
+            not compute_incompatibility_scores):
+        raise ValueError("If incompatibility_threshold is not None, "
+                         "then compute_incompatibility_scores")
+    key = IncompatibilityKey(
+        metric=metric, reverse_order=reverse_order,
+        normalize_counts=normalize_counts,
+        heatmap_normalize_counts=heatmap_normalize_counts,
+        heatmap_only=heatmap_only, zero_only=zero_only,
+        allow_multidrop=allow_multidrop,
+        small_count_cutoff=small_count_cutoff, matching_p=matching_p,
+        split_cycle=split_cycle,
+        incompatibility_threshold=incompatibility_threshold,
+        compute_incompatibility_scores=compute_incompatibility_scores)
+
+    def _best(correlations):
+        ranked = sorted(correlations.items(), key=lambda x: x[1][0],
+                        reverse=reverse_order)
+        (pbu, (result, (nf, contrib))) = ranked[0]
+        return pbu, nf, contrib
+
+    def _correlate(select_signals):
+        return {pbu: signal_correlation(
+            observed_signals=observed_signals, fit_signals=signals,
+            heatmap_only=heatmap_only, zero_only=zero_only,
+            normalize_counts=normalize_counts, metric=metric,
+            exclude_signals=None, matching_p=matching_p,
+            select_signals=select_signals, print_included_signals=False,
+            heatmap_normalize_counts=heatmap_normalize_counts,
+            small_count_cutoff=small_count_cutoff)
+            for pbu, (signals, molecular_signals) in all_simulations.items()}
+
+    if compute_incompatibility_scores and \
+            key not in incompatibility_scores_cache:
+        _, all_cycles = split_heatmap(num_cycles=num_cycles, cycle=0)
+        incompatibilities = {}
+        for ss1, ss2 in itertools.combinations(all_cycles, 2):
+            pbu, nf, contrib = _best(_correlate({ss1, ss2}))
+            incompatibilities.setdefault(ss1, []).append(
+                contrib.get(ss1, None))
+            incompatibilities.setdefault(ss2, []).append(
+                contrib.get(ss2, None))
+        agg = min if reverse_order else max
+        max_incompat = {}
+        for k2, values in incompatibilities.items():
+            vals = [v for v in values if v is not None]
+            if vals:
+                max_incompat[k2] = agg(vals)
+        incompatibility_scores_cache[key] = max_incompat
+    incompatibility_scores = (incompatibility_scores_cache.get(key, {})
+                              if compute_incompatibility_scores else {})
+
+    if incompatibility_threshold is not None:
+        exclude_by_incompatibility = set(
+            k2 for k2, mi in incompatibility_scores.items()
+            if mi > incompatibility_threshold)
+    else:
+        exclude_by_incompatibility = set()
+    before_cycle, after_cycle = split_heatmap(num_cycles=num_cycles,
+                                              cycle=split_cycle)
+    exclude_signals = exclude_by_incompatibility | set(before_cycle)
+
+    optimal_pbu, normalization_factor, optimal_contributions = \
+        _best(_correlate(None))
+    plot_signals, plot_molecular_signals = all_simulations[optimal_pbu]
+    normalized_plot_signals = {
+        k2: int(round(count * normalization_factor))
+        for k2, count in plot_signals.items()}
+    normalized_plot_molecular_signals = {
+        k2: int(round(count * normalization_factor))
+        for k2, count in plot_molecular_signals.items()}
+    diff_plot_signals = {
+        k2: float(observed_count - normalized_plot_signals[k2]) /
+        observed_count
+        for k2, observed_count in observed_signals.items()
+        if k2 in normalized_plot_signals and observed_count > 0}
+    return {
+        "optimal_pbu": optimal_pbu,
+        "normalization_factor": normalization_factor,
+        "contributions": optimal_contributions,
+        "normalized_plot_signals": normalized_plot_signals,
+        "normalized_plot_molecular_signals":
+            normalized_plot_molecular_signals,
+        "diff_plot_signals": diff_plot_signals,
+        "exclude_signals": exclude_signals,
+        "incompatibility_scores": incompatibility_scores,
+    }

@@ -7,7 +7,8 @@ from fluorosequencingimageanalysis_tpu.notebook import (  # noqa
     fast_mode, qq, generate_intensities, generate_sequences, split_heatmap,
     unwind_photometries, diff_signals, fasta_to_dict, match_diagnostic,
     sig, signal_to_cumulative, grab_ith_intensities, grab_ith_jth_intensities,
-    gmm_raw_photometries, signal_correlation)
+    gmm_raw_photometries, signal_correlation, IncompatibilityKey,
+    incompatibility_scores_cache)
 
 # The reference keeps duplicate copies of the heatmap emitters here
 # (jupyter_development.py:585,674); we re-export the plotting module's.

@@ -459,3 +459,44 @@ def test_artifact_store_npz_fallback(tmp_path):
     store.save("k", {"x": np.arange(4)})
     out = store.load("k")
     np.testing.assert_array_equal(out["x"], np.arange(4))
+
+
+def test_match_diagnostic_core():
+    import jupyter_development as jd
+    obs = {((("A", 1),), True, 1): 100, ((("A", 2),), True, 1): 50,
+           ((("A", 1), ("A", 2)), True, 2): 20}
+    sims = {
+        (0.9, 0.0, 0.0): ({((("A", 1),), True, 1): 95,
+                           ((("A", 2),), True, 1): 52,
+                           ((("A", 1), ("A", 2)), True, 2): 22},
+                          {((("A", 1),), True, 1): 90}),
+        (0.5, 0.0, 0.0): ({((("A", 1),), True, 1): 30,
+                           ((("A", 2),), True, 1): 80,
+                           ((("A", 1), ("A", 2)), True, 2): 5},
+                          {((("A", 1),), True, 1): 25}),
+    }
+    out = jd.match_diagnostic(
+        all_simulations=sims, observed_signals=obs, metric="log_rmsd",
+        reverse_order=False, normalize_counts=False,
+        heatmap_normalize_counts=True, heatmap_only=True, zero_only=True,
+        allow_multidrop=False, small_count_cutoff=None, matching_p=0.10,
+        split_cycle=0, incompatibility_threshold=None,
+        compute_incompatibility_scores=False, num_mocks=1,
+        num_mocks_omitted=0, num_edmans=-1)
+    # log_rmsd is a distance: best (lowest, reverse_order=False) is the
+    # well-matched simulation
+    assert out["optimal_pbu"] == (0.9, 0.0, 0.0)
+    assert out["normalized_plot_signals"][((("A", 1),), True, 1)] > 0
+    k = ((("A", 1),), True, 1)
+    exp = (100 - out["normalized_plot_signals"][k]) / 100.0
+    assert abs(out["diff_plot_signals"][k] - exp) < 1e-12
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        jd.match_diagnostic(
+            all_simulations=sims, observed_signals=obs, metric="naive",
+            reverse_order=True, normalize_counts=True,
+            heatmap_normalize_counts=True, heatmap_only=False,
+            zero_only=True, allow_multidrop=False, small_count_cutoff=None,
+            matching_p=0.1, split_cycle=0, incompatibility_threshold=None,
+            compute_incompatibility_scores=False, num_mocks=1,
+            num_mocks_omitted=0, num_edmans=-1)
