@@ -39,11 +39,53 @@ def make_stack(F, C, H=512, W=512, spots_per_field=200, seed=0):
     return stack
 
 
+def _device_selftest():
+    """Fail loudly if the device pipeline is numerically wrong, so the
+    throughput number can never come from a broken kernel. Checks the
+    fused Pallas candidate map against the jnp recipe and the batched LM
+    against planted ground truth, on-device."""
+    import jax.numpy as jnp
+    from fluorosequencingimageanalysis_tpu.ops.candidates import (
+        DEFAULT_CORRELATION_MATRIX, find_candidates_batch, HashableArray)
+    from fluorosequencingimageanalysis_tpu.ops.lm import fit_gaussians_batched
+
+    rng = np.random.default_rng(42)
+    imgs = rng.normal(400.0, 8.0, (2, 256, 256)).astype(np.float32)
+    hh, ww = np.indices((256, 256)).astype(np.float32)
+    truth = [(40.3, 60.6), (128.4, 200.2), (200.6, 90.4)]
+    for h, w in truth:
+        imgs[:, :, :] += 2500.0 * np.exp(
+            -(((hh - h) ** 2) + ((ww - w) ** 2)) / (2 * 1.3 ** 2))[None]
+    hk = HashableArray(np.asarray(DEFAULT_CORRELATION_MATRIX, np.float32))
+    x = jnp.asarray(imgs)
+    out_p = find_candidates_batch(x, correlation_matrix=hk,
+                                  max_candidates=256, use_pallas=True)
+    out_j = find_candidates_batch(x, correlation_matrix=hk,
+                                  max_candidates=256, use_pallas=False)
+    set_p = set(zip(np.asarray(out_p[0])[0][np.asarray(out_p[2])[0]].tolist(),
+                    np.asarray(out_p[1])[0][np.asarray(out_p[2])[0]].tolist()))
+    set_j = set(zip(np.asarray(out_j[0])[0][np.asarray(out_j[2])[0]].tolist(),
+                    np.asarray(out_j[1])[0][np.asarray(out_j[2])[0]].tolist()))
+    overlap = len(set_p & set_j) / max(len(set_p | set_j), 1)
+    assert overlap > 0.95, f"pallas/jnp candidate sets diverge: {overlap}"
+
+    patch = imgs[0, 38:43, 58:63]
+    params, _ = fit_gaussians_batched(jnp.asarray(patch[None]), num_iters=60)
+    p = np.asarray(params[0])
+    # agpy axis quirk (reproduced exactly, see ops/gaussian.py): at theta=0
+    # p[2] is the COLUMN-grid center and p[3] the ROW-grid center. The spot
+    # sits at local (row 2.3, col 2.6) in this 5x5 patch.
+    assert abs(p[2] - 2.6) < 0.1 and abs(p[3] - 2.3) < 0.1, \
+        f"LM center off: {(p[2], p[3])}"
+    assert abs(p[1] - 2500.0) / 2500.0 < 0.05, f"LM amplitude off: {p[1]}"
+
+
 def bench_tpu(stack, iters=5):
     import jax
     import jax.numpy as jnp
     from fluorosequencingimageanalysis_tpu.parallel.mesh import (
         make_mesh, shard_fields, experiment_step_sharded)
+    _device_selftest()
 
     def force(out):
         # block_until_ready is unreliable through the remote-device tunnel;
