@@ -208,3 +208,77 @@ def test_iterative_background_app(tmp_path, monkeypatch):
     for prefix in ("average_background_", "std_background_",
                    "experiment_background_", "corrected_experiment_"):
         assert any(p.startswith(prefix) for p in outs)
+
+
+def test_basic_image_script_end_to_end(tmp_path, monkeypatch):
+    import glob
+    import math
+    import pickle
+    from PIL import Image as PILImage
+    import basic_image_script
+
+    rng = np.random.default_rng(21)
+    arr = rng.normal(400, 8, (64, 64)).astype(np.float32)
+    hh, ww = np.indices((64, 64)).astype(np.float32)
+    for (h, w) in [(20.3, 20.6), (40.4, 45.2)]:
+        arr += 3000.0 * np.exp(-(((hh - h) ** 2) + ((ww - w) ** 2)) /
+                               (2 * 1.3 ** 2))
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    tif = str(img_dir / "field0.tif")
+    PILImage.fromarray(arr.astype(np.uint16), mode="I;16").save(tif)
+
+    monkeypatch.chdir(tmp_path)
+    processed = basic_image_script.main(
+        ["--parameters", "{'c_std': 3}",
+         "-L", str(tmp_path / "log.txt"), str(img_dir)])
+    assert len(processed) == 1
+    pkls = glob.glob(str(img_dir) + "/*_psfs_*.pkl")
+    csvs = glob.glob(str(img_dir) + "/*_psfs_*.csv")
+    pngs = glob.glob(str(img_dir) + "/*_psfs_*.png")
+    assert pkls and csvs and pngs
+    with open(pkls[0], "rb") as f:
+        psfs = pickle.load(f)
+    found = sorted(psfs.keys())
+    assert any(math.hypot(h - 20, w - 21) <= 2 for h, w in found)
+    assert any(math.hypot(h - 40, w - 45) <= 2 for h, w in found)
+    # 12-tuple contract (pflib.py:395-428)
+    assert all(len(v) == 12 for v in psfs.values())
+
+
+def test_lognormal_fitter_v2_end_to_end(tmp_path, monkeypatch):
+    import csv
+    import glob
+    import math
+    import pickle
+    import lognormal_fitter_v2
+
+    rng = np.random.default_rng(22)
+    beta = 30000.0
+    path = str(tmp_path / "tracks.csv")
+    n_frames = 5
+    with open(path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["CHANNEL", "FIELD", "H", "W", "CATEGORY"] +
+                   [f"FRAME {i}" for i in range(n_frames)])
+        for t in range(60):
+            seq = (1, 1, 0, 0, 0) if t % 2 else (2, 1, 1, 0, 0)
+            ints = [int(rng.lognormal(math.log(beta * v), 0.2)) + 800
+                    if v else int(abs(rng.normal(800, 100)))
+                    for v in seq]
+            cat = tuple(v > 0 for v in seq)
+            w.writerow(["ch1", 0, 10 + t, 20 + t,
+                        "(" + ", ".join(str(c) for c in cat) + ")"] + ints)
+
+    monkeypatch.chdir(tmp_path)
+    lognormal_fitter_v2.main([path, "-m", "1", "-o", "0", "-e", "4"])
+    sig_pkls = glob.glob(path + "_*_ch1_SIGNALS.pkl")
+    assert sig_pkls, "SIGNALS.pkl not written"
+    with open(sig_pkls[0], "rb") as f:
+        signals = pickle.load(f)
+    assert sum(signals.values()) > 30
+    top = max(signals, key=signals.get)
+    assert top[0] in ((("A", 2),), (("A", 1), ("A", 3)))
+    assert glob.glob(path + "_*_ch1_INTERMEDIATES_v2.pkl")
+    assert glob.glob(path + "_*_ch1_RAW_PHOTOMETRIES.pkl")
+    assert glob.glob(path + "_*_ch1_HISTOGRAM.html")
