@@ -414,3 +414,41 @@ def test_plot_histogram_and_heatmaps(tmp_path):
     f4 = pl.double_drops_heatmap_v2(v2, 1, 2, 0, "PEP", 561, 0, 10,
                                     str(tmp_path / "dd2.html"))
     assert "html" in open(f4).read().lower()
+
+
+def test_discard_dropouts():
+    from fluorosequencingimageanalysis_tpu.pipeline import tracking
+    img = Image(image=np.zeros((64, 64)))
+    inner = Spot(img, 30, 30, 5)
+    border = Spot(img, 3, 30, 5)
+    spots = [inner, border]
+    spot_offs = [(0, 0), (0, 0)]
+    frame_offs = [(0, 0), (5, 0)]  # second frame shifts everything up 5
+    kept, discarded = tracking.discard_dropouts(
+        spots, spot_offs, frame_offs, (64, 64), spot_radius=0)
+    assert kept == [inner]
+    assert discarded == 1
+
+
+def test_luminosity_centroid_tracking_follows_spot():
+    from fluorosequencingimageanalysis_tpu.pipeline.tracking import (
+        luminosity_centroid_particle_tracking)
+    rng = np.random.default_rng(15)
+    start = (30, 30)
+    frames = []
+    for f in range(4):
+        # spot drifts one pixel right per frame
+        arr = _frame_with_spots(rng, [(start[0], start[1] + f)],
+                                amp=5000.0)
+        frames.append(Image(image=arr))
+    s0 = Spot(frames[0], *start, 5)
+    frames[0].spots.append(s0)
+    tracks = luminosity_centroid_particle_tracking(frames, [s0],
+                                                   search_radius=3,
+                                                   s_n_cutoff=2.0)
+    assert len(tracks) == 1
+    tr = tracks[0]
+    assert len(tr) == 4
+    assert all(s is not None for s in tr)
+    assert abs(tr[-1].w - (start[1] + 3)) <= 1
+    assert abs(tr[-1].h - start[0]) <= 1

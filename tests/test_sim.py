@@ -175,3 +175,24 @@ def test_polyfluor_default_simulation_ideal():
     for s in sims:
         stripped = tuple((aa, pos) for aa, pos, err in s)
         assert stripped == (("A", 2), ("A", 4))
+
+
+def test_simulate_photometries_batched():
+    import math
+    from fluorosequencingimageanalysis_tpu.sim.dye_sim import (
+        simulate_photometries_batched)
+    counts = np.array([[2, 1, 0], [1, 1, 1], [0, 0, 0]])
+    out = simulate_photometries_batched(counts, beta=30000.0,
+                                        beta_sigma=0.2, seed=0)
+    assert out.shape == counts.shape
+    assert (out[counts == 0] == 0).all()
+    assert (out[counts > 0] > 0).all()
+    # distribution check on a large batch: mean of log ~ log(beta * n)
+    big = np.full((20000, 1), 2)
+    vals = simulate_photometries_batched(big, beta=30000.0, beta_sigma=0.2,
+                                         seed=1)
+    assert abs(np.mean(np.log(vals)) - math.log(60000.0)) < 0.01
+    # ddif shifts the mean down by the quench factor
+    vals_q = simulate_photometries_batched(big, beta=30000.0, beta_sigma=0.2,
+                                           seed=1, ddif=(0.0, 0.3, 0.3))
+    assert abs(np.mean(np.log(vals)) - np.mean(np.log(vals_q)) - 0.3) < 0.01
