@@ -126,7 +126,15 @@ def candidate_map_fused(images, kernel, block_rows=64, interpret=False):
     while h % block_rows != 0 and block_rows > 8:
         block_rows //= 2
     if h % block_rows != 0:
-        raise ValueError(f"image height {h} not divisible by a block size")
+        # Odd/indivisible heights: one block per image if the (h + 8)-row
+        # canvas still fits VMEM comfortably, else the jnp recipe path is
+        # the right tool (find_candidates_batch falls back on ValueError).
+        wp_probe = -(-(w + 4) // 128) * 128
+        if (h + 8) * wp_probe * 4 <= 12 * 2 ** 20:
+            block_rows = h
+        else:
+            raise ValueError(f"image height {h} not divisible by a block "
+                             "size")
     padded = jnp.pad(images, ((0, 0), (2, 2), (2, 2)), mode="symmetric")
     # Zero guard rows for the halo; lane-align the canvas width to 128
     # (the extra columns are masked out inside the kernel).
