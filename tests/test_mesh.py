@@ -87,3 +87,67 @@ def test_experiment_step_2d_mesh():
 def test_graft_entry_dryrun():
     import __graft_entry__ as g
     g.dryrun_multichip(8)
+
+
+def test_experiment_step_detection_quality():
+    """Closure test: plant spots with known subpixel centers and drifts;
+    the sharded step must recover offsets, find the spots (high recall,
+    low fakes), and localize centers to subpixel accuracy."""
+    rng = np.random.default_rng(42)
+    F, C, H, W = 2, 3, 128, 128
+    true_offsets = [(0.0, 0.0), (1.0, -2.0), (-1.0, 3.0)]  # per cycle
+    spots = [(20.3, 30.6), (40.7, 80.2), (90.4, 50.8), (64.2, 100.5),
+             (110.6, 20.3), (30.1, 110.7)]
+    hh, ww = np.mgrid[0:H, 0:W].astype(np.float64)
+    stack = rng.normal(400.0, 5.0, (F, C, H, W)).astype(np.float32)
+    for f in range(F):
+        for c, (dh, dw) in enumerate(true_offsets):
+            for (h, w) in spots:
+                stack[f, c] += (3000.0 * np.exp(
+                    -(((hh - h - dh) ** 2) + ((ww - w - dw) ** 2)) /
+                    (2 * 1.3 ** 2))).astype(np.float32)
+
+    mesh = make_mesh(1)
+    out = experiment_step_sharded(jnp.asarray(stack), mesh,
+                                  max_candidates=128, num_iters=40,
+                                  upsample_factor=20)
+    # offsets between consecutive cycles (offsets_h[f, i] is cycle i+1 vs i)
+    off_h = np.asarray(out["offsets_h"])[0]
+    off_w = np.asarray(out["offsets_w"])[0]
+    exp_h = np.diff([o[0] for o in true_offsets])
+    exp_w = np.diff([o[1] for o in true_offsets])
+    np.testing.assert_allclose(off_h[-len(exp_h):], -exp_h, atol=0.15)
+    np.testing.assert_allclose(off_w[-len(exp_w):], -exp_w, atol=0.15)
+
+    # detection on the un-shifted first cycle of each field. center_h/w
+    # follow the reference convention, which carries the agpy axis quirk
+    # (p[2] is the COLUMN-grid center but pflib adds it to the row,
+    # pflib.py:456-461) — so reference-convention centers are only
+    # pixel-accurate. The quirk-corrected true center (candidate pixel
+    # - 2 + the transposed fitted offsets) must be subpixel-accurate.
+    keep = np.asarray(out["keep"])
+    ch = np.asarray(out["center_h"])
+    cw = np.asarray(out["center_w"])
+    params = np.asarray(out["params"])
+    for f in range(F):
+        kept, true_centers = [], []
+        for i in range(keep.shape[2]):
+            if not keep[f, 0, i]:
+                continue
+            p2 = params[f, 0, i, 2]
+            p3 = params[f, 0, i, 3]
+            cand_h = round(float(ch[f, 0, i] - p2 + 2.5))
+            cand_w = round(float(cw[f, 0, i] - p3 + 2.5))
+            kept.append((ch[f, 0, i], cw[f, 0, i]))
+            true_centers.append((cand_h - 2 + p3, cand_w - 2 + p2))
+        matched = subpixel = 0
+        for (h, w) in spots:
+            if min(np.hypot(kh - h, kw - w) for kh, kw in kept) < 1.2:
+                matched += 1
+            if min(np.hypot(th - h, tw - w)
+                   for th, tw in true_centers) < 0.15:
+                subpixel += 1
+        assert matched == len(spots), f"recall too low: {matched}"
+        assert subpixel == len(spots), \
+            f"subpixel accuracy too low: {subpixel}"
+        assert len(kept) <= len(spots) + 2, f"too many fakes: {len(kept)}"
