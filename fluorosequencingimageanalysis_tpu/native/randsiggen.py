@@ -127,14 +127,13 @@ def random_signal_batch(peptide, p, b, u, windows, batch_size, seed,
         np.int32(max_len), out_pos, out_acid, out_len)
     if rc != 0:  # should be impossible: max_len covers every fluor
         raise RuntimeError("randsiggen signal overflowed max_len")
-    out_pos = out_pos.reshape(batch_size, max_len)
-    out_acid = out_acid.reshape(batch_size, max_len)
-    signals = []
-    for i in range(batch_size):
-        n = int(out_len[i])
-        signals.append(tuple((int(out_pos[i, j]), chr(out_acid[i, j]))
-                             for j in range(n)))
-    return signals
+    # Bulk-convert once; per-element numpy scalar access is 5-10x slower.
+    pos_l = out_pos.reshape(batch_size, max_len).tolist()
+    acid_l = out_acid.reshape(batch_size, max_len).tolist()
+    len_l = out_len.tolist()
+    return [tuple(zip(pos_l[i][:len_l[i]],
+                      map(chr, acid_l[i][:len_l[i]])))
+            for i in range(batch_size)]
 
 
 def monte_carlo_trie_native(peptides, p, b, u, windows, sample_size=100,
