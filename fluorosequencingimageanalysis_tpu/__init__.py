@@ -30,3 +30,15 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # Lazy top-level exports (keep `import fluorosequencingimageanalysis_tpu`
+    # free of jax initialization).
+    if name == "Pipeline":
+        from .api import Pipeline
+        return Pipeline
+    if name == "PipelineConfig":
+        from .config import PipelineConfig
+        return PipelineConfig
+    raise AttributeError(name)

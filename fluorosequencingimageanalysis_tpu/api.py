@@ -1,0 +1,179 @@
+"""High-level TPU-native API: the one-stop facade over the framework.
+
+The compat shims (pflib/flexlibrary/MCsimlib/...) give reference users their
+exact old surface; this module is the redesigned front door. One object wires
+together the sharded compute step (parallel/mesh.py), typed configs
+(config.py), the content-hash artifact store (utils/checkpoint.py), and the
+stage profiler (utils/profiling.py):
+
+    from fluorosequencingimageanalysis_tpu.api import Pipeline
+    pipe = Pipeline()                          # default config, full mesh
+    out = pipe.run_stack(stack)                # [F, C, H, W] -> arrays
+    fits = pipe.stepfit(photometries)          # (N, T) -> plateaus
+    signals, *_ = pipe.fluor_counts("tracks.csv", beta=30000, beta_sigma=0.2)
+
+Everything returns plain numpy on host; device placement, sharding, and
+jit caching are internal.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .config import PipelineConfig
+
+
+class Pipeline:
+    """Config-driven, mesh-aware, optionally artifact-cached pipeline."""
+
+    def __init__(self, config: PipelineConfig | None = None, mesh=None,
+                 store=None, profile: bool = False):
+        """
+        Arguments:
+            config: PipelineConfig (defaults mirror the reference's).
+            mesh: a jax.sharding.Mesh, or None for all local devices on
+                the 'data' axis.
+            store: utils.checkpoint.ArtifactStore for run caching, or None.
+            profile: record stage timings into utils.profiling's registry.
+        """
+        self.config = config if config is not None else PipelineConfig()
+        self._mesh = mesh
+        self.store = store
+        self.profile = profile
+
+    @property
+    def mesh(self):
+        if self._mesh is None:
+            from .parallel.mesh import make_mesh
+            self._mesh = make_mesh()
+        return self._mesh
+
+    def _stage(self, name):
+        if self.profile:
+            from .utils.profiling import stage
+            return stage(name)
+        import contextlib
+        return contextlib.nullcontext()
+
+    # -- imaging ------------------------------------------------------------
+
+    def run_stack(self, stack, max_candidates=None, max_spots=None):
+        """Full align + detect + fit + photometry over a [F, C, H, W] stack.
+
+        Returns a dict of host numpy arrays (offsets, params, keep masks,
+        spot centers, photometry) — see
+        parallel.mesh.experiment_step_sharded for the schema. Cached in the
+        artifact store (keyed by stack content + config) when one is set.
+        """
+        import jax
+        import jax.numpy as jnp
+        from .parallel.mesh import experiment_step_sharded, shard_fields
+
+        stack = np.asarray(stack, dtype=np.float32)
+        if stack.ndim != 4:
+            raise ValueError("stack must be [fields, cycles, H, W]")
+        det = self.config.detect
+        reg = self.config.registration
+        phot = self.config.photometry
+        mc = max_candidates if max_candidates is not None \
+            else det.max_candidates
+
+        def compute():
+            with self._stage("api/run_stack"):
+                mesh = self.mesh
+                x = shard_fields(jnp.asarray(stack), mesh)
+                with mesh:
+                    out = experiment_step_sharded(
+                        x, mesh, max_candidates=mc, max_spots=max_spots,
+                        num_iters=det.num_iters,
+                        upsample_factor=reg.upsample_factor,
+                        photometry_radius=phot.radius,
+                        photometry_brim=phot.brim_size)
+                return {k: np.asarray(v) for k, v in out.items()}
+
+        if self.store is not None:
+            from .utils.checkpoint import content_key
+            key = content_key("run_stack", stack,
+                              self.config.asdict(), mc, max_spots)
+            return self.store.get_or_compute(key, compute,
+                                             meta={"stage": "run_stack"})
+        return compute()
+
+    def run_files(self, paths_by_cycle, **kwargs):
+        """Like run_stack, from image files: paths_by_cycle is a list (per
+        cycle) of lists (per field) of image paths."""
+        from .utils.imageio import read_image_array
+        cycles = [[read_image_array(p) for p in cycle]
+                  for cycle in paths_by_cycle]
+        n_fields = {len(c) for c in cycles}
+        if len(n_fields) != 1:
+            raise ValueError("every cycle must have the same field count")
+        stack = np.stack([np.stack(c) for c in cycles], axis=1)
+        return self.run_stack(stack, **kwargs)
+
+    # -- traces --------------------------------------------------------------
+
+    def stepfit(self, photometries):
+        """Batched step fitting over an (N, T) photometry array.
+
+        Returns a list of N (photometries, ck_filtered, plateaus,
+        t_filtered_plateaus) tuples (ops.stepfit_batch.stepfit_batched).
+        """
+        from .ops.stepfit_batch import stepfit_batched
+        sf = self.config.stepfit
+        with self._stage("api/stepfit"):
+            return stepfit_batched(np.asarray(photometries, np.float64),
+                                   mirror_start=sf.mirror_start,
+                                   chung_kennedy=sf.chung_kennedy,
+                                   p_threshold=sf.p_threshold,
+                                   window_radius=sf.window_radius)
+
+    # -- inference -----------------------------------------------------------
+
+    def fluor_counts(self, tracks, beta, beta_sigma, quench_factors=None,
+                     alpha_adjust=0.0, **kwargs):
+        """v8 lognormal fluor counting.
+
+        ``tracks`` is a track-CSV path (dict-free native ingestion) or a
+        photometries dict. Returns (signals, total, none_count, fit_info).
+        """
+        ln = self.config.lognormal
+        if quench_factors is None:
+            quench_factors = (0.0,) * (ln.max_possible + 2)
+        with self._stage("api/fluor_counts"):
+            if isinstance(tracks, str):
+                from .inference.lognormal import lognormal_fit_v8_from_csv
+                return lognormal_fit_v8_from_csv(
+                    tracks, beta, beta_sigma,
+                    max_possible=ln.max_possible,
+                    allow_upsteps=ln.allow_upsteps,
+                    allow_multidrop=ln.allow_multidrop,
+                    max_deviation=(ln.max_deviation
+                                   if ln.max_deviation is not None else 3),
+                    quench_factors=quench_factors,
+                    alpha_adjust=alpha_adjust, **kwargs)
+            from .inference.lognormal import photometries_lognormal_fit_v8
+            return photometries_lognormal_fit_v8(
+                tracks, beta, beta_sigma, max_possible=ln.max_possible,
+                allow_upsteps=ln.allow_upsteps,
+                allow_multidrop=ln.allow_multidrop,
+                max_deviation=(ln.max_deviation
+                               if ln.max_deviation is not None else 3),
+                quench_factors=quench_factors)
+
+    # -- simulation ----------------------------------------------------------
+
+    def simulate_signals(self, peptides, p, b, u, windows, sample_size=100,
+                         random_seed=None):
+        """Monte-Carlo signal trie (native C++ sampler when available)."""
+        with self._stage("api/simulate_signals"):
+            try:
+                from .native import monte_carlo_trie_native
+                return monte_carlo_trie_native(
+                    peptides, p, b, u, windows, sample_size=sample_size,
+                    random_seed=random_seed)
+            except Exception:
+                from .sim.signals import monte_carlo_trie
+                return monte_carlo_trie(peptides, p, b, u, windows,
+                                        sample_size=sample_size,
+                                        random_seed=random_seed)

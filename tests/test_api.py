@@ -1,0 +1,77 @@
+"""High-level Pipeline facade tests."""
+
+import numpy as np
+
+from fluorosequencingimageanalysis_tpu import Pipeline, PipelineConfig
+from fluorosequencingimageanalysis_tpu.config import StepfitConfig
+
+
+def _stack(F=2, C=2, H=64, W=64, seed=0):
+    rng = np.random.default_rng(seed)
+    stack = rng.normal(400.0, 5.0, (F, C, H, W)).astype(np.float32)
+    hh, ww = np.mgrid[0:H, 0:W].astype(np.float64)
+    for (h, w) in [(20.3, 30.6), (40.7, 50.2)]:
+        stack += (3000.0 * np.exp(-(((hh - h) ** 2) + ((ww - w) ** 2)) /
+                                  (2 * 1.3 ** 2))).astype(np.float32)[None,
+                                                                     None]
+    return stack
+
+
+def test_pipeline_run_stack_and_cache(tmp_path):
+    from fluorosequencingimageanalysis_tpu.utils.checkpoint import \
+        ArtifactStore
+    from fluorosequencingimageanalysis_tpu.parallel.mesh import make_mesh
+    store = ArtifactStore(str(tmp_path / "store"), use_orbax=False)
+    pipe = Pipeline(mesh=make_mesh(1), store=store, profile=True)
+    stack = _stack()
+    out = pipe.run_stack(stack, max_candidates=64)
+    assert out["params"].shape[:2] == (2, 2)
+    assert out["keep"].any()
+    # second call loads from the store (same content key)
+    keys = list(store.keys())
+    assert len(keys) == 1
+    out2 = pipe.run_stack(stack, max_candidates=64)
+    np.testing.assert_allclose(out["photometry"], out2["photometry"])
+    from fluorosequencingimageanalysis_tpu.utils.profiling import timings
+    assert "api/run_stack" in timings()
+
+
+def test_pipeline_stepfit_and_fluor_counts(tmp_path):
+    import csv
+    import math
+    rng = np.random.default_rng(1)
+    levels = np.where(np.arange(30) < 12, 50000.0, 2000.0)
+    phot = levels[None] + rng.normal(0, 500, (4, 30))
+    pipe = Pipeline(config=PipelineConfig(stepfit=StepfitConfig(
+        mirror_start=0, chung_kennedy=0)))
+    fits = pipe.stepfit(phot)
+    assert len(fits) == 4
+    for _, _, plateaus, t_filtered in fits:
+        assert plateaus[0][0] == 0 and plateaus[-1][1] == 29
+
+    beta = 30000.0
+    path = str(tmp_path / "tracks.csv")
+    with open(path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["CHANNEL", "FIELD", "H", "W", "CATEGORY"] +
+                   [f"FRAME {i}" for i in range(4)])
+        for t in range(20):
+            seq = (1, 1, 0, 0)
+            ints = [int(rng.lognormal(math.log(beta), 0.2)) if v
+                    else int(abs(rng.normal(300, 50))) for v in seq]
+            w.writerow(["ch1", 0, 10 + t, 20,
+                        "(True, True, False, False)"] + ints)
+    signals, total, none_count, info = pipe.fluor_counts(
+        path, beta=beta, beta_sigma=0.2)
+    assert total == 20
+    top = max(signals, key=signals.get)
+    assert top[0] == (("A", 2),)
+
+
+def test_pipeline_simulate_signals():
+    pipe = Pipeline()
+    trie = pipe.simulate_signals({"P1": [("AKCAK", "")]}, 1.0, 0.0, 0.0,
+                                 {"K": (1, 2, 3, 4), "C": (2, 4)},
+                                 sample_size=5, random_seed=0)
+    uniques = trie.find_uniques(None, 1)
+    assert len(uniques) >= 1
