@@ -155,9 +155,10 @@ def _cholesky_solve_7(Amat, g):
     return x
 
 
-@functools.partial(jax.jit, static_argnames=("num_iters",))
+@functools.partial(jax.jit, static_argnames=("num_iters", "theta_starts"))
 def fit_gaussians_batched(patches, p0=None, lo=None, hi=None, num_iters=60,
-                          lam0=1e-3, lam_up=4.0, lam_down=0.25):
+                          lam0=1e-3, lam_up=4.0, lam_down=0.25,
+                          theta_starts=1):
     """Fit the reference 2D Gaussian to a batch of square patches.
 
     Arguments:
@@ -266,6 +267,24 @@ def fit_gaussians_batched(patches, p0=None, lo=None, hi=None, num_iters=60,
     lam_init = jnp.full((n,), lam0, dt)
     state0 = (p, lam_init, cost_of(p))
     p, _, cost = lax.fori_loop(0, num_iters, body, state0)
+
+    if theta_starts > 1:
+        # Multi-start over theta (opt-in; pflib/mpfit single-start from
+        # theta0=0 is the reference behavior). The model satisfies
+        # (sh, sw, theta) == (sw, sh, theta+90): optima across the 0/360
+        # wraparound are unreachable from theta0=0 (theta pegs at the
+        # bound); a second start at theta0=90 with swapped sigma inits
+        # covers them. Per-patch lowest cost wins.
+        p90 = list(p)
+        p90 = [jnp.where(intensity[i], p0[:, i] / scale, p0[:, i])
+               for i in range(7)]
+        p90[4], p90[5] = p90[5], p90[4]
+        p90[6] = jnp.clip(jnp.full((n,), 90.0, dt), lo_l[6], hi_l[6])
+        state90 = (p90, jnp.full((n,), lam0, dt), cost_of(p90))
+        q, _, cost90 = lax.fori_loop(0, num_iters, body, state90)
+        better = cost90 < cost
+        p = [jnp.where(better, q[i], p[i]) for i in range(7)]
+        cost = jnp.where(better, cost90, cost)
 
     params = jnp.stack(
         [p[i] * scale if intensity[i] else p[i] for i in range(7)], axis=-1)
