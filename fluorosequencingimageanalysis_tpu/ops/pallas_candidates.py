@@ -97,7 +97,7 @@ def _candidate_map_fused_impl(p2, kernel_key, h, w, bh, interpret):
         _make_candidate_kernel(h, w, wp, bh, kernel_np),
         grid=(batch, n_blocks),
         out_shape=jax.ShapeDtypeStruct((batch, h, w), p2.dtype),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((1, bh, w), lambda b, ib: (b, ib, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((bh + 8, wp), p2.dtype),

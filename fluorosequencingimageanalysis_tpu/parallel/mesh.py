@@ -101,7 +101,14 @@ def experiment_step_sharded(stack, mesh, max_candidates=256, max_spots=None,
     use_pallas = jax.default_backend() in ("tpu", "axon")
     n_data = mesh.shape["data"]
     if n_data > 1:
-        from jax.experimental.shard_map import shard_map
+        import inspect
+        try:
+            from jax import shard_map
+        except ImportError:  # older jax
+            from jax.experimental.shard_map import shard_map
+        # jax >= 0.8 renamed check_rep -> check_vma.
+        _kw = ("check_vma" if "check_vma" in
+               inspect.signature(shard_map).parameters else "check_rep")
 
         def detect_shard(im):
             return detect_and_fit_batch(im, max_candidates=max_candidates,
@@ -113,7 +120,7 @@ def experiment_step_sharded(stack, mesh, max_candidates=256, max_spots=None,
             lambda s: P(*(["data"] + [None] * (len(s.shape) - 1))), example)
         res = shard_map(detect_shard, mesh=mesh,
                         in_specs=P("data", None, None),
-                        out_specs=out_specs, check_rep=False)(imgs)
+                        out_specs=out_specs, **{_kw: False})(imgs)
     else:
         res = detect_and_fit_batch(imgs, max_candidates=max_candidates,
                                    num_iters=num_iters,
