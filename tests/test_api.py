@@ -75,3 +75,26 @@ def test_pipeline_simulate_signals():
                                  sample_size=5, random_seed=0)
     uniques = trie.find_uniques(None, 1)
     assert len(uniques) >= 1
+
+
+def test_pipeline_run_files(tmp_path):
+    from PIL import Image as PILImage
+    from fluorosequencingimageanalysis_tpu.parallel.mesh import make_mesh
+    rng = np.random.default_rng(3)
+    paths_by_cycle = []
+    for c in range(2):
+        cycle = []
+        for f in range(2):
+            arr = _stack(F=1, C=1, seed=10 + f)[0, 0]
+            p = str(tmp_path / f"c{c}_f{f}.png")
+            PILImage.fromarray(
+                (arr / arr.max() * 65535).astype(np.uint16)).save(p)
+            cycle.append(p)
+        paths_by_cycle.append(cycle)
+    pipe = Pipeline(mesh=make_mesh(1))
+    out = pipe.run_files(paths_by_cycle, max_candidates=64)
+    assert out["params"].shape[:2] == (2, 2)  # fields x cycles
+    assert out["keep"].any()
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        pipe.run_files([[paths_by_cycle[0][0]], paths_by_cycle[1]])
