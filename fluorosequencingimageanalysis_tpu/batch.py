@@ -125,10 +125,68 @@ def parallel_image_batch(image_paths, find_peptides_parameters=None,
                          timestamp_epoch=None, num_processes=None):
     """Reference-signature batch driver (pflib.py:1000-1111).
 
-    The Pool fan-out and candidate-count load balancer are obsolete on
-    TPU (every image is one fixed-shape program); num_processes is
-    accepted and ignored.
+    The reference fans images out over a Pool load-balanced by candidate
+    counts; the TPU equivalent is batching: images are grouped by shape and
+    each group runs through detect_and_fit_batch as ONE device program
+    (find_peptides_batch). num_processes is accepted and ignored. Per-image
+    failures are logged and skipped (the reference's checkpointing
+    behavior); non-'gauss' fit types fall back to the sequential driver.
     """
-    return image_batch(image_paths,
-                       find_peptides_parameters=find_peptides_parameters,
-                       timestamp_epoch=timestamp_epoch)
+    if timestamp_epoch is None:
+        timestamp_epoch = round(time.time())
+    if find_peptides_parameters is None:
+        find_peptides_parameters = {}
+    if find_peptides_parameters.get("fit_type", "gauss") != "gauss":
+        return image_batch(image_paths,
+                           find_peptides_parameters=find_peptides_parameters,
+                           timestamp_epoch=timestamp_epoch)
+    from .models.detect import find_peptides_batch
+    image_paths = list(dict.fromkeys(os.path.abspath(p)
+                                     for p in image_paths))
+    loaded = []
+    for image_path in image_paths:
+        try:
+            with _stage("io/read_image"):
+                converted_path, image = read_image(image_path)
+        except Exception:
+            logger.exception("parallel_image_batch: read_image failed "
+                             "for %s", image_path)
+            continue
+        loaded.append((image_path, converted_path, np.asarray(image)))
+
+    by_shape = {}
+    for entry in loaded:
+        by_shape.setdefault(entry[2].shape, []).append(entry)
+
+    processed_images = {}
+    for shape, group in by_shape.items():
+        stack = np.stack([img for _, _, img in group])
+        try:
+            with _stage("detect/find_peptides_batch"):
+                psfs_list = find_peptides_batch(stack,
+                                                **find_peptides_parameters)
+        except Exception:
+            logger.exception("parallel_image_batch: batched detection "
+                             "failed for shape %s; falling back per-image",
+                             shape)
+            sub = image_batch([p for p, _, _ in group],
+                              find_peptides_parameters=
+                              find_peptides_parameters,
+                              timestamp_epoch=timestamp_epoch)
+            processed_images.update(sub)
+            continue
+        for (image_path, converted_path, _), psfs in zip(group, psfs_list):
+            try:
+                pkl = save_psfs_pkl(psfs, image_path=converted_path,
+                                    timestamp_epoch=timestamp_epoch)
+                csv_p = save_psfs_csv(psfs, image_path=converted_path,
+                                      timestamp_epoch=timestamp_epoch)
+                png = save_psfs_png(psfs, image_path=converted_path,
+                                    timestamp_epoch=timestamp_epoch)
+            except Exception:
+                logger.exception("parallel_image_batch: artifact write "
+                                 "failed for %s", image_path)
+                continue
+            processed_images.setdefault(
+                image_path, (converted_path, pkl, csv_p, png))
+    return processed_images

@@ -179,6 +179,13 @@ def find_peptides(image, median_filter_size=5, correlation_matrix=None,
     cand_h = np.asarray(res.cand_h)
     cand_w = np.asarray(res.cand_w)
 
+    return _psfs_from_arrays(image, idx, params, center_h, center_w, rm,
+                             r2, sn, cand_h, cand_w, fit_type=fit_type)
+
+
+def _psfs_from_arrays(image, idx, params, center_h, center_w, rm, r2, sn,
+                      cand_h, cand_w, fit_type="gauss"):
+    """Kept-fit arrays -> the reference psfs dict (pflib.py:395-428)."""
     out = {}
     for i in idx:
         h, w = int(cand_h[i]), int(cand_w[i])
@@ -202,6 +209,54 @@ def find_peptides(image, median_filter_size=5, correlation_matrix=None,
         key = (int(round(h_0)), int(round(w_0)))
         out.setdefault(key, psf)
     return out
+
+
+def find_peptides_batch(images, median_filter_size=5, correlation_matrix=None,
+                        c_std=2, r_2_threshold=0.7, consolidation_radius=4,
+                        max_candidates=4096, num_iters=60, dtype=np.float32,
+                        use_pallas=None):
+    """find_peptides over a same-shape image stack in ONE device program.
+
+    The reference's parallel_image_batch exists to spread its per-image
+    Python cost over processes (pflib.py:1000-1111); on TPU the equivalent
+    is batching the whole stack through detect_and_fit_batch. Returns a
+    list of psfs dicts, one per image, identical to per-image
+    find_peptides (fit_type='gauss').
+    """
+    import jax
+    images = np.asarray(images)
+    if use_pallas is None:
+        use_pallas = jax.default_backend() in ("tpu", "axon")
+    res = detect_and_fit_batch(
+        jnp.asarray(images.astype(dtype)),
+        median_filter_size=median_filter_size,
+        correlation_matrix=correlation_matrix, c_std=float(c_std),
+        r_2_threshold=float(r_2_threshold),
+        consolidation_radius=float(consolidation_radius),
+        max_candidates=max_candidates, num_iters=num_iters,
+        use_pallas=bool(use_pallas))
+    counts = np.asarray(res.cand_count)
+    if (counts > max_candidates).any():
+        import logging
+        logging.getLogger(__name__).warning(
+            "find_peptides_batch: %d image(s) exceed max_candidates=%d; "
+            "weakest candidates dropped.",
+            int((counts > max_candidates).sum()), max_candidates)
+    keep = np.asarray(res.keep)
+    params = np.asarray(res.params)
+    center_h = np.asarray(res.center_h)
+    center_w = np.asarray(res.center_w)
+    rm = np.asarray(res.rmse)
+    r2 = np.asarray(res.r2)
+    sn = np.asarray(res.s_n)
+    cand_h = np.asarray(res.cand_h)
+    cand_w = np.asarray(res.cand_w)
+    return [
+        _psfs_from_arrays(images[b], np.nonzero(keep[b])[0], params[b],
+                          center_h[b], center_w[b], rm[b], r2[b], sn[b],
+                          cand_h[b], cand_w[b])
+        for b in range(images.shape[0])
+    ]
 
 
 # ---------------------------------------------------------------------------

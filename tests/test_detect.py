@@ -204,3 +204,24 @@ def test_gather_patches_onehot_exact():
     a = jax.jit(gather_patches)(img, hs, ws)
     b = jax.jit(gather_patches_onehot)(img, hs, ws)
     assert bool(jnp.all(a == b))
+
+
+def test_find_peptides_batch_matches_single():
+    import jax.numpy as jnp
+    from fluorosequencingimageanalysis_tpu.models.detect import (
+        find_peptides, find_peptides_batch)
+    rng = np.random.default_rng(5)
+    imgs = rng.normal(400, 8, (3, 64, 64)).astype(np.float64)
+    hh, ww = np.mgrid[0:64, 0:64].astype(np.float64)
+    for b in range(3):
+        for (h, w) in [(20.3, 30.6), (40.7, 50.2)]:
+            imgs[b] += 3000.0 * np.exp(
+                -(((hh - h) ** 2) + ((ww - w) ** 2)) / (2 * 1.3 ** 2))
+    batched = find_peptides_batch(imgs, max_candidates=64, num_iters=40)
+    for b in range(3):
+        single = find_peptides(imgs[b], max_candidates=64, num_iters=40)
+        assert set(batched[b].keys()) == set(single.keys())
+        for k in single:
+            np.testing.assert_allclose(batched[b][k][:7], single[k][:7],
+                                       rtol=1e-5, atol=1e-5)
+            np.testing.assert_array_equal(batched[b][k][7], single[k][7])
