@@ -178,3 +178,53 @@ def plateau_fit_batched(intensities, max_num_drops,
             best_fit = formatted
         out.append((best_fit, br))
     return out
+
+
+def all_plateau_fits_batched(intensities, max_num_drops,
+                             storage_r_2_cutoff=0.7):
+    """Batched _all_plateau_fits over an (N, T) array
+    (MCsimlib.py:2676-2720; host port inference/photometries.py).
+
+    Scores every segmentation for every trace on device once, then emits —
+    in the reference's raw product order, duplicates included — every fit
+    whose R^2 clears the cutoff, in the reference's
+    ``(fit_with_originals, r_2, adj_r_2)`` tuple format.
+    """
+    x = np.asarray(intensities, dtype=np.float64)
+    N, T = x.shape
+    combos, product_ids = _segmentations(T, max_num_drops)
+    r2, _, n_segs, _ = _scores_all_combos(jnp.asarray(x), T, max_num_drops)
+    r2 = np.asarray(r2, dtype=np.float64)
+    n_segs = np.asarray(n_segs)
+    k = 2.0 * n_segs - 1.0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        adj = 1.0 - (1.0 - r2) * (T - 1.0) / (T - k - 1.0)[None, :]
+
+    out = []
+    for i in range(N):
+        row = x[i]
+        if len(set(row.tolist())) == 1:
+            out.append([(tuple([[(v, v) for v in row.tolist()]]), 1.0, 1.0)])
+            continue
+        fits = []
+        means_cache = {}
+        for cid in product_ids:
+            cid = int(cid)
+            if r2[i, cid] < storage_r_2_cutoff:
+                continue
+            if cid not in means_cache:
+                starts = combos[cid]
+                bounds = list(starts) + [T]
+                formatted = []
+                j = 0
+                for s in range(len(starts)):
+                    seg = row[bounds[s]:bounds[s + 1]]
+                    m = float(np.mean(seg))
+                    formatted.append([(m, row[j + t])
+                                      for t in range(len(seg))])
+                    j += len(seg)
+                means_cache[cid] = tuple(formatted)
+            fits.append((means_cache[cid], float(r2[i, cid]),
+                         float(adj[i, cid])))
+        out.append(fits)
+    return out

@@ -66,3 +66,23 @@ def test_plateau_fit_batched_faster_than_host():
         _plateau_fit(list(x[i]), max_num_drops=3)
     t_h = time.perf_counter() - t0
     assert t_b < t_h, (t_b, t_h)
+
+
+def test_all_plateau_fits_batched_matches_host():
+    from fluorosequencingimageanalysis_tpu.inference.photometries import (
+        _all_plateau_fits)
+    from fluorosequencingimageanalysis_tpu.ops.plateau_batch import (
+        all_plateau_fits_batched)
+    x = _traces(n=10, t=7)
+    batched = all_plateau_fits_batched(x, max_num_drops=2,
+                                       storage_r_2_cutoff=0.7)
+    for i in range(x.shape[0]):
+        ref = _all_plateau_fits(list(x[i]), max_num_drops=2,
+                                storage_r_2_cutoff=0.7)
+        b = batched[i]
+        assert len(ref) == len(b)
+        for (rf, rr2, radj), (bf, br2, badj) in zip(ref, b):
+            assert abs(rr2 - br2) < 1e-9 and abs(radj - badj) < 1e-9
+            rflat = [(m, o) for p in rf for (m, o) in p]
+            bflat = [(m, o) for p in bf for (m, o) in p]
+            np.testing.assert_allclose(np.asarray(rflat), np.asarray(bflat))
