@@ -44,6 +44,9 @@ class DetectConfig:
     max_candidates: int = 1024
     num_iters: int = 60
     use_pallas: bool | None = None
+    # 2 adds a theta0=90 restart covering optima across the 0/360
+    # wraparound (beyond-reference accuracy at ~2x LM cost).
+    theta_starts: int = 1
 
     from_cli = classmethod(_from_cli)
 

@@ -49,12 +49,13 @@ class SpotFindResult(NamedTuple):
 
 @functools.partial(jax.jit, static_argnames=(
     "median_filter_size", "correlation_matrix", "c_std", "r_2_threshold",
-    "consolidation_radius", "max_candidates", "num_iters", "use_pallas"))
+    "consolidation_radius", "max_candidates", "num_iters", "use_pallas",
+    "theta_starts"))
 def detect_and_fit_batch(images, median_filter_size=5,
                          correlation_matrix=None, c_std=2.0,
                          r_2_threshold=0.7, consolidation_radius=4.0,
                          max_candidates=4096, num_iters=60,
-                         use_pallas=False):
+                         use_pallas=False, theta_starts=1):
     """Jitted batched detection + fit. images: (B, H, W) float array.
 
     All per-image candidate buckets are fused into ONE lane-major LM call
@@ -77,7 +78,8 @@ def detect_and_fit_batch(images, median_filter_size=5,
     patches = jax.vmap(
         lambda img, h, w: gather_patches(img, h, w, radius=2))(images, hs, ws)
     flat = patches.reshape(B * max_candidates, 5, 5)
-    params, _cost = fit_gaussians_batched(flat, num_iters=num_iters)
+    params, _cost = fit_gaussians_batched(flat, num_iters=num_iters,
+                                          theta_starts=theta_starts)
 
     fit_imgs = gauss2d_image(params, (5, 5), dtype=images.dtype)
     r2 = r_squared(flat, fit_imgs).reshape(B, max_candidates)
