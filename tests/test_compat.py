@@ -500,3 +500,20 @@ def test_match_diagnostic_core():
             matching_p=0.1, split_cycle=0, incompatibility_threshold=None,
             compute_incompatibility_scores=False, num_mocks=1,
             num_mocks_omitted=0, num_edmans=-1)
+
+
+def test_imageio_read_and_convert(tmp_path):
+    from PIL import Image as PILImage
+    from fluorosequencingimageanalysis_tpu.utils.imageio import (
+        read_image, convert_image, read_image_array)
+    rng = np.random.default_rng(5)
+    arr = (rng.uniform(0, 60000, (32, 32))).astype(np.uint16)
+    tif = str(tmp_path / "img.tif")
+    PILImage.fromarray(arr).save(tif)
+    out_png = convert_image(tif)
+    assert out_png.endswith(".png")
+    np.testing.assert_array_equal(read_image_array(out_png), arr)
+    # read_image prefers the converted sibling PNG (pflib convention)
+    converted_path, image = read_image(tif)
+    assert converted_path == out_png
+    np.testing.assert_array_equal(image, arr)
