@@ -25,8 +25,12 @@ Layout:
     pipeline/  host-side experiment layer (Spots, Images, Traces, Experiments)
     inference/ calibration + lognormal fitting + background correction
     sim/       Monte-Carlo peptide simulator
-    utils/     config, hashing, IO, artifact naming
-    apps/      CLI entry points compatible with the reference scripts
+    native/    C++ runtime components (ctypes C ABI)
+    utils/     hashing, IO, visualization, profiling, checkpointing
+    api.py     Pipeline facade; config.py typed configs
+
+Reference-compatible CLI entry points live as top-level scripts
+(basic_image_script.py etc.), matching the reference's layout.
 """
 
 __version__ = "0.1.0"
