@@ -84,11 +84,20 @@ class Pipeline:
                 x = shard_fields(jnp.asarray(stack), mesh)
                 with mesh:
                     out = experiment_step_sharded(
-                        x, mesh, max_candidates=mc, max_spots=max_spots,
+                        x, mesh,
+                        median_filter_size=det.median_filter_size,
+                        c_std=det.c_std,
+                        r_2_threshold=det.r_2_threshold,
+                        consolidation_radius=det.consolidation_radius,
+                        max_candidates=mc, max_spots=max_spots,
                         num_iters=det.num_iters,
+                        theta_starts=det.theta_starts,
+                        use_pallas=det.use_pallas,
                         upsample_factor=reg.upsample_factor,
+                        photometry_method=phot.method,
                         photometry_radius=phot.radius,
-                        photometry_brim=phot.brim_size)
+                        photometry_brim=phot.brim_size,
+                        photometry_min=phot.photometry_min)
                 return {k: np.asarray(v) for k, v in out.items()}
 
         if self.store is not None:

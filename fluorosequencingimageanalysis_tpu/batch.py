@@ -140,6 +140,17 @@ def parallel_image_batch(image_paths, find_peptides_parameters=None,
         return image_batch(image_paths,
                            find_peptides_parameters=find_peptides_parameters,
                            timestamp_epoch=timestamp_epoch)
+    # find_peptides-only knobs (the MC fitter's and the explicit
+    # fit_type='gauss') are not find_peptides_batch parameters; passing
+    # them through would TypeError and push every group onto the slow
+    # per-image fallback.
+    batch_parameters = {k: v for k, v in find_peptides_parameters.items()
+                        if k not in ("fit_type", "N_iter", "rng_seed",
+                                     "candidate_pixels")}
+    if find_peptides_parameters.get("candidate_pixels") is not None:
+        return image_batch(image_paths,
+                           find_peptides_parameters=find_peptides_parameters,
+                           timestamp_epoch=timestamp_epoch)
     from .models.detect import find_peptides_batch
     image_paths = list(dict.fromkeys(os.path.abspath(p)
                                      for p in image_paths))
@@ -163,8 +174,7 @@ def parallel_image_batch(image_paths, find_peptides_parameters=None,
         stack = np.stack([img for _, _, img in group])
         try:
             with _stage("detect/find_peptides_batch"):
-                psfs_list = find_peptides_batch(stack,
-                                                **find_peptides_parameters)
+                psfs_list = find_peptides_batch(stack, **batch_parameters)
         except Exception:
             logger.exception("parallel_image_batch: batched detection "
                              "failed for shape %s; falling back per-image",

@@ -10,7 +10,6 @@ The photometries dict convention (the compatibility surface):
 from __future__ import annotations
 
 import csv
-import math
 import itertools
 
 import numpy as np
@@ -22,9 +21,7 @@ def _pairwise(iterable):
     return zip(a, b)
 
 
-def _py2_round(x):
-    """Python-2 round: half away from zero (the reference is Py2)."""
-    return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
+from ..utils.rounding import py2_round as _py2_round  # noqa: E402
 
 
 def read_track_photometries_csv(path, downstep_filtered=False, head_truncate=0,
@@ -137,8 +134,11 @@ def _plateau_fit(intensities, max_num_drops, include_original_intensities=False,
     """Exhaustive drop-position plateau fit (MCsimlib.py:2597-2673)."""
     best_fit, best_r_2, best_adj_r_2 = None, -1, -1
     if len(set(intensities)) == 1:
-        best_fit, best_r_2, best_adj_r_2 = \
-            [[x for x in intensities]], 1.0, 1.0
+        # The reference assigns the 1.0 to a dead variable (a
+        # `best_adjusted_r2` typo, MCsimlib.py:2604), so under
+        # use_adjusted_r_2=True a uniform trace returns r_2 == -1.
+        # Replicated bug-for-bug: callers key off that sentinel.
+        best_fit, best_r_2 = [[x for x in intensities]], 1.0
     else:
         for drops in itertools.product(range(len(intensities)),
                                        repeat=max_num_drops):
@@ -160,8 +160,12 @@ def _plateau_fit(intensities, max_num_drops, include_original_intensities=False,
                 continue
             if use_adjusted_r_2:
                 k = 2.0 * len(plateau_fits) - 1.0
-                adj = (1.0 - (1.0 - r_2) * (len(intensities) - 1.0) /
-                       (len(intensities) - k - 1.0))
+                # len(intensities) == k + 1 makes the denominator zero;
+                # the reference's numpy scalars yield inf/nan there (and a
+                # RuntimeWarning) — keep the values, silence the warning.
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    adj = (1.0 - (1.0 - r_2) * (len(intensities) - 1.0) /
+                           np.float64(len(intensities) - k - 1.0))
                 if best_fit is None or len(plateau_fits) <= len(best_fit):
                     if adj > best_adj_r_2:
                         best_fit, best_adj_r_2 = plateau_fits, adj

@@ -30,6 +30,7 @@ from ..ops.consolidate import consolidate
 from ..ops.gaussian import gauss2d_image
 from ..ops.lm import fit_gaussians_batched
 from ..ops.quality import illumina_s_n, r_squared, rmse
+from ..utils.rounding import py2_round
 
 
 class SpotFindResult(NamedTuple):
@@ -208,7 +209,9 @@ def _psfs_from_arrays(image, idx, params, center_h, center_w, rm, r2, sn,
         psf = (h_0, w_0, float(p[0]), float(p[1]), float(p[4]), float(p[5]),
                float(p[6]), sub_img, fit_img, float(rm[i]), float(r2[i]),
                float(sn[i]))
-        key = (int(round(h_0)), int(round(w_0)))
+        # Py2 half-away-from-zero rounding keeps keys identical to the
+        # reference's (pflib.py:513-519 under Python 2 round()).
+        key = (py2_round(h_0), py2_round(w_0))
         out.setdefault(key, psf)
     return out
 

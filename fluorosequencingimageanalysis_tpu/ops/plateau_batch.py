@@ -147,7 +147,11 @@ def plateau_fit_batched(intensities, max_num_drops,
     for i in range(N):
         row = x[i]
         if len(set(row.tolist())) == 1:
-            best_fit, br = [[v for v in row.tolist()]], 1.0
+            # Reference typo parity (MCsimlib.py:2604 assigns a dead
+            # `best_adjusted_r2`): under use_adjusted_r_2 a uniform trace
+            # reports r_2 == -1, not 1.0.
+            best_fit = [[v for v in row.tolist()]]
+            br = -1 if use_adjusted_r_2 else 1.0
         elif best_id[i] < 0:
             out.append((None, -1))
             continue

@@ -56,31 +56,49 @@ def shard_fields(stack, mesh):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("mesh", "max_candidates", "max_spots", "num_iters",
-                     "upsample_factor", "photometry_radius",
-                     "photometry_brim"))
-def experiment_step_sharded(stack, mesh, max_candidates=256, max_spots=None,
-                            num_iters=30, upsample_factor=10,
-                            photometry_radius=9, photometry_brim=6):
+    static_argnames=("mesh", "median_filter_size", "c_std", "r_2_threshold",
+                     "consolidation_radius", "max_candidates", "max_spots",
+                     "num_iters", "theta_starts", "use_pallas",
+                     "upsample_factor", "photometry_method",
+                     "photometry_radius", "photometry_brim",
+                     "photometry_min"))
+def experiment_step_sharded(stack, mesh, median_filter_size=5, c_std=2.0,
+                            r_2_threshold=0.7, consolidation_radius=4.0,
+                            max_candidates=256, max_spots=None,
+                            num_iters=30, theta_starts=1, use_pallas=None,
+                            upsample_factor=10,
+                            photometry_method="mexican_hat",
+                            photometry_radius=9, photometry_brim=6,
+                            photometry_min=None):
     """One full experiment step over a [fields, cycles, H, W] stack.
 
     Stages (all inside one jitted program, partitioned over the mesh):
       1. registration: phase-correlate consecutive cycles per field,
-      2. detection + batched LM PSF fit on every (field, cycle) image,
+      2. detection + batched LM PSF fit on every (field, cycle) image
+         (median_filter_size/c_std/r_2_threshold/consolidation_radius/
+         theta_starts plumb straight into models.detect.detect_and_fit_batch),
       3. compaction of surviving spots into a [max_spots] bucket,
-      4. photometry (mexican hat) at the surviving spots only.
+      4. photometry at the surviving spots only (photometry_method one of
+         'mexican_hat', 'simple', 'maximum', 'gaussian_volume'; a
+         photometry_min floor is applied when set, flexlibrary.py:3471).
 
     Returns a dict of sharded arrays:
-      offsets_h/w: [F, C] per-cycle offsets
-      params:      [F, C, K, 7] PSF fits
-      keep:        [F, C, K] surviving-fit mask
-      spot_h/w:    [F, C, S] compacted surviving-spot centers
-      spot_valid:  [F, C, S]
-      photometry:  [F, C, S] mexican-hat photometries at the kept spots
+      offsets_h/w:   [F, C] per-cycle offsets
+      params:        [F, C, K, 7] PSF fits
+      keep:          [F, C, K] surviving-fit mask
+      cand_count:    [F, C] true candidate count (> max_candidates means
+                     the weakest candidates were dropped)
+      spot_h/w:      [F, C, S] compacted surviving-spot centers
+      spot_valid:    [F, C, S]
+      spot_count:    [F, C] surviving-fit count (> max_spots means the
+                     lowest-R^2 survivors were dropped from the bucket —
+                     never silently: check spot_overflow)
+      spot_overflow: [F, C] bool, spot_count > max_spots
+      photometry:    [F, C, S] photometries at the kept spots
     """
     from ..models.detect import detect_and_fit_batch
     from ..ops.registration import phase_correlate_stack
-    from ..ops.photometry import mexican_hat_batch
+    from ..ops import photometry as phot_ops
 
     F, C, H, W = stack.shape
     data_spec = NamedSharding(mesh, P("data", None, None, None))
@@ -98,8 +116,18 @@ def experiment_step_sharded(stack, mesh, max_candidates=256, max_spots=None,
     # also how the fused Pallas kernel partitions, since custom calls are
     # not auto-partitionable by GSPMD).
     imgs = stack.reshape(F * C, H, W)
-    use_pallas = jax.default_backend() in ("tpu", "axon")
+    if use_pallas is None:
+        use_pallas = jax.default_backend() in ("tpu", "axon")
     n_data = mesh.shape["data"]
+
+    def detect_shard(im):
+        return detect_and_fit_batch(
+            im, median_filter_size=median_filter_size, c_std=c_std,
+            r_2_threshold=r_2_threshold,
+            consolidation_radius=consolidation_radius,
+            max_candidates=max_candidates, num_iters=num_iters,
+            use_pallas=use_pallas, theta_starts=theta_starts)
+
     if n_data > 1:
         import inspect
         try:
@@ -110,11 +138,6 @@ def experiment_step_sharded(stack, mesh, max_candidates=256, max_spots=None,
         _kw = ("check_vma" if "check_vma" in
                inspect.signature(shard_map).parameters else "check_rep")
 
-        def detect_shard(im):
-            return detect_and_fit_batch(im, max_candidates=max_candidates,
-                                        num_iters=num_iters,
-                                        use_pallas=use_pallas)
-
         example = jax.eval_shape(detect_shard, imgs)
         out_specs = jax.tree_util.tree_map(
             lambda s: P(*(["data"] + [None] * (len(s.shape) - 1))), example)
@@ -122,9 +145,7 @@ def experiment_step_sharded(stack, mesh, max_candidates=256, max_spots=None,
                         in_specs=P("data", None, None),
                         out_specs=out_specs, **{_kw: False})(imgs)
     else:
-        res = detect_and_fit_batch(imgs, max_candidates=max_candidates,
-                                   num_iters=num_iters,
-                                   use_pallas=use_pallas)
+        res = detect_shard(imgs)
     params = jax.lax.with_sharding_constraint(
         res.params.reshape(F, C, max_candidates, 7),
         NamedSharding(mesh, P("data", None, "model", None)))
@@ -133,10 +154,13 @@ def experiment_step_sharded(stack, mesh, max_candidates=256, max_spots=None,
     cw = res.center_w.reshape(F, C, max_candidates)
 
     # 3. Compact surviving spots into a small static bucket so photometry
-    # only touches real spots (typically ~10% of candidates).
+    # only touches real spots (typically ~10% of candidates). Overflow is
+    # REPORTED (spot_count/spot_overflow), mirroring the candidate stage's
+    # cand_count contract — no silent truncation.
     if max_spots is None:
         max_spots = max(min(max_candidates, 512), 8)
     keep_flat = keep.reshape(F * C, max_candidates)
+    spot_count = jnp.sum(keep_flat, axis=-1, dtype=jnp.int32)
     score = jnp.where(keep_flat, res.r2.reshape(F * C, -1), -jnp.inf)
     top_score, top_idx = jax.lax.top_k(score, max_spots)
     spot_valid = top_score > -jnp.inf
@@ -146,23 +170,46 @@ def experiment_step_sharded(stack, mesh, max_candidates=256, max_spots=None,
     sw = jnp.take_along_axis(cw_flat, top_idx, axis=-1)
 
     # 4. Photometry at the (rounded) kept-spot centers.
-    r = photometry_radius
-    rch = jnp.clip(jnp.round(sh).astype(jnp.int32), r, H - r - 1)
-    rcw = jnp.clip(jnp.round(sw).astype(jnp.int32), r, W - r - 1)
+    if photometry_method == "gaussian_volume":
+        # A * sigma_h * sigma_w * 1e6 from the fit itself
+        # (flexlibrary.py:212-230) — no image access needed.
+        p_flat = res.params.reshape(F * C, max_candidates, 7)
+        pk = jax.vmap(lambda p, i: jnp.take(p, i, axis=0))(p_flat, top_idx)
+        phot = 1e6 * pk[..., 1] * pk[..., 4] * pk[..., 5]
+    else:
+        r = {"mexican_hat": photometry_radius, "simple": 2,
+             "maximum": 5}[photometry_method]
+        rch = jnp.clip(jnp.round(sh).astype(jnp.int32), r, H - r - 1)
+        rcw = jnp.clip(jnp.round(sw).astype(jnp.int32), r, W - r - 1)
 
-    def phot_one(img, hs, ws):
-        return mexican_hat_batch(img, hs, ws, brim_size=photometry_brim,
-                                 radius=r)
-
-    phot = jax.vmap(phot_one)(imgs, rch, rcw)
+        if photometry_method == "mexican_hat":
+            def phot_one(img, hs, ws):
+                return phot_ops.mexican_hat_batch(
+                    img, hs, ws, brim_size=photometry_brim,
+                    radius=photometry_radius)
+        elif photometry_method == "simple":
+            def phot_one(img, hs, ws):
+                return phot_ops.simple_batch(img, hs, ws, radius=2)
+        elif photometry_method == "maximum":
+            def phot_one(img, hs, ws):
+                return phot_ops.maximum_batch(img, hs, ws, radius=5)
+        else:
+            raise ValueError("unknown photometry_method: " +
+                             repr(photometry_method))
+        phot = jax.vmap(phot_one)(imgs, rch, rcw)
+    if photometry_min is not None:
+        phot = jnp.maximum(phot, photometry_min)
     phot = phot.reshape(F, C, max_spots) * spot_valid.reshape(F, C, -1)
 
     return {
         "offsets_h": off_h, "offsets_w": off_w,
         "params": params, "keep": keep,
         "center_h": ch, "center_w": cw,
+        "cand_count": res.cand_count.reshape(F, C),
         "spot_h": sh.reshape(F, C, max_spots),
         "spot_w": sw.reshape(F, C, max_spots),
         "spot_valid": spot_valid.reshape(F, C, max_spots),
+        "spot_count": spot_count.reshape(F, C),
+        "spot_overflow": (spot_count > max_spots).reshape(F, C),
         "photometry": phot,
     }

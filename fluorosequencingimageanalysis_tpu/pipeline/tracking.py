@@ -61,9 +61,7 @@ def round_coordinates(h, w):
     return int(_py2_round(h)), int(_py2_round(w))
 
 
-def _py2_round(x):
-    """Python-2 round: halves away from zero (the reference's rounding)."""
-    return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+from ..utils.rounding import py2_round as _py2_round  # noqa: E402
 
 
 def discard_dropouts(spots, spot_cumulative_offsets, frame_cumulative_offsets,
