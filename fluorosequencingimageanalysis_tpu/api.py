@@ -81,7 +81,15 @@ class Pipeline:
         def compute():
             with self._stage("api/run_stack"):
                 mesh = self.mesh
-                x = shard_fields(jnp.asarray(stack), mesh)
+                # Pad the fields axis up to a multiple of the data-axis size
+                # (sharding needs even shards); padding replicates the last
+                # field and is sliced off the outputs below.
+                F = stack.shape[0]
+                n_data = mesh.shape["data"]
+                pad = (-F) % n_data
+                padded = stack if pad == 0 else np.concatenate(
+                    [stack, np.repeat(stack[-1:], pad, axis=0)])
+                x = shard_fields(jnp.asarray(padded), mesh)
                 with mesh:
                     out = experiment_step_sharded(
                         x, mesh,
@@ -98,7 +106,7 @@ class Pipeline:
                         photometry_radius=phot.radius,
                         photometry_brim=phot.brim_size,
                         photometry_min=phot.photometry_min)
-                return {k: np.asarray(v) for k, v in out.items()}
+                return {k: np.asarray(v)[:F] for k, v in out.items()}
 
         if self.store is not None:
             from .utils.checkpoint import content_key

@@ -170,6 +170,10 @@ def experiment_step_sharded(stack, mesh, median_filter_size=5, c_std=2.0,
     sw = jnp.take_along_axis(cw_flat, top_idx, axis=-1)
 
     # 4. Photometry at the (rounded) kept-spot centers.
+    if photometry_method not in ("mexican_hat", "simple", "maximum",
+                                 "gaussian_volume"):
+        raise ValueError("unknown photometry_method: " +
+                         repr(photometry_method))
     if photometry_method == "gaussian_volume":
         # A * sigma_h * sigma_w * 1e6 from the fit itself
         # (flexlibrary.py:212-230) — no image access needed.
