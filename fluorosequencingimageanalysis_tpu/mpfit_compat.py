@@ -5,9 +5,10 @@ The reference vendors the MINPACK-lineage ``mpfit`` class
 pipeline reaches it through agpy's gaussfit. This module reproduces the
 *interface contract* — the ``fcn(p, fjac=None, **functkw) -> [status,
 residuals]`` callback, the ``parinfo`` semantics (value / fixed / limited /
-limits / tied / parname), and the result attributes (params, perror, covar,
-fnorm, niter, nfev, status, errmsg, dof) — on top of scipy's bounded
-trust-region least squares. It is NOT a port of mpfit's internals: the
+limits / tied / parname / step / relstep / mpside; mpmaxstep raises
+NotImplementedError — the reference pipeline never sets it), and the result
+attributes (params, perror, covar, fnorm, niter, nfev, status, errmsg,
+dof) — on top of scipy's bounded trust-region least squares. It is NOT a port of mpfit's internals: the
 pipeline's hot path (thousands of 5x5 PSF fits) runs on the batched
 lane-major TPU LM in ops/lm.py; this class exists for API parity with
 user code that drives mpfit directly.
@@ -64,6 +65,23 @@ class mpfit:
         ptied = [str(t) if t else "" for t in pinfo("tied", "")]
         self.parnames = pinfo("parname", "")
         qanytied = any(t.strip() for t in ptied)
+        # Finite-difference controls (mpfit.py:935-965): 'step' is an
+        # ABSOLUTE step, 'relstep' a relative one, 'mpside' the sidedness
+        # (0/1 -> forward, -1 -> backward, 2 -> central).
+        steps = [float(s) for s in pinfo("step", 0.0)]
+        relsteps = [float(s) for s in pinfo("relstep", 0.0)]
+        mpsides = [int(s) for s in pinfo("mpside", 0)]
+        # 'mpmaxstep' (max parameter change per iteration, mpfit.py:966-982)
+        # constrains the optimizer's trust region per-parameter, which the
+        # scipy TRF backend cannot express. The reference pipeline never
+        # sets it (gaussfitter builds parinfo without it); refuse loudly
+        # rather than silently ignore.
+        if any(float(s) != 0.0 for s in pinfo("mpmaxstep", 0.0)):
+            raise NotImplementedError(
+                "parinfo['mpmaxstep'] is not supported by the scipy-backed "
+                "mpfit compatibility driver (the reference pipeline never "
+                "uses it; drive the batched ops.lm fitter for bounded "
+                "per-step control).")
 
         free_idx = [i for i in range(npar)
                     if not fixed[i] and not ptied[i].strip()]
@@ -114,11 +132,50 @@ class mpfit:
                 fvec = np.tanh(fvec / damp) * damp
             return fvec
 
+        # Custom finite-difference Jacobian honoring per-parameter
+        # step/relstep/mpside (fdjac2 semantics, mpfit.py:1512-1612:
+        # explicit steps win over the machine-epsilon default, and the
+        # step flips sign away from a violated upper bound).
+        use_custom_fd = any(steps[i] or relsteps[i] or mpsides[i] == 2 or
+                            mpsides[i] == -1 for i in free_idx)
+        machep_sqrt = np.sqrt(np.finfo(float).eps)
+
+        def fd_jacobian(xfree):
+            f0 = residuals(xfree)
+            m = f0.size
+            jac = np.zeros((m, nfree))
+            for a, i in enumerate(free_idx):
+                h = machep_sqrt * abs(xfree[a])
+                if steps[i]:
+                    h = steps[i]
+                if relsteps[i]:
+                    h = relsteps[i] * abs(xfree[a])
+                if h == 0.0:
+                    h = machep_sqrt
+                side = mpsides[i]
+                if side != 2:
+                    if side == -1:
+                        h = -h
+                    # Bound-aware sign flip (mpfit.py:1566-1570).
+                    if limited[i][1] and xfree[a] + h > limits[i][1]:
+                        h = -h
+                    xp = xfree.copy()
+                    xp[a] = xfree[a] + h
+                    jac[:, a] = (residuals(xp) - f0) / h
+                else:
+                    xp, xm = xfree.copy(), xfree.copy()
+                    xp[a] = xfree[a] + h
+                    xm[a] = xfree[a] - h
+                    jac[:, a] = (residuals(xp) - residuals(xm)) / (2 * h)
+            return jac
+
         x0 = np.clip(xall[free_idx], lo, hi)
         try:
             sol = least_squares(residuals, x0, bounds=(lo, hi),
                                 method="trf", ftol=ftol, xtol=xtol,
                                 gtol=gtol,
+                                jac=fd_jacobian if use_custom_fd
+                                else "2-point",
                                 max_nfev=maxiter * (nfree + 1))
         except Exception as e:  # pragma: no cover - defensive
             self.errmsg = "ERROR: " + str(e)

@@ -375,6 +375,38 @@ def test_mpfit_class_contract():
     assert m5.status == 0 and "limits" in m5.errmsg
 
 
+def test_mpfit_fd_step_semantics_vs_true_mpfit():
+    """parinfo step/relstep/mpside drive the finite-difference Jacobian
+    exactly as the reference's fdjac2 (mpfit.py:1512-1612); validated
+    head-to-head against the vendored true-mpfit oracle."""
+    from mpfit import mpfit
+    import mpfit_oracle
+
+    x = np.linspace(0, 10, 50)
+    rng = np.random.default_rng(5)
+    y = 2.5 - 1.3 * x + 0.7 * x ** 2 + rng.normal(0, 0.05, 50)
+
+    def fcn(p, fjac=None):
+        return [0, (y - (p[0] + p[1] * x + p[2] * x ** 2))]
+
+    parinfo = [{"value": 1.0, "step": 0.05, "mpside": 2},
+               {"value": 1.0, "relstep": 0.01},
+               {"value": 1.0, "mpside": -1}]
+    ours = mpfit(fcn, parinfo=[dict(p) for p in parinfo])
+    theirs = mpfit_oracle.mpfit(fcn, parinfo=[dict(p) for p in parinfo],
+                                quiet=1)
+    assert ours.status > 0 and theirs.status > 0
+    np.testing.assert_allclose(ours.params, theirs.params, rtol=1e-5,
+                               atol=1e-6)
+
+    # mpmaxstep is per-iteration trust-region control the scipy backend
+    # cannot express: refuse loudly (the reference pipeline never sets it).
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError):
+        mpfit(fcn, parinfo=[{"value": 1.0, "mpmaxstep": 0.5},
+                            {"value": 1.0}, {"value": 1.0}])
+
+
 def test_mpfitexpr():
     from mpfitexpr import mpfitexpr
     rng = np.random.default_rng(1)
