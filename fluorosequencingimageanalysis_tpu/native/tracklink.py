@@ -1,0 +1,107 @@
+"""ctypes binding for the native greedy-tracking core (tracklink.cpp).
+
+The linking semantics (reference flexlibrary.py:679-1027) live in C++; this
+module only marshals arrays. Builds ``_tracklink.so`` on first use (g++
+-O3), cached next to the source; ``have_native()`` gates the fallback to
+the pure-NumPy path in pipeline/tracking.py.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "tracklink.cpp")
+_SO = os.path.join(_HERE, "_tracklink.so")
+
+_lock = threading.Lock()
+_lib = None
+_load_failed = False
+
+
+def _build() -> bool:
+    for extra in (["-march=native"], []):
+        cmd = (["g++", "-O3"] + extra +
+               ["-shared", "-fPIC", "-std=c++17", _SRC, "-o", _SO])
+        try:
+            subprocess.run(cmd, check=True, capture_output=True, timeout=300)
+            return True
+        except Exception:
+            continue
+    return False
+
+
+def _load():
+    global _lib, _load_failed
+    if _lib is not None or _load_failed:
+        return _lib
+    with _lock:
+        if _lib is not None or _load_failed:
+            return _lib
+        if not os.path.exists(_SO) or (os.path.exists(_SRC) and
+                                       os.path.getmtime(_SO) <
+                                       os.path.getmtime(_SRC)):
+            if not _build():
+                _load_failed = True
+                return None
+        try:
+            lib = ctypes.CDLL(_SO)
+            fn = lib.trk_greedy_link
+            fn.restype = ctypes.c_int
+            fn.argtypes = [
+                np.ctypeslib.ndpointer(np.float64, flags="C"),  # h
+                np.ctypeslib.ndpointer(np.float64, flags="C"),  # w
+                np.ctypeslib.ndpointer(np.int32, flags="C"),    # frame_start
+                ctypes.c_int32, ctypes.c_int32,                 # frames/spots
+                ctypes.c_int32, ctypes.c_int32,                 # H, W
+                ctypes.c_double,                                # radius
+                np.ctypeslib.ndpointer(np.int32, flags="C"),    # out_ancestor
+                np.ctypeslib.ndpointer(np.int32, flags="C"),    # out_desc
+                np.ctypeslib.ndpointer(np.int64, flags="C"),    # err_out
+            ]
+            _lib = lib
+        except Exception:
+            _load_failed = True
+    return _lib
+
+
+def have_native() -> bool:
+    return _load() is not None
+
+
+def greedy_link(h, w, frame_start, frame_shape, candidate_radius):
+    """Run the C++ linker on offset-adjusted positions.
+
+    h, w: (n_spots,) float64, frame-major, ALREADY offset-adjusted.
+    frame_start: (n_frames + 1,) int32 prefix offsets into h/w.
+    Returns (ancestor, descendant): per-spot global links, -1 for none.
+    Raises AssertionError on a shared bin (reference precondition).
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native tracklink unavailable (g++ build failed)")
+    h = np.ascontiguousarray(h, dtype=np.float64)
+    w = np.ascontiguousarray(w, dtype=np.float64)
+    frame_start = np.ascontiguousarray(frame_start, dtype=np.int32)
+    n_spots = int(h.shape[0])
+    n_frames = int(frame_start.shape[0]) - 1
+    anc = np.empty(n_spots, dtype=np.int32)
+    desc = np.empty(n_spots, dtype=np.int32)
+    err = np.zeros(2, dtype=np.int64)
+    rc = lib.trk_greedy_link(h, w, frame_start, np.int32(n_frames),
+                             np.int32(n_spots),
+                             np.int32(frame_shape[0]),
+                             np.int32(frame_shape[1]),
+                             float(candidate_radius), anc, desc, err)
+    if rc != 0:
+        W = int(frame_shape[1])
+        cell = int(err[1])
+        raise AssertionError(
+            str((cell // W, cell % W)) + " is already filled in frame_bins["
+            + str(int(err[0])) + "]")
+    return anc, desc

