@@ -116,6 +116,83 @@ class Pipeline:
                                              meta={"stage": "run_stack"})
         return compute()
 
+    def run_experiment(self, stacks, csv_path=None, max_candidates=None,
+                       max_spots=None, candidate_radius=2):
+        """The flagship workflow, one call: align + detect/fit + track +
+        interpolate + categorize + track-photometries CSV.
+
+        Arguments:
+            stacks: a [F, C, H, W] array (single channel, named 'ch1') or a
+                dict {channel_name: [F, C, H, W] array}.
+            csv_path: if given, write the reference-schema
+                ``CHANNEL,FIELD,H,W,CATEGORY,FRAME i...`` CSV there
+                (flexlibrary.py:2755-2892 with save_averages=False,
+                interpolate=True — the basic_experiment_script config).
+
+        Returns a dict:
+            rows: list of (channel, field, h, w, category, photometries)
+            category_counts: {channel: {field: {category: count}}}
+            filtered_category_counts: same, one-drop monotone patterns only
+                (tuple(sorted(bt, reverse=True)) == bt,
+                flexlibrary.py:2894-2946)
+            offsets: {channel: (off_h [F, C], off_w [F, C])}
+            csv_path: echo of the written file (or None)
+
+        Equality with the class-based path (SequenceExperiment ->
+        MultifieldMultichannelSequenceExperiment.track_photometries_as_csv)
+        is proven row-by-row in tests/test_fast_experiment.py. MDMA /
+        adjustment_function workflows still go through the classes.
+        """
+        from .pipeline.fast_experiment import _spot_lists, \
+            run_experiment_field
+
+        if not isinstance(stacks, dict):
+            stacks = {"ch1": stacks}
+        det = self.config.detect
+        phot = self.config.photometry
+        rows = []
+        category_counts = {}
+        offsets_out = {}
+        for channel, stack in stacks.items():
+            stack = np.asarray(stack, dtype=np.float32)
+            F, C, H, W = stack.shape
+            out = self.run_stack(stack, max_candidates=max_candidates,
+                                 max_spots=max_spots)
+            rhs, rws = _spot_lists(out, F, C, H, W)
+            offsets_out[channel] = (out["offsets_h"], out["offsets_w"])
+            with self._stage("api/run_experiment/track+photometry"):
+                for f in range(F):
+                    offs = [(float(out["offsets_h"][f, c]),
+                             float(out["offsets_w"][f, c]))
+                            for c in range(C)]
+                    field_rows = run_experiment_field(
+                        stack[f], offs, (rhs[f], rws[f]),
+                        photometry_radius=phot.radius,
+                        photometry_brim=phot.brim_size,
+                        candidate_radius=candidate_radius)
+                    for (cat, h0, w0, ph) in field_rows:
+                        rows.append((channel, f, h0, w0, cat, ph))
+                        category_counts.setdefault(channel, {}) \
+                            .setdefault(f, {}).setdefault(cat, 0)
+                        category_counts[channel][f][cat] += 1
+        filtered = {ch: {f: {cat: n for cat, n in d.items()
+                             if tuple(sorted(cat, reverse=True)) == cat}
+                         for f, d in by_f.items()}
+                    for ch, by_f in category_counts.items()}
+        if csv_path is not None:
+            import csv as csv_module
+            C = next(iter(stacks.values())).shape[1]
+            with open(csv_path, "w", newline="") as fh:
+                writer = csv_module.writer(fh, dialect="excel")
+                writer.writerow(["CHANNEL", "FIELD", "H", "W", "CATEGORY"] +
+                                ["FRAME " + str(i) for i in range(C)])
+                for (channel, f, h0, w0, cat, ph) in rows:
+                    writer.writerow([str(channel), str(f), str(h0), str(w0),
+                                     str(cat)] + [str(v) for v in ph])
+        return {"rows": rows, "category_counts": category_counts,
+                "filtered_category_counts": filtered,
+                "offsets": offsets_out, "csv_path": csv_path}
+
     def run_files(self, paths_by_cycle, **kwargs):
         """Like run_stack, from image files: paths_by_cycle is a list (per
         cycle) of lists (per field) of image paths."""

@@ -13,6 +13,8 @@ from collections import defaultdict
 from itertools import product
 
 import numpy as np
+
+from ..utils.rounding import py2_round as _py2_round
 from scipy.stats import norm
 
 
@@ -190,7 +192,7 @@ def iterative_peak_finding(boc_raw, boc_percent, ac_average, ac_std,
         updated_percent = counts_to_percent(
             updated_raw, include_remainders=False,
             include_multidrop=include_multidrop, max_cycle=num_cycles + 1)
-    updated_raw = {k: int(round(c)) for k, c in updated_raw.items()}
+    updated_raw = {k: _py2_round(c) for k, c in updated_raw.items()}
     return peak_list, undefined_peaks, updated_raw, updated_percent
 
 
@@ -237,7 +239,7 @@ def iterative_peak_finding_v2(boc_raw, boc_percent, ac_average, ac_std,
         updated_percent = counts_to_percent(
             updated_raw, include_remainders=False,
             include_multidrop=include_multidrop, max_cycle=num_cycles + 1)
-    updated_raw = {k: int(round(c)) for k, c in updated_raw.items()}
+    updated_raw = {k: _py2_round(c) for k, c in updated_raw.items()}
     return peak_list, undefined_peaks, updated_raw, updated_percent
 
 
@@ -298,7 +300,7 @@ def iterative_peak_finding_v3(boc_raw, boc_percent, ac_average, ac_std,
         updated_percent = counts_to_percent(
             updated_raw, include_remainders=False,
             include_multidrop=include_multidrop, max_cycle=num_cycles)
-    updated_raw = {k: int(round(c)) for k, c in updated_raw.items()}
+    updated_raw = {k: _py2_round(c) for k, c in updated_raw.items()}
     if sigma_subtract is not None:
         if set(ac_average.keys()) != set(ac_std.keys()):
             raise ValueError("ac_average and ac_std keys don't match.")
@@ -306,7 +308,7 @@ def iterative_peak_finding_v3(boc_raw, boc_percent, ac_average, ac_std,
             if percent == 0:
                 continue
             ratio = (float(percent + ac_std.get(k, 0)) / percent)
-            updated_raw[k] = int(round(updated_raw[k] * ratio))
+            updated_raw[k] = _py2_round(updated_raw[k] * ratio)
         updated_percent = counts_to_percent(
             updated_raw, include_remainders=False,
             include_multidrop=include_multidrop, max_cycle=num_cycles)
@@ -385,5 +387,5 @@ def expected_background(background_boc_raw, background_boc_percent, ac_std):
         expected = 0.0
         for t in range(int(math.ceil(sigma * 7.0))):
             expected += na.pdf(t - 0.5) * t
-        expected_counts.setdefault(k, int(round(expected)))
+        expected_counts.setdefault(k, _py2_round(expected))
     return expected_counts

@@ -18,6 +18,8 @@ from operator import mul
 from os.path import basename
 
 import numpy as np
+
+from ..utils.rounding import py2_round as _py2_round
 from scipy.stats import norm
 from sklearn.cluster import KMeans
 from sklearn.mixture import BayesianGaussianMixture, GaussianMixture
@@ -395,7 +397,7 @@ def _translate_plateaus_into_signal_3(plateaus, originals_included=False,
     for p1, p2 in _pairwise(plateaus):
         if p1[0] < p2[0]:
             raise Exception
-    scale_f = {p[0]: int(round(float(p[0]) / fluor_intensity))
+    scale_f = {p[0]: _py2_round(float(p[0]) / fluor_intensity)
                for p in plateaus}
     cumulative_index = -1
     plateau_ends = []

@@ -13,6 +13,8 @@ from random import choice
 
 import numpy as np
 
+from .utils.rounding import py2_round as _py2_round
+
 
 def _pairwise(iterable):
     a, b = itertools.tee(iterable)
@@ -211,7 +213,7 @@ def diff_signals(boc_signals, ac_signals, zero_only=True,
     for key in set(filtered_boc) | set(filtered_ac):
         boc_count = filtered_boc.get(key, 0)
         ac_count = filtered_ac.get(key, 0)
-        diff[key] = int(round(boc_count - ac_count * normalization_ratio))
+        diff[key] = _py2_round(boc_count - ac_count * normalization_ratio)
     if filter_negatives:
         diff = {key: count for key, count in diff.items() if count > 0}
     if percent_change:
@@ -653,10 +655,10 @@ def match_diagnostic(all_simulations, observed_signals, metric,
         _best(_correlate(None))
     plot_signals, plot_molecular_signals = all_simulations[optimal_pbu]
     normalized_plot_signals = {
-        k2: int(round(count * normalization_factor))
+        k2: _py2_round(count * normalization_factor)
         for k2, count in plot_signals.items()}
     normalized_plot_molecular_signals = {
-        k2: int(round(count * normalization_factor))
+        k2: _py2_round(count * normalization_factor)
         for k2, count in plot_molecular_signals.items()}
     diff_plot_signals = {
         k2: float(observed_count - normalized_plot_signals[k2]) /

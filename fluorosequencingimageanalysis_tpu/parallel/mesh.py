@@ -212,6 +212,7 @@ def experiment_step_sharded(stack, mesh, median_filter_size=5, c_std=2.0,
         "cand_count": res.cand_count.reshape(F, C),
         "spot_h": sh.reshape(F, C, max_spots),
         "spot_w": sw.reshape(F, C, max_spots),
+        "spot_cand_idx": top_idx.reshape(F, C, max_spots),
         "spot_valid": spot_valid.reshape(F, C, max_spots),
         "spot_count": spot_count.reshape(F, C),
         "spot_overflow": (spot_count > max_spots).reshape(F, C),

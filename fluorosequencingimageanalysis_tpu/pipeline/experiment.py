@@ -71,7 +71,8 @@ class Experiment:
                 fit_img = gaussian_fit[8]
                 try:
                     new_spot = Spot(parent_Image=image_object,
-                                    h=int(round(h)), w=int(round(w)),
+                                    h=int(tracking._py2_round(h)),
+                                    w=int(tracking._py2_round(w)),
                                     size=fit_img.shape[0],
                                     gaussian_fit=gaussian_fit)
                     spot_objects.append(new_spot)
@@ -285,7 +286,10 @@ class SequenceExperiment(Experiment):
         for i, (h, w) in enumerate(offset_coords):
             frame = self.peptide_frames[start_frame + i]
             fh, fw = frame.image.shape[:2]
-            int_h, int_w = int(round(h)), int(round(w))
+            # Py2 rounding parity (reference flexlibrary interpolation
+            # rounds half away from zero under Python 2).
+            int_h = int(tracking._py2_round(h))
+            int_w = int(tracking._py2_round(w))
             if (spot_radius <= int_h < fh - spot_radius and
                     spot_radius <= int_w < fw - spot_radius):
                 new_spot = Spot(parent_Image=frame, h=int_h, w=int_w,

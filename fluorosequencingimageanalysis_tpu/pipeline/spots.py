@@ -17,6 +17,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..ops import photometry as photometry_ops
+from ..utils.rounding import py2_round
 
 logger = logging.getLogger(__name__)
 logger.addHandler(logging.NullHandler())
@@ -204,7 +205,7 @@ class Image:
         if not spots_append:
             self.spots = []
         for (h, w), new_fit in new_fits.items():
-            self.spots.append(Spot(self, int(round(h)), int(round(w)), 5,
+            self.spots.append(Spot(self, py2_round(h), py2_round(w), 5,
                                    gaussian_fit=new_fit))
         return len(new_fits)
 

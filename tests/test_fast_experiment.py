@@ -1,0 +1,147 @@
+"""Differential test: array-native run_experiment vs the class-based path.
+
+The class-based flow (find_peptides -> Image/Spot -> SequenceExperiment ->
+MultifieldMultichannelSequenceExperiment.track_photometries_as_csv) is the
+reference-parity oracle; api.Pipeline.run_experiment must reproduce its
+CSV rows exactly (keys/categories/order) with photometries equal to float
+tolerance."""
+
+import csv
+import io
+
+import numpy as np
+import pytest
+
+from fluorosequencingimageanalysis_tpu.api import Pipeline
+from fluorosequencingimageanalysis_tpu.pipeline import tracking
+
+
+def make_stack(F, C, H=128, W=128, n_spots=24, seed=0, presence_p=0.85):
+    """Synthetic experiment: persistent spots with random per-cycle
+    dropouts (-> gaps, head holes, tail holes) and integer stage drift."""
+    rng = np.random.default_rng(seed)
+    hh, ww = np.indices((H, W)).astype(np.float32)
+    drift = [(0, 0)] + [(int(rng.integers(-2, 3)), int(rng.integers(-2, 3)))
+                        for _ in range(C - 1)]
+    cumd = np.cumsum(np.asarray(drift), axis=0)
+    stack = rng.normal(400.0, 6.0, (F, C, H, W)).astype(np.float32)
+    for f in range(F):
+        pos = rng.uniform(16, H - 16, (n_spots, 2))
+        amp = rng.uniform(2000, 5000, n_spots)
+        present = rng.random((n_spots, C)) < presence_p
+        present[:, 0] |= rng.random(n_spots) < 0.7  # most start ON
+        for c in range(C):
+            # The image of cycle c is shifted by the cumulative drift:
+            # a fixed physical spot appears displaced by -cum (the spot
+            # moves opposite to the field shift reported by registration).
+            for s in range(n_spots):
+                if not present[s, c]:
+                    continue
+                h = pos[s, 0] - cumd[c, 0]
+                w = pos[s, 1] - cumd[c, 1]
+                stack[f, c] += amp[s] * np.exp(
+                    -(((hh - h) ** 2) + ((ww - w) ** 2)) / (2 * 1.3 ** 2))
+    return stack
+
+
+def class_path_rows(stack, max_candidates=512):
+    """Drive the legacy-shaped experiment classes end-to-end; return the
+    parsed track-photometries CSV rows."""
+    from fluorosequencingimageanalysis_tpu.pipeline.spots import Image, Spot
+    from fluorosequencingimageanalysis_tpu.pipeline.experiment import (
+        SequenceExperiment, MultichannelSequenceExperiment,
+        MultifieldMultichannelSequenceExperiment)
+    from fluorosequencingimageanalysis_tpu.models.detect import (
+        find_peptides_batch)
+
+    F, C, H, W = stack.shape
+    fields = []
+    for f in range(F):
+        psfs_list = find_peptides_batch(stack[f],
+                                        max_candidates=max_candidates,
+                                        num_iters=60)
+        images = []
+        for c in range(C):
+            img = Image(image=stack[f, c],
+                        metadata={"filepath": f"mem://{f}/{c}"}, spots=None)
+            spots = []
+            for (h, w), gf in psfs_list[c].items():
+                try:  # easy_load_processed_image semantics
+                    spots.append(Spot(img, int(tracking._py2_round(h)),
+                                      int(tracking._py2_round(w)), 5,
+                                      gaussian_fit=gf))
+                except Exception:
+                    pass
+            img.spots = spots
+            images.append(img)
+        ex = SequenceExperiment(images, alignment_frames=images)
+        ex.offsets_from_frames()
+        fields.append(MultichannelSequenceExperiment({"ch1": ex}))
+    mfmc = MultifieldMultichannelSequenceExperiment(fields)
+    mfmc.trace_existing_spots()
+    mfmc.discard_invalid_traces()
+    import tempfile, os
+    fd, path = tempfile.mkstemp(suffix=".csv")
+    os.close(fd)
+    try:
+        mfmc.track_photometries_as_csv(path, save_averages=False)
+        with open(path) as fh:
+            reader = csv.reader(fh)
+            header = next(reader)
+            rows = list(reader)
+    finally:
+        os.unlink(path)
+    return header, rows
+
+
+@pytest.mark.parametrize("seed", [0, 3])
+def test_run_experiment_matches_class_path(seed):
+    stack = make_stack(F=2, C=4, seed=seed)
+    header_ref, rows_ref = class_path_rows(stack)
+
+    pipe = Pipeline()
+    res = pipe.run_experiment(stack, max_candidates=512, max_spots=256)
+    rows_fast = res["rows"]
+
+    assert len(rows_fast) == len(rows_ref), \
+        (len(rows_fast), len(rows_ref))
+    # Keys + categories + order must match exactly; photometries to float
+    # tolerance (identical kernel, float32 both — expect near-bit equality).
+    for i, ((ch, f, h, w, cat, ph), ref) in enumerate(
+            zip(rows_fast, rows_ref)):
+        assert (str(ch), str(f), str(h), str(w), str(cat)) == \
+            tuple(ref[:5]), (i, (ch, f, h, w, cat), ref[:5])
+        ref_ph = np.array([float(x) for x in ref[5:]])
+        np.testing.assert_allclose(ph, ref_ph, rtol=1e-5, atol=1e-2,
+                                   err_msg=f"row {i}")
+    # Sanity: the scenario really exercises gaps + multiple categories.
+    cats = {cat for (_, _, _, _, cat, _) in rows_fast}
+    assert len(cats) > 2
+    assert any(not all(cat) for cat in cats)
+
+
+def test_run_experiment_csv_and_counts(tmp_path):
+    stack = make_stack(F=2, C=3, seed=1, n_spots=12)
+    pipe = Pipeline()
+    out = pipe.run_experiment(stack, max_candidates=512, max_spots=256,
+                              csv_path=str(tmp_path / "tracks.csv"))
+    with open(tmp_path / "tracks.csv") as fh:
+        reader = csv.reader(fh)
+        header = next(reader)
+        rows = list(reader)
+    assert header == ["CHANNEL", "FIELD", "H", "W", "CATEGORY",
+                      "FRAME 0", "FRAME 1", "FRAME 2"]
+    assert len(rows) == len(out["rows"]) > 0
+    total = sum(n for by_f in out["category_counts"].values()
+                for d in by_f.values() for n in d.values())
+    assert total == len(rows)
+    # Filtered counts keep only monotone one-drop patterns.
+    for by_f in out["filtered_category_counts"].values():
+        for d in by_f.values():
+            for cat in d:
+                assert tuple(sorted(cat, reverse=True)) == cat
+    # The CSV is ingestible by the inference layer (the L3 -> L4 surface).
+    from fluorosequencingimageanalysis_tpu.inference.photometries import (
+        read_track_photometries_csv)
+    d, d2 = read_track_photometries_csv(str(tmp_path / "tracks.csv"))
+    assert "ch1" in d and len(d2) == len(rows)
