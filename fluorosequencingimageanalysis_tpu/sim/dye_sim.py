@@ -4,9 +4,18 @@ The reference simulates one molecule at a time in a Python event loop
 (peptide_simulator.py:190-319) fanned out over a Pool, and its docstring
 references a C generator (randsiggen.c) that is absent from the tree
 (MCsimlib.py:1981-1982). Here the whole molecule population advances in
-lockstep: state is [num_sims, seq_len] dye-aliveness plus a [num_sims]
-cleaved-prefix counter, and each cycle is one masked update inside a
-lax.scan. 1e6 molecules x 20 cycles is a few ms on one chip.
+lockstep: state is a [num_sims, seq_len] dye-aliveness matrix plus a
+[num_sims] cleaved-prefix counter, and each cycle is one masked update
+inside a lax.scan. 1e6 molecules x 20 cycles is a few ms on one chip.
+
+Multi-color is EXACT joint sampling: every label color shares the
+molecule's Edman-success and surface-strip draws (the whole-molecule
+events that correlate colors in the reference), while dud/tirf are
+per-dye — identical to the host event loop's probability model. Per-dye
+loss cycles are tracked so the caller can reconstruct the reference's
+``dye_decrements`` tuples exactly (dud/initial-tirf losses at cycle 0;
+in-cycle edman/strip/tirf losses at their 1-based cycle number,
+peptide_simulator.py:44-120 event bookkeeping).
 
 Event order per cycle matches the reference's action list
 (peptide_simulator.py:251-277): initial [dud, tirf, count]; then per cycle
@@ -24,80 +33,112 @@ import numpy as np
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "num_mocks", "num_edmans", "num_sims", "seq_len"))
-def _simulate_batch(key, labeled, num_mocks, num_edmans, num_sims, seq_len,
-                    p, per_cycle_b, u, s, sc, s2):
+    "num_mocks", "num_edmans", "num_sims", "seq_len", "n_colors"))
+def _simulate_batch(key, color_ids, num_mocks, num_edmans, num_sims, seq_len,
+                    n_colors, p, per_cycle_b, u, s, sc, s2):
     """Core batched simulation.
 
-    labeled: (seq_len,) bool — which positions carry a dye.
-    Returns counts (num_sims, num_cycles + 1) int32 where counts[:, 0] is
-    the initial post-dud/post-tirf count.
+    color_ids: (seq_len,) int32 — label color id per position, -1 where
+    unlabeled.
+    Returns:
+      counts: (num_sims, num_cycles + 1, n_colors) int32; counts[:, 0]
+          is the initial post-dud/post-tirf count.
+      loss_cycle: (num_sims, seq_len) int32 — the cycle at which each
+          labeled dye stopped counting (0 = dud/initial exposure, c >= 1 =
+          during cycle c, -1 = still counting at the end). -1 also for
+          unlabeled positions.
     """
     num_cycles = num_mocks + num_edmans
     k_dud, k_tirf0, k_cycle = jax.random.split(key, 3)
+    labeled = color_ids >= 0
 
-    # Dud removal (peptide_simulator.py:102-120): initial per-dye Bernoulli.
-    alive = labeled[None, :] & (
-        jax.random.uniform(k_dud, (num_sims, seq_len)) >= u)
-    # Initial tirf exposure.
-    alive = alive & (jax.random.uniform(k_tirf0, (num_sims, seq_len))
-                     <= per_cycle_b)
+    # alive = "currently counting": labeled, not dud/destroyed/stripped,
+    # and not yet Edman-cleaved.
+    loss = jnp.full((num_sims, seq_len), -1, jnp.int32)
+    alive = labeled[None, :] & jnp.ones((num_sims, seq_len), bool)
+    # Dud removal (peptide_simulator.py:102-120): per-dye Bernoulli at
+    # cycle 0.
+    dud = alive & (jax.random.uniform(k_dud, (num_sims, seq_len)) < u)
+    loss = jnp.where(dud, 0, loss)
+    alive = alive & ~dud
+    # Initial tirf exposure (still cycle 0).
+    bleach0 = alive & (jax.random.uniform(k_tirf0, (num_sims, seq_len))
+                       > per_cycle_b)
+    loss = jnp.where(bleach0, 0, loss)
+    alive = alive & ~bleach0
     removed = jnp.zeros((num_sims,), jnp.int32)  # cleaved-prefix length
 
-    def count_dyes(alive, removed):
-        pos = jnp.arange(seq_len)[None, :]
-        present = alive & (pos >= removed[:, None])
-        return jnp.sum(present, axis=-1).astype(jnp.int32)
+    onehot = (color_ids[None, :, None] ==
+              jnp.arange(n_colors)[None, None, :])  # (1, L, K)
 
-    counts0 = count_dyes(alive, removed)
+    def count_colors(alive):
+        return jnp.sum(alive[:, :, None] & onehot, axis=1,
+                       dtype=jnp.int32)  # (N, K)
+
+    counts0 = count_colors(alive)
+    pos = jnp.arange(seq_len)[None, :]
 
     def cycle_step(carry, inputs):
-        alive, removed = carry
-        cycle_idx, key = inputs  # cycle_idx 0-based
+        alive, removed, loss = carry
+        cycle_idx, key = inputs  # 0-based
+        cycle_number = (cycle_idx + 1).astype(jnp.int32)
         k_edman, k_strip, k_tirf = jax.random.split(key, 3)
         is_edman = cycle_idx >= num_mocks
-        # Edman (only during edman cycles): success w.p. p removes the
-        # N-terminal residue (whether labeled or not).
-        success = jax.random.uniform(k_edman, (num_sims,)) < p
-        removed = jnp.where(is_edman & success & (removed < seq_len),
-                            removed + 1, removed)
-        # Strip: whole-molecule dye loss w.p. s (s2 after cycle sc). The
-        # reference compares the CURRENT cycle_number (1-based during
-        # cycle blocks) to sc (peptide_simulator.py:148-169).
-        cycle_number = cycle_idx + 1
+        # Edman: success w.p. p pops the current N-terminal residue; a
+        # still-counting labeled dye there is a decrement at this cycle.
+        success = (is_edman &
+                   (jax.random.uniform(k_edman, (num_sims,)) < p) &
+                   (removed < seq_len))
+        popped = success[:, None] & (pos == removed[:, None])
+        edman_loss = popped & alive
+        loss = jnp.where(edman_loss, cycle_number, loss)
+        alive = alive & ~popped
+        removed = jnp.where(success, removed + 1, removed)
+        # Strip: whole-molecule dye loss w.p. s (s2 after cycle sc) over
+        # remaining members (peptide_simulator.py:148-169; the reference
+        # compares the CURRENT 1-based cycle_number to sc).
         using_s = jnp.where(cycle_number <= sc, s, s2)
-        stripped = jax.random.uniform(k_strip, (num_sims,)) < using_s
-        alive = alive & ~stripped[:, None]
+        stripped = (jax.random.uniform(k_strip, (num_sims,)) <
+                    using_s)[:, None] & alive
+        loss = jnp.where(stripped, cycle_number, loss)
+        alive = alive & ~stripped
         # Tirf: per-dye survival per exposure.
-        alive = alive & (jax.random.uniform(k_tirf, (num_sims, seq_len))
-                         <= per_cycle_b)
-        return (alive, removed), count_dyes(alive, removed)
+        bleach = alive & (jax.random.uniform(k_tirf, (num_sims, seq_len))
+                          > per_cycle_b)
+        loss = jnp.where(bleach, cycle_number, loss)
+        alive = alive & ~bleach
+        return (alive, removed, loss), count_colors(alive)
 
     keys = jax.random.split(k_cycle, num_cycles)
-    (_, _), cycle_counts = jax.lax.scan(
-        cycle_step, (alive, removed),
+    (alive, removed, loss), cycle_counts = jax.lax.scan(
+        cycle_step, (alive, removed, loss),
         (jnp.arange(num_cycles), keys))
-    return jnp.concatenate([counts0[None, :], cycle_counts],
-                           axis=0).T  # (num_sims, num_cycles + 1)
+    counts = jnp.concatenate([counts0[None], cycle_counts], axis=0)
+    return jnp.transpose(counts, (1, 0, 2)), loss
 
 
 def simulate_dye_counts_batched(sequence, labels, num_mocks, num_edmans,
-                                num_simulations, seed=0, **params):
-    """Batched equivalent of sim.events.simulate_dye_counts for a single
-    label color.
+                                num_simulations, seed=0,
+                                return_loss_cycles=False, **params):
+    """Batched equivalent of sim.events.simulate_dye_counts.
 
-    Returns (counts (num_simulations, num_cycles + 1) int array, the label
-    string used). Multi-color sequences run one call per label (colors are
-    independent given the shared Edman/strip randomness is per-molecule;
-    for exact multi-color joint statistics use the host simulator).
+    Single color (len(labels) == 1, the common case): returns
+    ``(counts (num_simulations, num_cycles + 1) int array, label)`` —
+    unchanged from round 1.
+
+    Multi-color: returns ``(counts (num_simulations, num_cycles + 1,
+    n_colors), labels_tuple)`` with colors ordered by ``sorted(labels)``
+    and EXACT joint statistics (shared per-molecule Edman/strip draws).
+
+    With return_loss_cycles=True a third element is appended: the
+    (num_simulations, seq_len) per-dye loss-cycle matrix (see
+    _simulate_batch) for reconstructing dye_decrements.
     """
-    labels = set(labels)
-    if len(labels) != 1:
-        raise NotImplementedError(
-            "batched path handles one label color; use "
-            "sim.events.simulate_dye_counts for multi-color joints.")
-    label = next(iter(labels))
-    labeled = np.array([aa == label for aa in sequence], dtype=bool)
+    labels_sorted = tuple(sorted(set(labels)))
+    n_colors = len(labels_sorted)
+    color_of = {a: k for k, a in enumerate(labels_sorted)}
+    color_ids = np.array([color_of.get(aa, -1) for aa in sequence],
+                         dtype=np.int32)
     p = float(params["p"])
     per_cycle_b = float(params.get("per_cycle_b",
                                    math.e ** -params["b"]))
@@ -105,11 +146,28 @@ def simulate_dye_counts_batched(sequence, labels, num_mocks, num_edmans,
     s = float(params.get("s", 0.0))
     sc = int(params.get("sc", 0))
     s2 = float(params.get("s2", 0.0))
-    counts = _simulate_batch(jax.random.PRNGKey(seed), jnp.asarray(labeled),
-                             int(num_mocks), int(num_edmans),
-                             int(num_simulations), len(sequence),
-                             p, per_cycle_b, u, s, sc, s2)
-    return np.asarray(counts), label
+    counts, loss = _simulate_batch(
+        jax.random.PRNGKey(seed), jnp.asarray(color_ids),
+        int(num_mocks), int(num_edmans), int(num_simulations),
+        len(sequence), n_colors, p, per_cycle_b, u, s, sc, s2)
+    counts = np.asarray(counts)
+    if n_colors == 1:
+        out = (counts[:, :, 0], labels_sorted[0])
+    else:
+        out = (counts, labels_sorted)
+    if return_loss_cycles:
+        out = out + (np.asarray(loss),)
+    return out
+
+
+def decrements_from_loss_cycles(sequence, loss_row):
+    """One molecule's reference-format dye_decrements tuple from its
+    loss-cycle row: ((amino_acid, cycle), ...) sorted by cycle, including
+    the cycle-0 dud/initial-bleach entries (simulate_dye_counts'
+    bookkeeping, sim/events.py:203-219)."""
+    decs = [(sequence[i], int(c)) for i, c in enumerate(loss_row) if c >= 0]
+    decs.sort(key=lambda x: x[1])
+    return tuple(decs)
 
 
 def simulate_photometries_batched(counts, beta, beta_sigma, seed=0,
@@ -132,4 +190,43 @@ def simulate_photometries_batched(counts, beta, beta_sigma, seed=0,
             ddif_arr[np.minimum(safe - 1, len(ddif_arr) - 1)])
     out = np.exp(mean + beta_sigma * z)
     out[counts == 0] = 0.0
+    return out
+
+
+def peptide_simulation_batched(sequence, labels, num_mocks, num_edmans,
+                               num_simulations, seed=0, beta=None,
+                               beta_sigma=None, ddif=None, **params):
+    """Device-scale peptide_simulation (sim/events.py:306-343) for the
+    models the batched path covers (no superdyes / distance-DDIF).
+
+    Returns a list of (dye_decrements, dye_counts, event_buffer=None,
+    categories_and_intensities) tuples in the host driver's format, ready
+    for convert_to_oldstyle. Statistically identical to the event loop;
+    event buffers are not materialized (the host path keeps them only as
+    an opaque passthrough).
+    """
+    labels_sorted = tuple(sorted(set(labels)))
+    res = simulate_dye_counts_batched(
+        sequence, labels, num_mocks, num_edmans, num_simulations,
+        seed=seed, return_loss_cycles=True, **params)
+    counts, _, loss = res
+    if counts.ndim == 2:
+        counts = counts[:, :, None]
+    n, n_cyc, n_colors = counts.shape
+    intens = {}
+    for k, label in enumerate(labels_sorted):
+        intens[label] = simulate_photometries_batched(
+            counts[:, :, k], beta, beta_sigma, seed=seed + 7919 * (k + 1),
+            ddif=ddif)
+    out = []
+    for i in range(n):
+        dye_counts = {label: tuple(int(x) for x in counts[i, :, k])
+                      for k, label in enumerate(labels_sorted)}
+        ci = {}
+        for k, label in enumerate(labels_sorted):
+            category = tuple(c != 0 for c in dye_counts[label])
+            row = tuple(float(x) for x in intens[label][i])
+            ci[label] = (category, (row,))
+        out.append((decrements_from_loss_cycles(sequence, loss[i]),
+                    dye_counts, None, ci))
     return out

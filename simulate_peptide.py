@@ -76,6 +76,13 @@ def build_parser():
                         help="Chance for a dye to be a superdye.")
     parser.add_argument("--superdye_factor", type=float, default=1.0,
                         help="Superdye brightness factor.")
+    parser.add_argument("--batched_simulation", choices=["auto", "on", "off"],
+                        default="auto",
+                        help="Use the device-scale batched Monte-Carlo "
+                             "(exact joint multi-color statistics; event "
+                             "buffers not materialized). 'auto' enables it "
+                             "for num_sims >= 10000 when superdyes and "
+                             "distance-DDIFs are off.")
     return parser
 
 
@@ -108,17 +115,34 @@ def main(argv=None):
                                   distance_ddifs))
 
     print("Parameters loaded. Starting simulation at " + str(datetime.now()))
-    results = peptide_simulator.peptide_simulation(
-        sequence=sequence, labels=labels, num_mocks=m - o, num_edmans=e,
-        num_simulations=N, random_seed=None,
-        num_processes=args.num_processors, reserved_character=None,
-        p=args.edman_efficiency, b=-log(1.0 - args.dye_destruction),
-        u=args.dud_dyes, s=args.surface_degradation_1,
-        sc=args.surface_degradation_1_num_cycles,
-        s2=args.surface_degradation_2, beta=args.fluor_intensity,
-        beta_sigma=args.beta_sigma, ddif=ddif,
-        distance_ddifs=distance_ddifs, superdye_rate=args.superdye_rate,
-        superdye_factor=args.superdye_factor)
+    use_batched = (args.batched_simulation == "on" or
+                   (args.batched_simulation == "auto" and N >= 10000 and
+                    args.superdye_rate == 0.0 and distance_ddifs is None))
+    if use_batched:
+        # Device-scale Monte-Carlo: identical probability model (exact
+        # joint multi-color statistics), 1e5+ molecules in one dispatch.
+        from fluorosequencingimageanalysis_tpu.sim.dye_sim import (
+            peptide_simulation_batched)
+        results = peptide_simulation_batched(
+            sequence=sequence, labels=labels, num_mocks=m - o, num_edmans=e,
+            num_simulations=N, seed=round(time()) % (2 ** 31),
+            p=args.edman_efficiency, b=-log(1.0 - args.dye_destruction),
+            u=args.dud_dyes, s=args.surface_degradation_1,
+            sc=args.surface_degradation_1_num_cycles,
+            s2=args.surface_degradation_2, beta=args.fluor_intensity,
+            beta_sigma=args.beta_sigma, ddif=ddif)
+    else:
+        results = peptide_simulator.peptide_simulation(
+            sequence=sequence, labels=labels, num_mocks=m - o, num_edmans=e,
+            num_simulations=N, random_seed=None,
+            num_processes=args.num_processors, reserved_character=None,
+            p=args.edman_efficiency, b=-log(1.0 - args.dye_destruction),
+            u=args.dud_dyes, s=args.surface_degradation_1,
+            sc=args.surface_degradation_1_num_cycles,
+            s2=args.surface_degradation_2, beta=args.fluor_intensity,
+            beta_sigma=args.beta_sigma, ddif=ddif,
+            distance_ddifs=distance_ddifs, superdye_rate=args.superdye_rate,
+            superdye_factor=args.superdye_factor)
 
     results = peptide_simulator.convert_to_oldstyle(results)
     molecular_error_signals = defaultdict(int)

@@ -196,3 +196,87 @@ def test_simulate_photometries_batched():
     vals_q = simulate_photometries_batched(big, beta=30000.0, beta_sigma=0.2,
                                            seed=1, ddif=(0.0, 0.3, 0.3))
     assert abs(np.mean(np.log(vals)) - np.mean(np.log(vals_q)) - 0.3) < 0.01
+
+
+def test_batched_multicolor_joint_statistics():
+    """Exact joint multi-color sampling (VERDICT r1 item 5): per-cycle
+    joint (A, B) count distributions match the host event loop (TVD), and
+    the strip-induced cross-color correlation is reproduced."""
+    from fluorosequencingimageanalysis_tpu.sim.dye_sim import (
+        simulate_dye_counts_batched)
+    seq = "AXBXABXX"
+    params = dict(p=0.85, b=0.1, u=0.1, s=0.15, sc=3, s2=0.02)
+    n = 4000
+    host = simulate_dye_counts(seq, {"A", "B"}, num_mocks=1, num_edmans=5,
+                               num_simulations=n, random_seed=11, **params)
+    host_a = np.array([r[1]["A"] for r in host])
+    host_b = np.array([r[1]["B"] for r in host])
+    counts, labels = simulate_dye_counts_batched(
+        seq, {"A", "B"}, num_mocks=1, num_edmans=5, num_simulations=n,
+        seed=11, **params)
+    assert labels == ("A", "B")
+    assert counts.shape == (n, 7, 2)
+    bat_a, bat_b = counts[:, :, 0], counts[:, :, 1]
+    # Per-cycle joint (A, B) distribution TVD.
+    for c in range(7):
+        keys = set(map(tuple, np.stack([host_a[:, c], host_b[:, c]], 1))) | \
+            set(map(tuple, np.stack([bat_a[:, c], bat_b[:, c]], 1)))
+        tvd = 0.5 * sum(abs(
+            np.mean((host_a[:, c] == k[0]) & (host_b[:, c] == k[1])) -
+            np.mean((bat_a[:, c] == k[0]) & (bat_b[:, c] == k[1])))
+            for k in keys)
+        assert tvd < 0.06, (c, tvd)
+    # Strip correlates colors: joint extinction exceeds the product of the
+    # marginals; the batched path must reproduce the joint, not just the
+    # marginals.
+    def excess(a, b):
+        pj = np.mean((a[:, -1] == 0) & (b[:, -1] == 0))
+        return pj - np.mean(a[:, -1] == 0) * np.mean(b[:, -1] == 0)
+    assert excess(host_a, host_b) > 0.005
+    assert abs(excess(host_a, host_b) - excess(bat_a, bat_b)) < 0.02
+
+
+def test_batched_decrements_deterministic():
+    """Loss-cycle tracking reproduces the reference's dye_decrements
+    exactly in deterministic regimes."""
+    from fluorosequencingimageanalysis_tpu.sim.dye_sim import (
+        simulate_dye_counts_batched, decrements_from_loss_cycles)
+    seq = "AXAXA"
+    # p=1, no bleach/dud/strip: each labeled acid is Edman-cleaved at
+    # cycle num_mocks + (1-based position).
+    params = dict(p=1.0, per_cycle_b=1.0, b=0.0, u=0.0, s=0.0, sc=0, s2=0.0)
+    host = simulate_dye_counts(seq, {"A"}, num_mocks=2, num_edmans=5,
+                               num_simulations=2, random_seed=0, **params)
+    _, _, loss = simulate_dye_counts_batched(
+        seq, {"A"}, num_mocks=2, num_edmans=5, num_simulations=2, seed=0,
+        return_loss_cycles=True, **params)
+    for i in range(2):
+        assert decrements_from_loss_cycles(seq, loss[i]) == host[i][0]
+    # All-dud: every labeled dye lost at cycle 0.
+    params = dict(p=1.0, per_cycle_b=1.0, b=0.0, u=1.0, s=0.0, sc=0, s2=0.0)
+    host = simulate_dye_counts(seq, {"A"}, num_mocks=0, num_edmans=3,
+                               num_simulations=1, random_seed=0, **params)
+    _, _, loss = simulate_dye_counts_batched(
+        seq, {"A"}, num_mocks=0, num_edmans=3, num_simulations=1, seed=0,
+        return_loss_cycles=True, **params)
+    assert decrements_from_loss_cycles(seq, loss[0]) == host[0][0] == \
+        (("A", 0), ("A", 0), ("A", 0))
+
+
+def test_peptide_simulation_batched_oldstyle_roundtrip():
+    from fluorosequencingimageanalysis_tpu.sim.dye_sim import (
+        peptide_simulation_batched)
+    merged = peptide_simulation_batched(
+        "AXA", {"A"}, num_mocks=1, num_edmans=3, num_simulations=50,
+        seed=4, p=0.95, b=0.02, u=0.05, s=0.0, sc=0, s2=0.0,
+        beta=30000.0, beta_sigma=0.2)
+    assert len(merged) == 50
+    oldstyle = convert_to_oldstyle(merged)
+    for decrements, dye_counts, event_buffer, ci in oldstyle:
+        category, (intensities,) = ci["A"]
+        counts = next(iter(dye_counts.values()))
+        assert len(category) == len(counts) == len(intensities) == 5
+        assert all(aa == "A" for aa, pos in decrements)
+        # intensity/count consistency
+        for c, inten in zip(counts, intensities):
+            assert (c == 0) == (inten == 0.0)
