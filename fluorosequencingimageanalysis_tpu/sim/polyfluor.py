@@ -17,6 +17,49 @@ from .proteome import _dp
 from .trie import PolyfluorSignalTrie
 
 
+def _bleach_exposure(b, b2, num_exposures, random_point):
+    """Sample the 1-based exposure at which a fluor photobleaches, or None
+    if it survives all exposures.
+
+    One shared inverse-CDF sampler for the mock-phase and Edman-phase
+    bleach draws that the reference writes out three times inline
+    (MCsimlib.py:2016-2031, 2084-2106), including its two-phase ``b2``
+    quirk: the phase-boundary exposure (x == b2p - 1) accumulates the
+    phase-1 term but tests against the phase-2 scale factor.
+    """
+    if b2 is not None:
+        b2r, b2p = b2
+    accumulator = 0.0
+    for x in range(num_exposures):
+        if b2 is None or x < b2p:
+            accumulator += math.e ** (-b * x)
+        else:
+            accumulator += math.e ** (-b2r * x)
+        scale_b = b if (b2 is None or (x < b2p and x != b2p - 1)) else b2r
+        if accumulator * (1.0 - math.e ** -scale_b) >= random_point:
+            return x + 1
+    return None
+
+
+def _edman_delay(d, p, num_cycles, random_point):
+    """Sample an Edman delay for a fluor d residues past its predecessor
+    (inverse CDF over the _dp Bernoulli-delay pmf, MCsimlib.py:2043-2064;
+    degenerate p handled like the reference: p ~ 0 pushes the fluor past
+    the horizon, p ~ 1 never delays)."""
+    if p < 0.0001:
+        return 10 * num_cycles
+    if p > 0.9999:
+        return 0
+    e, accumulator, prior = 0, 0.0, -1.0
+    while accumulator - prior > 0.0:
+        prior = accumulator
+        accumulator += _dp(d, e, p)
+        if accumulator >= random_point:
+            break
+        e += 1
+    return e
+
+
 class PolyfluorSignal:
     """Simulated fluorosequence with error annotations
     (MCsimlib.py:1929-2178)."""
@@ -36,46 +79,23 @@ class PolyfluorSignal:
         p, b, u = float(p), float(b), float(u)
         if p2 is not None:
             raise NotImplementedError
-        if b2 is not None:
-            b2r, b2p = b2
         signal = tuple((aa[0], aa[1], []) for aa in self.peptide.peptide)
         # Dud removal (position -1).
         modified = [(s[0], -1, [("u", True)]) if random.random() <= u else s
                     for s in signal]
         modified = sorted(modified, key=lambda x: x[1])
-        # Mock-phase photobleaching (position -2 placeholder).
+        # Mock-phase photobleaching (position -2 placeholder; the true mock
+        # exposure is restored from the ("mb", x) annotation at the end).
         updated = list(modified)
         for index, (aa, pos, err) in enumerate(modified):
             if pos == -1:
                 continue
-            random_point = random.random()
-            accumulator = 0.0
-            for x in range(num_mocks):
-                if b2 is None:
-                    accumulator += math.e ** (-b * x)
-                    if accumulator * (1.0 - math.e ** -b) >= random_point:
-                        updated[index] = (aa, -2, err + [("mb", x + 1)])
-                        break
-                else:
-                    if x == b2p - 1:
-                        accumulator += math.e ** (-b * x)
-                        if (accumulator * (1.0 - math.e ** -b2r) >=
-                                random_point):
-                            updated[index] = (aa, -2, err + [("mb", x + 1)])
-                            break
-                    elif x < b2p:
-                        accumulator += math.e ** (-b * x)
-                        if accumulator * (1.0 - math.e ** -b) >= random_point:
-                            updated[index] = (aa, -2, err + [("mb", x + 1)])
-                            break
-                    else:
-                        accumulator += math.e ** (-b2r * x)
-                        if (accumulator * (1.0 - math.e ** -b2r) >=
-                                random_point):
-                            updated[index] = (aa, -2, err + [("mb", x + 1)])
-                            break
+            hit = _bleach_exposure(b, b2, num_mocks, random.random())
+            if hit is not None:
+                updated[index] = (aa, -2, err + [("mb", hit)])
         modified = sorted(updated, key=lambda x: x[1])
-        # Edman delays.
+        # Edman delays: each surviving fluor delays relative to its
+        # predecessor; delays accumulate down the chain.
         updated = list(modified)
         cumulative_e = 0
         for index, (aa, pos, err) in enumerate(modified):
@@ -83,71 +103,26 @@ class PolyfluorSignal:
                 continue
             d = (modified[index][1] - modified[index - 1][1] if index > 0
                  else modified[index][1])
-            random_point = random.random()
-            e = 0
-            accumulator = 0.0
-            prior_accumulator = -1.0
-            if p < 0.0001:
-                e += 10 * num_cycles
-            elif p > 0.9999:
-                pass
-            else:
-                while accumulator - prior_accumulator > 0.0:
-                    prior_accumulator = accumulator
-                    accumulator += _dp(d, e, p)
-                    if accumulator >= random_point:
-                        break
-                    e += 1
-            cumulative_e += e
+            cumulative_e += _edman_delay(d, p, num_cycles, random.random())
             updated[index] = (aa, pos + cumulative_e + num_mocks,
                               err + [("p", cumulative_e)])
         modified = updated
-        # Edman-phase photobleaching.
+        # Edman-phase photobleaching: a fluor can bleach on any exposure
+        # before its (delayed) cleavage position.
         updated = list(modified)
         for index, (aa, pos, err) in enumerate(modified):
             if pos in (-1, -2):
                 continue
-            random_point = random.random()
-            accumulator = 0.0
             exposures = min(num_cycles + 1, pos - num_mocks)
-            for x in range(exposures):
-                if b2 is None:
-                    accumulator += math.e ** (-b * x)
-                    if accumulator * (1.0 - math.e ** -b) >= random_point:
-                        updated[index] = (aa, x + 1 + num_mocks,
-                                          err + [("b", x + 1)])
-                        break
-                else:
-                    if x == b2p - 1:
-                        accumulator += math.e ** (-b * x)
-                        if (accumulator * (1.0 - math.e ** -b2r) >=
-                                random_point):
-                            updated[index] = (aa, x + 1 + num_mocks,
-                                              err + [("b", x + 1)])
-                            break
-                    elif x < b2p:
-                        accumulator += math.e ** (-b * x)
-                        if accumulator * (1.0 - math.e ** -b) >= random_point:
-                            updated[index] = (aa, x + 1 + num_mocks,
-                                              err + [("b", x + 1)])
-                            break
-                    else:
-                        accumulator += math.e ** (-b2r * x)
-                        if (accumulator * (1.0 - math.e ** -b2r) >=
-                                random_point):
-                            updated[index] = (aa, x + 1 + num_mocks,
-                                              err + [("b", x + 1)])
-                            break
+            hit = _bleach_exposure(b, b2, exposures, random.random())
+            if hit is not None:
+                updated[index] = (aa, hit + num_mocks, err + [("b", hit)])
         modified = updated
         # Restore mock-bleached fluors to their mock positions.
         updated = list(modified)
         for index, (aa, pos, err) in enumerate(modified):
             if pos == -2:
-                fp = None
-                for et, ep in err:
-                    if et == "mb":
-                        fp = ep
-                        break
+                fp = next((ep for et, ep in err if et == "mb"), None)
                 assert fp is not None
                 updated[index] = (aa, fp, err)
         modified = sorted(updated, key=lambda x: x[1])
