@@ -1,13 +1,16 @@
 #!/usr/bin/env python
 """Benchmarks: the detect step AND the full experiment, per chip.
 
-Prints TWO JSON lines; the driver parses the LAST one (the headline):
+Prints THREE JSON lines; the driver parses the LAST one (the headline):
 
   {"metric": "experiment_fields_per_sec", ...}        <- config 4 (full
       multi-field multi-cycle experiment: registration + detect/fit +
       tracking + trace interpolation + categories + track-photometries
       rows, via api.Pipeline.run_experiment at 32 fields x 8 cycles,
       ~2k spots/field)
+  {"metric": "v8_traces_per_sec", ...}                <- config 5 (v8
+      lognormal fluor counting, 1e5 traces x 6,188 sequences at the
+      reference's cost-warning shape n_cycles=12, max_fluors=5)
   {"metric": "fields_per_sec_per_chip", ...}          <- headline (align +
       detect + fit + photometry through the sharded experiment step)
 
@@ -293,6 +296,53 @@ def bench_experiment_cpu(stack_field):
     return detect_seconds + tracking_seconds + photometry_seconds
 
 
+def make_v8_workload(T, F=12, K=5, beta=30000.0, beta_sigma=0.2, seed=0):
+    """T synthetic traces at the reference's cost-warning shape
+    (n_cycles=12, max_fluors=5 -> C(17, 12) = 6188 sequences/trace,
+    MCsimlib.py:5426-5466)."""
+    rng = np.random.default_rng(seed)
+    start = rng.integers(1, K + 1, T)
+    counts = np.zeros((T, F), np.int64)
+    counts[:, 0] = start
+    for c in range(1, F):
+        drop = rng.random(T) < 0.25
+        counts[:, c] = np.maximum(counts[:, c - 1] - drop, 0)
+    z = rng.normal(0, 1, (T, F))
+    intensities = np.where(
+        counts > 0, np.exp(np.log(beta * np.maximum(counts, 1)) +
+                           beta_sigma * z), 0.0)
+    categories = counts > 0
+    lfm = np.log(beta * np.arange(1, K + 1))
+    return intensities, categories, lfm
+
+
+def bench_v8(T=100_000, F=12, K=5, beta_sigma=0.2, host_sample=150):
+    """Config 5: the batched MXU v8 scorer vs the reference's per-trace
+    host loop at scale. Returns (traces/s batched, traces/s host)."""
+    from fluorosequencingimageanalysis_tpu.ops.lognormal import score_traces
+    from fluorosequencingimageanalysis_tpu.inference.lognormal import (
+        _intensities_to_signal_lognormal_v8)
+
+    intensities, categories, lfm = make_v8_workload(T, F, K)
+    kw = dict(log_fluor_means=lfm, beta_sigma=beta_sigma, max_possible=K,
+              allow_multidrop=True, max_deviation=3)
+    # warm/compile, then timed
+    score_traces(intensities[:4096], categories[:4096], chunk=4096, **kw)
+    t0 = time.perf_counter()
+    seqs, found, _ = score_traces(intensities, categories, chunk=4096, **kw)
+    dt = time.perf_counter() - t0
+    assert found.mean() > 0.95  # the workload must actually fit
+
+    t0 = time.perf_counter()
+    for i in range(host_sample):
+        _intensities_to_signal_lognormal_v8(
+            intensities[i].tolist(), beta=30000.0, beta_sigma=beta_sigma,
+            max_possible=K, allow_multidrop=True, max_deviation=3,
+            categories=categories[i].tolist(), log_fluor_means=lfm.tolist())
+    host_dt = (time.perf_counter() - t0) / host_sample
+    return T / dt, 1.0 / host_dt
+
+
 def main():
     F, C = 8, 4
     stack = make_stack(F, C)
@@ -314,6 +364,16 @@ def main():
         "vs_baseline": round(exp_fields_per_sec * cpu_exp_seconds, 1),
         "rows": n_rows,
         "stages_sec": stages,
+    }))
+
+    # Config 5: v8 fluor counting at the reference's cost-warning shape.
+    v8_tps, v8_host_tps = bench_v8()
+    print(json.dumps({
+        "metric": "v8_traces_per_sec",
+        "value": round(v8_tps, 1),
+        "unit": "traces/s",
+        "vs_baseline": round(v8_tps / v8_host_tps, 1),
+        "shape": "T=100000 F=12 K=5 (6188 seqs/trace)",
     }))
 
     print(json.dumps({

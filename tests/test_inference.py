@@ -278,3 +278,37 @@ def test_lognormal_fit_v8_from_csv(tmp_path):
     # the dominant fitted signals match the planted sequences
     top = max(sig_a, key=sig_a.get)
     assert top[0] in (((("A", 1), ("A", 3))), ((("A", 2),),))
+
+
+def test_v8_batched_matches_host_at_reference_shape():
+    """Config-5 shape (n_cycles=12, max_fluors=5 -> 6,188 sequences/trace,
+    the reference's cost warning MCsimlib.py:5426-5466): the MXU scorer
+    must agree with the exact host loop trace-for-trace."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+    from bench import make_v8_workload
+    from fluorosequencingimageanalysis_tpu.ops.lognormal import score_traces
+    from fluorosequencingimageanalysis_tpu.inference.lognormal import (
+        _intensities_to_signal_lognormal_v8)
+
+    T, F, K = 300, 12, 5
+    intensities, categories, lfm = make_v8_workload(T, F, K, seed=5)
+    seqs, found, _ = score_traces(intensities, categories,
+                                  log_fluor_means=lfm, beta_sigma=0.2,
+                                  max_possible=K, allow_multidrop=True,
+                                  max_deviation=3, chunk=128)
+    n_checked = 0
+    for i in range(T):
+        ref = _intensities_to_signal_lognormal_v8(
+            intensities[i].tolist(), beta=30000.0, beta_sigma=0.2,
+            max_possible=K, allow_multidrop=True, max_deviation=3,
+            categories=categories[i].tolist(), log_fluor_means=lfm.tolist())
+        ref_seq = ref[2]
+        if ref_seq is None:
+            assert not found[i], i
+            continue
+        assert found[i], i
+        assert tuple(int(v) for v in seqs[i]) == ref_seq, \
+            (i, tuple(seqs[i]), ref_seq)
+        n_checked += 1
+    assert n_checked > 250  # nearly all traces must be fittable
