@@ -106,13 +106,15 @@ def bench_tpu(stack, iters=5):
     mesh = make_mesh(len(jax.devices()))
     x = shard_fields(jnp.asarray(stack), mesh)
     with mesh:
+        # upsample_factor=20 is the reference experiment configuration
+        # (flexlibrary.py:1735-1739).
         out = experiment_step_sharded(x, mesh, max_candidates=2048,
-                                      num_iters=40, upsample_factor=10)
+                                      num_iters=40, upsample_factor=20)
         force(out)  # compile + warm
         t0 = time.perf_counter()
         for _ in range(iters):
             out = experiment_step_sharded(x, mesh, max_candidates=2048,
-                                          num_iters=40, upsample_factor=10)
+                                          num_iters=40, upsample_factor=20)
         force(out)
         dt = (time.perf_counter() - t0) / iters
     n_images = stack.shape[0] * stack.shape[1]

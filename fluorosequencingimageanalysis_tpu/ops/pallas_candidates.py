@@ -109,8 +109,12 @@ def _candidate_map_fused_impl(p2, kernel_key, h, w, bh, interpret):
 from .candidates import HashableArray as _HashableArray
 
 
-def candidate_map_fused(images, kernel, block_rows=64, interpret=False):
+def candidate_map_fused(images, kernel, block_rows=64, interpret=None):
     """Correlation maps with pflib semantics, fused in VMEM row blocks.
+
+    interpret=None auto-selects Pallas interpret mode on non-TPU backends,
+    so the kernel (and any sharding wrapped around it) stays executable in
+    CPU tests.
 
     images: (H, W) or (B, H, W) float32 with H divisible by block_rows.
     kernel: (5, 5) array (compile-time weights).
@@ -119,6 +123,8 @@ def candidate_map_fused(images, kernel, block_rows=64, interpret=False):
     correlation — matching ops.candidates.candidate_map's recipe. Output
     shape matches the input's batchedness.
     """
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
     single = images.ndim == 2
     if single:
         images = images[None]
