@@ -144,13 +144,11 @@ def parallel_image_batch(image_paths, find_peptides_parameters=None,
     # fit_type='gauss') are not find_peptides_batch parameters; passing
     # them through would TypeError and push every group onto the slow
     # per-image fallback.
+    # (candidate_pixels is silently ignored by find_peptides itself —
+    # reference parity, pflib.py:374/434 — so stripping it here is exact.)
     batch_parameters = {k: v for k, v in find_peptides_parameters.items()
                         if k not in ("fit_type", "N_iter", "rng_seed",
                                      "candidate_pixels")}
-    if find_peptides_parameters.get("candidate_pixels") is not None:
-        return image_batch(image_paths,
-                           find_peptides_parameters=find_peptides_parameters,
-                           timestamp_epoch=timestamp_epoch)
     from .models.detect import find_peptides_batch
     image_paths = list(dict.fromkeys(os.path.abspath(p)
                                      for p in image_paths))

@@ -141,9 +141,15 @@ def find_peptides(image, median_filter_size=5, correlation_matrix=None,
     """
     if consolidation_radius < 2:
         raise ValueError("consolidation_radius must be at least 2")
+    # candidate_pixels parity: the reference documents it "Not yet
+    # implemented" and unconditionally overwrites it with _psf_candidates'
+    # output (pflib.py:374, 434) — i.e. a passed value is SILENTLY ignored.
+    # Reproduced (with a warning, which the reference omits).
     if candidate_pixels is not None:
-        raise NotImplementedError("candidate_pixels: parity with reference "
-                                  "(pflib.py:374) — not yet implemented.")
+        import logging
+        logging.getLogger(__name__).warning(
+            "find_peptides: candidate_pixels is ignored (reference parity; "
+            "pflib.py documents it as not implemented and overwrites it).")
     image = np.asarray(image)
     img_dev = jnp.asarray(image.astype(dtype))
 

@@ -225,3 +225,20 @@ def test_find_peptides_batch_matches_single():
             np.testing.assert_allclose(batched[b][k][:7], single[k][:7],
                                        rtol=1e-5, atol=1e-5)
             np.testing.assert_array_equal(batched[b][k][7], single[k][7])
+
+
+def test_candidate_pixels_silently_ignored_reference_parity():
+    """The reference documents candidate_pixels as not implemented and
+    unconditionally overwrites it (pflib.py:374, 434) — a passed value
+    must be ignored, not raise."""
+    import numpy as np
+    from fluorosequencingimageanalysis_tpu.models.detect import find_peptides
+
+    rng = np.random.default_rng(0)
+    img = rng.normal(400.0, 8.0, (64, 64)).astype(np.float32)
+    hh, ww = np.indices((64, 64)).astype(np.float32)
+    img += 3000 * np.exp(-(((hh - 30) ** 2) + ((ww - 40) ** 2)) / (2 * 1.3 ** 2))
+    base = find_peptides(img, max_candidates=64)
+    passed = find_peptides(img, max_candidates=64,
+                           candidate_pixels=[(5, 5), (10, 10)])
+    assert sorted(base.keys()) == sorted(passed.keys())

@@ -145,3 +145,14 @@ def test_run_experiment_csv_and_counts(tmp_path):
         read_track_photometries_csv)
     d, d2 = read_track_photometries_csv(str(tmp_path / "tracks.csv"))
     assert "ch1" in d and len(d2) == len(rows)
+
+
+def test_run_experiment_multichannel_dict():
+    stacks = {"ch1": make_stack(F=1, C=3, seed=2, n_spots=10),
+              "ch2": make_stack(F=1, C=3, seed=9, n_spots=10)}
+    out = Pipeline().run_experiment(stacks, max_candidates=512,
+                                    max_spots=128)
+    channels = {r[0] for r in out["rows"]}
+    assert channels == {"ch1", "ch2"}
+    assert set(out["category_counts"].keys()) == {"ch1", "ch2"}
+    assert set(out["offsets"].keys()) == {"ch1", "ch2"}
