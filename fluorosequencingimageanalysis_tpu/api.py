@@ -144,11 +144,10 @@ class Pipeline:
         adjustment_function workflows still go through the classes.
         """
         from .pipeline.fast_experiment import _spot_lists, \
-            run_experiment_field
+            run_experiment_stack
 
         if not isinstance(stacks, dict):
             stacks = {"ch1": stacks}
-        det = self.config.detect
         phot = self.config.photometry
         rows = []
         category_counts = {}
@@ -161,15 +160,12 @@ class Pipeline:
             rhs, rws = _spot_lists(out, F, C, H, W)
             offsets_out[channel] = (out["offsets_h"], out["offsets_w"])
             with self._stage("api/run_experiment/track+photometry"):
-                for f in range(F):
-                    offs = [(float(out["offsets_h"][f, c]),
-                             float(out["offsets_w"][f, c]))
-                            for c in range(C)]
-                    field_rows = run_experiment_field(
-                        stack[f], offs, (rhs[f], rws[f]),
-                        photometry_radius=phot.radius,
-                        photometry_brim=phot.brim_size,
-                        candidate_radius=candidate_radius)
+                per_field = run_experiment_stack(
+                    stack, out["offsets_h"], out["offsets_w"], (rhs, rws),
+                    photometry_radius=phot.radius,
+                    photometry_brim=phot.brim_size,
+                    candidate_radius=candidate_radius)
+                for f, field_rows in enumerate(per_field):
                     for (cat, h0, w0, ph) in field_rows:
                         rows.append((channel, f, h0, w0, cat, ph))
                         category_counts.setdefault(channel, {}) \

@@ -6,9 +6,13 @@ ever materializing Spot/Image objects:
     [F, C, H, W] stack
       -> experiment_step_sharded (registration + detect/fit + spot bucket)
       -> per-field native greedy tracking on arrays (tracklink.cpp)
-      -> trace assembly + linear interpolation of missing frames
-      -> invalid-trace discarding
-      -> batched device photometry at every (spot, frame) position
+      -> VECTORIZED trace assembly (pointer-jumping roots, scatter into a
+         (traces, cycles) position matrix — no per-trace Python walks)
+      -> VECTORIZED hole interpolation (closed forms of the reference's
+         interpolate_spots over prev/next-present-frame arrays)
+      -> invalid-trace discarding (one mask)
+      -> batched device photometry for every (trace, cycle) position in a
+         handful of chunked dispatches over the whole stack
       -> binary categories + track-photometries CSV rows
 
 Semantics are the experiment classes' (pipeline/experiment.py, themselves
@@ -17,8 +21,10 @@ parity with /root/reference/flexlibrary.py:1664-2892):
   candidate order with 5x5-fit validity (Spot.__init__ including its
   gaussian_fit fallback quirk, flexlibrary.py:90-101),
 - tracking offsets/binning/tie rules per greedy_particle_tracking,
-- interpolation per interpolate_spots/fill_in_trace (constant-position
-  extrapolation at head/tail holes, offset re-application per frame),
+- interpolation per interpolate_spots/fill_in_trace (same float operation
+  order: inc = (stop - start)/n computed once, then start + inc*i plus the
+  per-frame offset; constant-position extrapolation at head/tail holes;
+  Py2 rounding),
 - a trace is invalid (dropped) if any filled position falls outside the
   5x5 box or outside the photometry window (valid_slice at the metric's
   radius, which is what trace_to_photometry(return_invalid=False) rejects),
@@ -31,10 +37,17 @@ row by row.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 from ..utils.rounding import py2_round
 from .tracking import accumulate_offsets
+
+
+def _py2_round_arr(x):
+    return np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5)).astype(
+        np.int64)
 
 
 def _spot_lists(out, F, C, H, W, spot_size=5):
@@ -64,10 +77,8 @@ def _spot_lists(out, F, C, H, W, spot_size=5):
             w0 = spot_w[f, c][v]
             order = np.argsort(cand_idx[f, c][v], kind="stable")
             h0, w0 = h0[order], w0[order]
-            rh = np.where(h0 >= 0, np.floor(h0 + 0.5),
-                          np.ceil(h0 - 0.5)).astype(np.int64)
-            rw = np.where(w0 >= 0, np.floor(w0 + 0.5),
-                          np.ceil(w0 - 0.5)).astype(np.int64)
+            rh = _py2_round_arr(h0)
+            rw = _py2_round_arr(w0)
             # Spot.__init__ validity (experiment classes discard raisers):
             # plain 5x5 fit, or the reference's buggy fallback that lets an
             # out-of-box spot through unless (h_0 outside AND w_0 inside).
@@ -84,10 +95,13 @@ def _spot_lists(out, F, C, H, W, spot_size=5):
     return rhs, rws
 
 
-def _track_field(rh_by_cycle, rw_by_cycle, frame_shape, offsets,
-                 candidate_radius=2):
-    """Native greedy linking on integer positions; returns per-trace
-    (frames, hs, ws) index arrays in reference head order."""
+def _link_field(rh_by_cycle, rw_by_cycle, frame_shape, offsets,
+                candidate_radius=2):
+    """Native greedy linking + vectorized trace assembly for one field.
+
+    Returns (pos (T, C, 2) int64, present (T, C) bool) with traces ordered
+    like the reference's extraction walk (head frame, then bin raster).
+    """
     from ..native.tracklink import greedy_link, have_native
 
     C = len(rh_by_cycle)
@@ -95,16 +109,20 @@ def _track_field(rh_by_cycle, rw_by_cycle, frame_shape, offsets,
     counts = np.array([len(rh_by_cycle[c]) for c in range(C)], np.int32)
     frame_start = np.zeros(C + 1, np.int32)
     np.cumsum(counts, out=frame_start[1:])
-    h = np.concatenate([rh_by_cycle[c] + cum[c, 0] for c in range(C)]) \
-        if frame_start[-1] else np.zeros(0)
-    w = np.concatenate([rw_by_cycle[c] + cum[c, 1] for c in range(C)]) \
-        if frame_start[-1] else np.zeros(0)
-    if frame_start[-1] == 0:
-        return []
+    N = int(frame_start[-1])
+    if N == 0:
+        return (np.zeros((0, C, 2), np.int64), np.zeros((0, C), bool))
+    ih = np.concatenate([rh_by_cycle[c] for c in range(C)])
+    iw = np.concatenate([rw_by_cycle[c] for c in range(C)])
+    frame_of = np.repeat(np.arange(C), counts)
+    h = ih + cum[frame_of, 0]
+    w = iw + cum[frame_of, 1]
+
     if have_native():
-        anc, desc = greedy_link(h, w, frame_start, frame_shape,
-                                candidate_radius)
-    else:  # pure-python fallback via the host tracker on mock spots
+        anc, _desc = greedy_link(h, w, frame_start, frame_shape,
+                                 candidate_radius)
+        anc = anc.astype(np.int64)
+    else:  # pure-python fallback via the host tracker on index records
         from .tracking import greedy_particle_tracking
 
         class _S:  # noqa: N801 - tiny local record
@@ -119,153 +137,206 @@ def _track_field(rh_by_cycle, rw_by_cycle, frame_shape, offsets,
             frames.append([_S(int(rh_by_cycle[c][i]), int(rw_by_cycle[c][i]),
                               g + i) for i in range(len(rh_by_cycle[c]))])
             g += len(rh_by_cycle[c])
-        traces, _ = greedy_particle_tracking(frames, frame_shape,
-                                             candidate_radius=candidate_radius,
-                                             offsets=offsets, use_native=False)
-        out = []
-        frame_of = np.repeat(np.arange(C), counts)
-        ih = np.concatenate([rh_by_cycle[c] for c in range(C)])
-        iw = np.concatenate([rw_by_cycle[c] for c in range(C)])
+        traces, _ = greedy_particle_tracking(
+            frames, frame_shape, candidate_radius=candidate_radius,
+            offsets=offsets, use_native=False)
+        anc = np.full(N, -1, np.int64)
         for tr in traces:
-            idx = [s.i for s in tr if s is not None]
-            frs = [f for f, s in enumerate(tr) if s is not None]
-            out.append((np.asarray(frs), ih[idx], iw[idx]))
-        return out
+            prev = None
+            for s in tr:
+                if s is None:
+                    continue
+                if prev is not None:
+                    anc[s.i] = prev
+                prev = s.i
 
-    frame_of = np.repeat(np.arange(C), counts)
-    ih = np.concatenate([rh_by_cycle[c] for c in range(C)])
-    iw = np.concatenate([rw_by_cycle[c] for c in range(C)])
-    # Head order = reference extraction walk: frame, then bin raster rank.
-    rast_bin = (np.where(h >= 0, np.floor(h + 0.5), np.ceil(h - 0.5)) *
-                frame_shape[1] +
-                np.where(w >= 0, np.floor(w + 0.5), np.ceil(w - 0.5)))
+    # Root of every spot's chain by pointer jumping (chains are <= C long).
+    root = np.where(anc >= 0, anc, np.arange(N))
+    while True:
+        nxt = np.where(anc[root] >= 0, anc[root], root)
+        if (nxt == root).all():
+            break
+        root = nxt
+    # Trace ranks: heads ordered by (frame, bin raster) — the reference's
+    # extraction walk (flexlibrary.py:989-996).
+    rast_bin = (_py2_round_arr(h) * int(frame_shape[1]) + _py2_round_arr(w))
     heads = np.nonzero(anc == -1)[0]
     heads = heads[np.lexsort((rast_bin[heads], frame_of[heads]))]
-    traces = []
-    for s in heads:
-        s = int(s)
-        frs, hh, ww = [], [], []
-        while s != -1:
-            frs.append(int(frame_of[s]))
-            hh.append(int(ih[s]))
-            ww.append(int(iw[s]))
-            s = int(desc[s])
-        traces.append((np.asarray(frs), np.asarray(hh), np.asarray(ww)))
-    return traces
+    T = len(heads)
+    rank_of_head = np.empty(N, np.int64)
+    rank_of_head[heads] = np.arange(T)
+    trace_of = rank_of_head[root]
+    # Scatter every spot into its (trace, frame) cell.
+    pos = np.zeros((T, C, 2), np.int64)
+    present = np.zeros((T, C), bool)
+    pos[trace_of, frame_of, 0] = ih
+    pos[trace_of, frame_of, 1] = iw
+    present[trace_of, frame_of] = True
+    return pos, present
 
 
-def _fill_trace(frames, hs, ws, C, cum, frame_shape, spot_radius=2):
-    """Interpolate missing frames (interpolate_spots/fill_in_trace
-    semantics). Returns (positions (C, 2) int array, ok) where ok is False
-    if any filled position misses the 5x5 box (trace would be invalid)."""
+def _fill_traces(pos, present, cum, frame_shape, spot_radius=2,
+                 photometry_radius=9):
+    """Vectorized interpolate_spots/fill_in_trace + validity over all
+    traces at once.
+
+    pos: (T, C, 2) int64 positions at present frames; present: (T, C).
+    cum: (C, 2) cumulative offsets.
+    Returns (filled (T, C, 2) int64, valid (T,) bool).
+    """
+    T, C = present.shape
     H, W = frame_shape
-    present = np.zeros(C, dtype=bool)
-    present[frames] = True
-    pos = np.zeros((C, 2), dtype=np.int64)
-    pos[frames, 0] = hs
-    pos[frames, 1] = ws
-    ok = True
-    # Walk holes: each maximal run of missing frames with its bookends.
-    f = 0
-    while f < C:
-        if present[f]:
-            f += 1
-            continue
-        run_start = f
-        while f < C and not present[f]:
-            f += 1
-        run_stop = f  # first present after the run, or C
-        i1 = run_start - 1  # bookend frames (-1 = head hole)
-        i2 = run_stop if run_stop < C else -1  # -1 = tail hole
-        if i1 >= 0 and i2 >= 0:
-            start_h, start_w = float(pos[i1, 0]), float(pos[i1, 1])
-            # stop position mapped into the start frame's coordinates
-            # (offset_frame_coordinates with f=start, g=stop).
-            d = cum[i1] - cum[i2]
-            stop_h = pos[i2, 0] + d[0]
-            stop_w = pos[i2, 1] + d[1]
-            n = i2 - i1
-            base = i1
-        elif i2 >= 0:  # head hole: constant at stop's frame-0-mapped pos
-            d = cum[run_start] - cum[i2]
-            start_h = pos[i2, 0] + d[0]
-            start_w = pos[i2, 1] + d[1]
-            stop_h, stop_w = start_h, start_w
-            n = max(run_stop - run_start, 1)
-            base = run_start
-        else:  # tail hole: constant at start's own position
-            start_h, start_w = float(pos[i1, 0]), float(pos[i1, 1])
-            stop_h, stop_w = start_h, start_w
-            n = max(C - 1 - i1, 1)
-            base = i1
-        h_inc = (stop_h - start_h) / n
-        w_inc = (stop_w - start_w) / n
-        for j in range(run_start, run_stop):
-            i = j - base
-            h = start_h + h_inc * i
-            w = start_w + w_inc * i
-            off = cum[j] - cum[base]
-            ih = py2_round(h + off[0])
-            iw = py2_round(w + off[1])
-            if not (spot_radius <= ih < H - spot_radius and
-                    spot_radius <= iw < W - spot_radius):
-                ok = False
-            pos[j] = (ih, iw)
-    return pos, ok
+    if T == 0:
+        return pos, np.zeros((0,), bool)
+    f_idx = np.arange(C)[None, :]
+    # prev[t, f]: last present frame <= f (-1 if none); next[t, f]: first
+    # present frame >= f (C if none).
+    prev = np.where(present, f_idx, -1)
+    np.maximum.accumulate(prev, axis=1, out=prev)
+    nxt = np.where(present, f_idx, C)
+    nxt = np.minimum.accumulate(nxt[:, ::-1], axis=1)[:, ::-1]
+
+    t_idx = np.arange(T)[:, None]
+    prev_c = np.clip(prev, 0, C - 1)
+    next_c = np.clip(nxt, 0, C - 1)
+    pos_p = pos[t_idx, prev_c].astype(np.float64)          # (T, C, 2)
+    pos_n = pos[t_idx, next_c].astype(np.float64)
+    cum_f = cum[None, :, :]
+    cum_p = cum[prev_c]
+    cum_n = cum[next_c]
+
+    has_p = prev >= 0
+    has_n = nxt < C
+    # Interior gaps: the reference computes inc = (stop - start)/n once,
+    # then start + inc*i (+ the frame's offset re-application). Same float
+    # operation order here.
+    n_span = np.maximum((nxt - prev), 1).astype(np.float64)[:, :, None]
+    i_span = (f_idx - prev)[:, :, None].astype(np.float64)
+    start = pos_p
+    stop = pos_n + cum_p - cum_n
+    inc = (stop - start) / n_span
+    val_interior = start + inc * i_span + (cum_f - cum_p)
+    # Head holes: constant at the next spot's frame-0-mapped position,
+    # re-offset per frame (base frame 0; cum[0] == (0, 0) by definition).
+    val_head = pos_n + cum[0][None, None, :] - cum_n + cum_f - \
+        cum[0][None, None, :]
+    # Tail holes: constant at the previous spot's position, re-offset.
+    val_tail = pos_p + cum_f - cum_p
+
+    val = np.where(has_p[:, :, None],
+                   np.where(has_n[:, :, None], val_interior, val_tail),
+                   val_head)
+    filled_f = np.where(present[:, :, None], pos.astype(np.float64), val)
+    filled = np.where(filled_f >= 0, np.floor(filled_f + 0.5),
+                      np.ceil(filled_f - 0.5)).astype(np.int64)
+    # Present frames keep their exact integer positions.
+    filled = np.where(present[:, :, None], pos, filled)
+
+    # Validity: interpolated positions must fit the 5x5 spot box, and ALL
+    # positions must fit the photometry window (trace_to_photometry with
+    # return_invalid=False rejects truncated windows).
+    box_ok = ((filled[:, :, 0] >= spot_radius) &
+              (filled[:, :, 0] < H - spot_radius) &
+              (filled[:, :, 1] >= spot_radius) &
+              (filled[:, :, 1] < W - spot_radius))
+    r = photometry_radius
+    win_ok = ((filled[:, :, 0] >= r) & (filled[:, :, 0] < H - r) &
+              (filled[:, :, 1] >= r) & (filled[:, :, 1] < W - r))
+    valid = (box_ok | present).all(axis=1) & win_ok.all(axis=1)
+    return filled, valid
 
 
-def run_experiment_field(field_stack, offsets, spot_arrays,
+def _photometry_kernel(radius, brim):
+    import jax
+    import jax.numpy as jnp
+    from ..ops.photometry import crown_flat_indices, brim_flat_indices
+
+    crown_idx = crown_flat_indices(radius, brim)
+    brim_idx = brim_flat_indices(radius, brim)
+    d = 2 * radius + 1
+
+    @jax.jit
+    def kernel(imgs, img_id, hs, ws):
+        """imgs (M, H, W); img_id/hs/ws (B,) — mexican hat per position."""
+        dh = jnp.arange(-radius, radius + 1)
+        rows = hs[:, None] + dh[None, :]
+        cols = ws[:, None] + dh[None, :]
+        patches = imgs[img_id[:, None, None], rows[:, :, None],
+                       cols[:, None, :]]
+        flat = patches.reshape(patches.shape[0], d * d)
+        crown_sum = jnp.sum(flat[:, crown_idx], axis=-1)
+        brim_median = jnp.median(flat[:, brim_idx], axis=-1)
+        return crown_sum - crown_idx.size * brim_median
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=8)
+def _get_photometry_kernel(radius, brim):
+    return _photometry_kernel(radius, brim)
+
+
+def run_experiment_stack(stack, offsets_h, offsets_w, spot_arrays,
                          photometry_radius=9, photometry_brim=6,
-                         candidate_radius=2):
-    """One field: tracking -> fill-in -> validity -> batched photometry.
+                         candidate_radius=2, chunk=65536):
+    """All fields: tracking -> fill-in -> validity -> batched photometry.
 
-    field_stack: (C, H, W) numpy; offsets: [(dh, dw)] per cycle;
-    spot_arrays: (rh_by_cycle, rw_by_cycle) int arrays.
-    Returns list of (category, h0, w0, photometries (C,)) per valid trace,
-    in reference row order.
+    stack: (F, C, H, W) numpy; offsets_h/w: (F, C); spot_arrays from
+    _spot_lists. Returns a list of per-field row lists, each row
+    (category, h0, w0, photometries (C,)) in reference order.
     """
     import jax.numpy as jnp
-    from ..ops.photometry import mexican_hat_batch
 
-    C, H, W = field_stack.shape
-    cum = np.asarray(accumulate_offsets(offsets), dtype=np.float64)
-    traces = _track_field(spot_arrays[0], spot_arrays[1], (H, W), offsets,
-                          candidate_radius)
-    filled, cats = [], []
-    for frames, hs, ws in traces:
-        pos, ok = _fill_trace(frames, hs, ws, C, cum, (H, W))
-        if not ok:
-            continue
-        # trace_to_photometry(return_invalid=False) also rejects positions
-        # whose photometry window is truncated (valid_slice at radius).
-        r = photometry_radius
-        if not ((pos[:, 0] >= r) & (pos[:, 0] < H - r) &
-                (pos[:, 1] >= r) & (pos[:, 1] < W - r)).all():
-            continue
-        cat = np.zeros(C, dtype=bool)
-        cat[frames] = True
-        filled.append(pos)
-        cats.append(tuple(bool(x) for x in cat))
-    if not filled:
-        return []
-    all_pos = np.stack(filled)  # (T, C, 2)
-    # One device dispatch per cycle image over all traces' positions.
-    phot = np.empty((len(filled), C), dtype=np.float64)
-    for c in range(C):
-        ph = mexican_hat_batch(jnp.asarray(field_stack[c]),
-                               jnp.asarray(all_pos[:, c, 0], jnp.int32),
-                               jnp.asarray(all_pos[:, c, 1], jnp.int32),
-                               brim_size=photometry_brim,
-                               radius=photometry_radius)
-        phot[:, c] = np.asarray(ph, dtype=np.float64)
-    # Row order: categories in first-appearance order, then trace order
-    # (binary_trace_categories -> btc_photometries iteration).
-    by_cat = {}
-    for t, cat in enumerate(cats):
-        by_cat.setdefault(cat, []).append(t)
-    rows = []
-    for cat, idxs in by_cat.items():
-        for t in idxs:
-            rows.append((cat, int(all_pos[t, 0, 0]), int(all_pos[t, 0, 1]),
-                         phot[t]))
-    return rows
+    F, C, H, W = stack.shape
+    rhs, rws = spot_arrays
+    all_pos, all_valid_cat, field_sizes = [], [], []
+    for f in range(F):
+        offs = [(float(offsets_h[f, c]), float(offsets_w[f, c]))
+                for c in range(C)]
+        cum = np.asarray(accumulate_offsets(offs), dtype=np.float64)
+        pos, present = _link_field(rhs[f], rws[f], (H, W), offs,
+                                   candidate_radius)
+        filled, valid = _fill_traces(pos, present, cum, (H, W),
+                                     photometry_radius=photometry_radius)
+        all_pos.append(filled[valid])
+        all_valid_cat.append(present[valid])
+        field_sizes.append(int(valid.sum()))
+    if sum(field_sizes) == 0:
+        return [[] for _ in range(F)]
+    pos = np.concatenate(all_pos)          # (Ttot, C, 2)
+    cats = np.concatenate(all_valid_cat)   # (Ttot, C)
+    field_of = np.repeat(np.arange(F), field_sizes)
+
+    # One chunked device kernel over every (trace, cycle) position.
+    imgs = jnp.asarray(stack.reshape(F * C, H, W))
+    img_id = (field_of[:, None] * C + np.arange(C)[None, :]).reshape(-1)
+    hs = pos[:, :, 0].reshape(-1)
+    ws = pos[:, :, 1].reshape(-1)
+    kern = _get_photometry_kernel(photometry_radius, photometry_brim)
+    B = hs.shape[0]
+    phot = np.empty(B, np.float64)
+    for lo in range(0, B, chunk):
+        hi = min(lo + chunk, B)
+        phot[lo:hi] = np.asarray(kern(
+            imgs, jnp.asarray(img_id[lo:hi], jnp.int32),
+            jnp.asarray(hs[lo:hi], jnp.int32),
+            jnp.asarray(ws[lo:hi], jnp.int32)))
+    phot = phot.reshape(-1, C)
+
+    # Rows per field: categories in first-appearance order, then trace
+    # order (binary_trace_categories -> btc_photometries iteration).
+    out = []
+    start = 0
+    for f in range(F):
+        stop = start + field_sizes[f]
+        by_cat = {}
+        for t in range(start, stop):
+            by_cat.setdefault(tuple(bool(x) for x in cats[t]), []).append(t)
+        rows = []
+        for cat, idxs in by_cat.items():
+            for t in idxs:
+                rows.append((cat, int(pos[t, 0, 0]), int(pos[t, 0, 1]),
+                             phot[t]))
+        out.append(rows)
+        start = stop
+    return out

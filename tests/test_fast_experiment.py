@@ -156,3 +156,15 @@ def test_run_experiment_multichannel_dict():
     assert channels == {"ch1", "ch2"}
     assert set(out["category_counts"].keys()) == {"ch1", "ch2"}
     assert set(out["offsets"].keys()) == {"ch1", "ch2"}
+
+
+def test_run_experiment_empty_field():
+    """A spotless stack must come back with zero rows, not crash."""
+    rng = np.random.default_rng(0)
+    stack = rng.normal(400.0, 6.0, (1, 3, 128, 128)).astype(np.float32)
+    out = Pipeline().run_experiment(stack, max_candidates=256, max_spots=64)
+    # Pure noise may still produce a few spurious fits, but the path must
+    # be structurally sound either way.
+    assert isinstance(out["rows"], list)
+    for (_, _, h, w, cat, ph) in out["rows"]:
+        assert len(cat) == 3 and len(ph) == 3
