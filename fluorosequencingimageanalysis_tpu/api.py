@@ -140,8 +140,10 @@ class Pipeline:
 
         Equality with the class-based path (SequenceExperiment ->
         MultifieldMultichannelSequenceExperiment.track_photometries_as_csv)
-        is proven row-by-row in tests/test_fast_experiment.py. MDMA /
-        adjustment_function workflows still go through the classes.
+        is proven row-by-row in tests/test_fast_experiment.py. The
+        photometry method comes from config.photometry.method (mexican_hat,
+        simple, or maximum — fit-parameter/background metrics and MDMA /
+        adjustment_function workflows still go through the classes).
         """
         from .pipeline.fast_experiment import _spot_lists, \
             run_experiment_stack
@@ -162,6 +164,7 @@ class Pipeline:
             with self._stage("api/run_experiment/track+photometry"):
                 per_field = run_experiment_stack(
                     stack, out["offsets_h"], out["offsets_w"], (rhs, rws),
+                    photometry_method=phot.method,
                     photometry_radius=phot.radius,
                     photometry_brim=phot.brim_size,
                     candidate_radius=candidate_radius)

@@ -246,38 +246,62 @@ def _fill_traces(pos, present, cum, frame_shape, spot_radius=2,
     return filled, valid
 
 
-def _photometry_kernel(radius, brim):
+# Photometry methods the array-native path can batch over the whole stack.
+# Each metric measures a square of its own radius (Spot.photometry ->
+# *_photometry_metric defaults, pipeline/spots.py:71-120); gaussian_volume/
+# sigmas/sextractor need fit params or background models and go through the
+# class path instead.
+FAST_PHOTOMETRY_METHODS = ("mexican_hat", "simple", "maximum")
+
+
+def _photometry_window_radius(method, mexican_hat_radius):
+    """The metric's square radius — also the trace_to_photometry
+    (return_invalid=False) validity radius for that metric."""
+    return {"mexican_hat": mexican_hat_radius, "simple": 2,
+            "maximum": 5}[method]
+
+
+def _photometry_kernel(method, radius, brim, top):
     import jax
     import jax.numpy as jnp
     from ..ops.photometry import crown_flat_indices, brim_flat_indices
 
-    crown_idx = crown_flat_indices(radius, brim)
-    brim_idx = brim_flat_indices(radius, brim)
     d = 2 * radius + 1
+    if method == "mexican_hat":
+        crown_idx = crown_flat_indices(radius, brim)
+        brim_idx = brim_flat_indices(radius, brim)
 
     @jax.jit
     def kernel(imgs, img_id, hs, ws):
-        """imgs (M, H, W); img_id/hs/ws (B,) — mexican hat per position."""
+        """imgs (M, H, W); img_id/hs/ws (B,) — one metric per position."""
         dh = jnp.arange(-radius, radius + 1)
         rows = hs[:, None] + dh[None, :]
         cols = ws[:, None] + dh[None, :]
         patches = imgs[img_id[:, None, None], rows[:, :, None],
                        cols[:, None, :]]
         flat = patches.reshape(patches.shape[0], d * d)
-        crown_sum = jnp.sum(flat[:, crown_idx], axis=-1)
-        brim_median = jnp.median(flat[:, brim_idx], axis=-1)
-        return crown_sum - crown_idx.size * brim_median
+        if method == "mexican_hat":
+            crown_sum = jnp.sum(flat[:, crown_idx], axis=-1)
+            brim_median = jnp.median(flat[:, brim_idx], axis=-1)
+            return crown_sum - crown_idx.size * brim_median
+        if method == "simple":
+            return jnp.sum(flat, axis=-1)
+        if method == "maximum":
+            return jnp.sum(jax.lax.top_k(flat, top)[0], axis=-1)
+        raise ValueError("unknown method: " + repr(method))
 
     return kernel
 
 
 @functools.lru_cache(maxsize=8)
-def _get_photometry_kernel(radius, brim):
-    return _photometry_kernel(radius, brim)
+def _get_photometry_kernel(method, radius, brim, top):
+    return _photometry_kernel(method, radius, brim, top)
 
 
 def run_experiment_stack(stack, offsets_h, offsets_w, spot_arrays,
+                         photometry_method="mexican_hat",
                          photometry_radius=9, photometry_brim=6,
+                         photometry_top=1,
                          candidate_radius=2, chunk=65536):
     """All fields: tracking -> fill-in -> validity -> batched photometry.
 
@@ -287,6 +311,14 @@ def run_experiment_stack(stack, offsets_h, offsets_w, spot_arrays,
     """
     import jax.numpy as jnp
 
+    if photometry_method not in FAST_PHOTOMETRY_METHODS:
+        raise ValueError(
+            "run_experiment supports photometry methods "
+            f"{FAST_PHOTOMETRY_METHODS}; {photometry_method!r} needs "
+            "per-spot fit params or background models — use the experiment "
+            "classes (pipeline.experiment) for it.")
+    window_radius = _photometry_window_radius(photometry_method,
+                                              photometry_radius)
     F, C, H, W = stack.shape
     rhs, rws = spot_arrays
     all_pos, all_valid_cat, field_sizes = [], [], []
@@ -297,7 +329,7 @@ def run_experiment_stack(stack, offsets_h, offsets_w, spot_arrays,
         pos, present = _link_field(rhs[f], rws[f], (H, W), offs,
                                    candidate_radius)
         filled, valid = _fill_traces(pos, present, cum, (H, W),
-                                     photometry_radius=photometry_radius)
+                                     photometry_radius=window_radius)
         all_pos.append(filled[valid])
         all_valid_cat.append(present[valid])
         field_sizes.append(int(valid.sum()))
@@ -312,7 +344,8 @@ def run_experiment_stack(stack, offsets_h, offsets_w, spot_arrays,
     img_id = (field_of[:, None] * C + np.arange(C)[None, :]).reshape(-1)
     hs = pos[:, :, 0].reshape(-1)
     ws = pos[:, :, 1].reshape(-1)
-    kern = _get_photometry_kernel(photometry_radius, photometry_brim)
+    kern = _get_photometry_kernel(photometry_method, window_radius,
+                                  photometry_brim, photometry_top)
     B = hs.shape[0]
     phot = np.empty(B, np.float64)
     for lo in range(0, B, chunk):

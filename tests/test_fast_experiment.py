@@ -44,7 +44,7 @@ def make_stack(F, C, H=128, W=128, n_spots=24, seed=0, presence_p=0.85):
     return stack
 
 
-def class_path_rows(stack, max_candidates=512):
+def class_path_rows(stack, max_candidates=512, photometry_method="mexican_hat"):
     """Drive the legacy-shaped experiment classes end-to-end; return the
     parsed track-photometries CSV rows."""
     from fluorosequencingimageanalysis_tpu.pipeline.spots import Image, Spot
@@ -84,7 +84,8 @@ def class_path_rows(stack, max_candidates=512):
     fd, path = tempfile.mkstemp(suffix=".csv")
     os.close(fd)
     try:
-        mfmc.track_photometries_as_csv(path, save_averages=False)
+        mfmc.track_photometries_as_csv(path, save_averages=False,
+                                       photometry_method=photometry_method)
         with open(path) as fh:
             reader = csv.reader(fh)
             header = next(reader)
@@ -118,6 +119,39 @@ def test_run_experiment_matches_class_path(seed):
     cats = {cat for (_, _, _, _, cat, _) in rows_fast}
     assert len(cats) > 2
     assert any(not all(cat) for cat in cats)
+
+
+@pytest.mark.parametrize("method", ["simple", "maximum"])
+def test_run_experiment_photometry_methods(method):
+    """Non-default metrics must match the class path too (each metric has
+    its own square radius, hence its own window-validity rejection)."""
+    from fluorosequencingimageanalysis_tpu.config import (
+        PipelineConfig, PhotometryConfig)
+
+    stack = make_stack(F=1, C=4, seed=5, n_spots=16)
+    header_ref, rows_ref = class_path_rows(stack, photometry_method=method)
+    pipe = Pipeline(PipelineConfig(photometry=PhotometryConfig(method=method)))
+    res = pipe.run_experiment(stack, max_candidates=512, max_spots=256)
+    rows_fast = res["rows"]
+    assert len(rows_fast) == len(rows_ref) > 0
+    for i, ((ch, f, h, w, cat, ph), ref) in enumerate(
+            zip(rows_fast, rows_ref)):
+        assert (str(ch), str(f), str(h), str(w), str(cat)) == \
+            tuple(ref[:5]), (i, (ch, f, h, w, cat), ref[:5])
+        ref_ph = np.array([float(x) for x in ref[5:]])
+        np.testing.assert_allclose(ph, ref_ph, rtol=1e-5, atol=1e-2,
+                                   err_msg=f"row {i}")
+
+
+def test_run_experiment_rejects_fit_param_methods():
+    from fluorosequencingimageanalysis_tpu.config import (
+        PipelineConfig, PhotometryConfig)
+
+    stack = make_stack(F=1, C=3, seed=6, n_spots=6)
+    pipe = Pipeline(PipelineConfig(
+        photometry=PhotometryConfig(method="sextractor")))
+    with pytest.raises(ValueError, match="sextractor"):
+        pipe.run_experiment(stack, max_candidates=256, max_spots=64)
 
 
 def test_run_experiment_csv_and_counts(tmp_path):
