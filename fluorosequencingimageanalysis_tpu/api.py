@@ -57,19 +57,37 @@ class Pipeline:
 
     # -- imaging ------------------------------------------------------------
 
-    def run_stack(self, stack, max_candidates=None, max_spots=None):
+    def run_stack(self, stack, max_candidates=None, max_spots=None,
+                  keys=None):
         """Full align + detect + fit + photometry over a [F, C, H, W] stack.
 
         Returns a dict of host numpy arrays (offsets, params, keep masks,
         spot centers, photometry) — see
         parallel.mesh.experiment_step_sharded for the schema. Cached in the
         artifact store (keyed by stack content + config) when one is set.
+
+        ``stack`` may be a numpy array or an already-device-resident
+        jax.Array — the latter skips the host->device upload (on a
+        tunneled chip the 256 MB transfer of a 32x8-field stack costs more
+        than the compute; run_experiment uploads once and shares the
+        buffer with the photometry stage). Integer dtypes (raw uint16
+        camera frames) upload as-is and are cast to float32 on device —
+        half the transfer of a pre-cast float stack.
+
+        ``keys``: optional iterable of output names to fetch; other
+        outputs are neither transferred to host nor returned (the
+        [F, C, max_candidates] fit arrays dominate the device->host
+        transfer when only the compacted spots are needed).
         """
         import jax
         import jax.numpy as jnp
         from .parallel.mesh import experiment_step_sharded, shard_fields
 
-        stack = np.asarray(stack, dtype=np.float32)
+        if not isinstance(stack, jax.Array):
+            stack = np.asarray(stack)
+            if stack.dtype not in (np.float32, np.uint8, np.uint16,
+                                   np.int16, np.int32):
+                stack = stack.astype(np.float32)
         if stack.ndim != 4:
             raise ValueError("stack must be [fields, cycles, H, W]")
         det = self.config.detect
@@ -87,8 +105,9 @@ class Pipeline:
                 F = stack.shape[0]
                 n_data = mesh.shape["data"]
                 pad = (-F) % n_data
-                padded = stack if pad == 0 else np.concatenate(
-                    [stack, np.repeat(stack[-1:], pad, axis=0)])
+                xp = jnp if isinstance(stack, jax.Array) else np
+                padded = stack if pad == 0 else xp.concatenate(
+                    [stack, xp.repeat(stack[-1:], pad, axis=0)])
                 x = shard_fields(jnp.asarray(padded), mesh)
                 with mesh:
                     out = experiment_step_sharded(
@@ -106,12 +125,14 @@ class Pipeline:
                         photometry_radius=phot.radius,
                         photometry_brim=phot.brim_size,
                         photometry_min=phot.photometry_min)
-                return {k: np.asarray(v)[:F] for k, v in out.items()}
+                return {k: np.asarray(v)[:F] for k, v in out.items()
+                        if keys is None or k in keys}
 
         if self.store is not None:
             from .utils.checkpoint import content_key
-            key = content_key("run_stack", stack,
-                              self.config.asdict(), mc, max_spots)
+            key = content_key("run_stack", np.asarray(stack),
+                              self.config.asdict(), mc, max_spots,
+                              sorted(keys) if keys is not None else None)
             return self.store.get_or_compute(key, compute,
                                              meta={"stage": "run_stack"})
         return compute()
@@ -155,10 +176,21 @@ class Pipeline:
         category_counts = {}
         offsets_out = {}
         for channel, stack in stacks.items():
-            stack = np.asarray(stack, dtype=np.float32)
+            import jax.numpy as jnp
+            # One host->device upload per channel; run_stack and the
+            # photometry stage share the device-resident buffer. Integer
+            # camera dtypes upload raw (half the bytes of float32) and
+            # cast on device.
+            stack = np.asarray(stack)
+            if stack.dtype not in (np.float32, np.uint8, np.uint16,
+                                   np.int16, np.int32):
+                stack = stack.astype(np.float32)
+            stack = jnp.asarray(stack)
             F, C, H, W = stack.shape
-            out = self.run_stack(stack, max_candidates=max_candidates,
-                                 max_spots=max_spots)
+            out = self.run_stack(
+                stack, max_candidates=max_candidates, max_spots=max_spots,
+                keys=("offsets_h", "offsets_w", "spot_h", "spot_w",
+                      "spot_valid", "spot_cand_idx", "spot_overflow"))
             rhs, rws = _spot_lists(out, F, C, H, W)
             offsets_out[channel] = (out["offsets_h"], out["offsets_w"])
             with self._stage("api/run_experiment/track+photometry"):

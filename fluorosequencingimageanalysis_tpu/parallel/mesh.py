@@ -103,6 +103,12 @@ def experiment_step_sharded(stack, mesh, median_filter_size=5, c_std=2.0,
     F, C, H, W = stack.shape
     data_spec = NamedSharding(mesh, P("data", None, None, None))
     stack = jax.lax.with_sharding_constraint(stack, data_spec)
+    # Accept raw detector dtypes (uint16 camera frames) and cast on device:
+    # uploading 16-bit pixels halves the host->device transfer, usually the
+    # dominant cost of a whole-experiment step on interconnect-limited
+    # links. The cast fuses into the first consumer.
+    if stack.dtype != jnp.float32:
+        stack = stack.astype(jnp.float32)
 
     # 1. Registration: vmap over fields; each field registers its C cycles.
     off_h, off_w, _, _ = jax.vmap(

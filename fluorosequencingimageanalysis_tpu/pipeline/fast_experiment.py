@@ -279,7 +279,9 @@ def _photometry_kernel(method, radius, brim, top):
         cols = ws[:, None] + dh[None, :]
         patches = imgs[img_id[:, None, None], rows[:, :, None],
                        cols[:, None, :]]
-        flat = patches.reshape(patches.shape[0], d * d)
+        # Gather in the storage dtype (uint16 stacks stay uint16 in HBM),
+        # then cast for the reductions.
+        flat = patches.reshape(patches.shape[0], d * d).astype(jnp.float32)
         if method == "mexican_hat":
             crown_sum = jnp.sum(flat[:, crown_idx], axis=-1)
             brim_median = jnp.median(flat[:, brim_idx], axis=-1)
@@ -305,9 +307,11 @@ def run_experiment_stack(stack, offsets_h, offsets_w, spot_arrays,
                          candidate_radius=2, chunk=65536):
     """All fields: tracking -> fill-in -> validity -> batched photometry.
 
-    stack: (F, C, H, W) numpy; offsets_h/w: (F, C); spot_arrays from
-    _spot_lists. Returns a list of per-field row lists, each row
-    (category, h0, w0, photometries (C,)) in reference order.
+    stack: (F, C, H, W) numpy array OR device-resident jax.Array (the
+    latter avoids re-uploading a stack run_stack already placed on
+    device); offsets_h/w: (F, C); spot_arrays from _spot_lists. Returns a
+    list of per-field row lists, each row (category, h0, w0,
+    photometries (C,)) in reference order.
     """
     import jax.numpy as jnp
 
@@ -340,7 +344,8 @@ def run_experiment_stack(stack, offsets_h, offsets_w, spot_arrays,
     field_of = np.repeat(np.arange(F), field_sizes)
 
     # One chunked device kernel over every (trace, cycle) position.
-    imgs = jnp.asarray(stack.reshape(F * C, H, W))
+    # jnp.asarray is a no-op for an already-device stack.
+    imgs = jnp.asarray(stack).reshape(F * C, H, W)
     img_id = (field_of[:, None] * C + np.arange(C)[None, :]).reshape(-1)
     hs = pos[:, :, 0].reshape(-1)
     ws = pos[:, :, 1].reshape(-1)
@@ -350,10 +355,19 @@ def run_experiment_stack(stack, offsets_h, offsets_w, spot_arrays,
     phot = np.empty(B, np.float64)
     for lo in range(0, B, chunk):
         hi = min(lo + chunk, B)
+        # Pad ragged tails to a power-of-two bucket so every dispatch hits
+        # an already-compiled kernel shape (positions pad with a safe
+        # interior coordinate and are sliced off).
+        n = hi - lo
+        bucket = n if n == chunk else min(chunk,
+                                          1 << max(n - 1, 1).bit_length())
+        pad = bucket - n
+        ii = np.pad(img_id[lo:hi], (0, pad))
+        hh = np.pad(hs[lo:hi], (0, pad), constant_values=window_radius)
+        ww = np.pad(ws[lo:hi], (0, pad), constant_values=window_radius)
         phot[lo:hi] = np.asarray(kern(
-            imgs, jnp.asarray(img_id[lo:hi], jnp.int32),
-            jnp.asarray(hs[lo:hi], jnp.int32),
-            jnp.asarray(ws[lo:hi], jnp.int32)))
+            imgs, jnp.asarray(ii, jnp.int32),
+            jnp.asarray(hh, jnp.int32), jnp.asarray(ww, jnp.int32)))[:n]
     phot = phot.reshape(-1, C)
 
     # Rows per field: categories in first-appearance order, then trace

@@ -192,6 +192,21 @@ def test_run_experiment_multichannel_dict():
     assert set(out["offsets"].keys()) == {"ch1", "ch2"}
 
 
+def test_run_experiment_uint16_equals_float32():
+    """Raw 16-bit camera frames must give bit-identical rows to the same
+    data pre-cast to float32 (the cast happens on device either way)."""
+    stack_f = np.clip(make_stack(F=1, C=3, seed=4, n_spots=10), 0, 65535)
+    stack_u = stack_f.astype(np.uint16)
+    out_u = Pipeline().run_experiment(stack_u, max_candidates=256,
+                                      max_spots=128)
+    out_f = Pipeline().run_experiment(stack_u.astype(np.float32),
+                                      max_candidates=256, max_spots=128)
+    assert len(out_u["rows"]) == len(out_f["rows"]) > 0
+    for ru, rf in zip(out_u["rows"], out_f["rows"]):
+        assert ru[:5] == rf[:5]
+        np.testing.assert_array_equal(ru[5], rf[5])
+
+
 def test_run_experiment_empty_field():
     """A spotless stack must come back with zero rows, not crash."""
     rng = np.random.default_rng(0)
