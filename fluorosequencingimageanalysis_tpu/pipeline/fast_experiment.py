@@ -353,6 +353,9 @@ def run_experiment_stack(stack, offsets_h, offsets_w, spot_arrays,
                                   photometry_brim, photometry_top)
     B = hs.shape[0]
     phot = np.empty(B, np.float64)
+    # Queue every chunk before fetching any result: JAX dispatch is async,
+    # so the device pipelines the kernels and the host only blocks once.
+    pending = []
     for lo in range(0, B, chunk):
         hi = min(lo + chunk, B)
         # Pad ragged tails to a power-of-two bucket so every dispatch hits
@@ -365,9 +368,11 @@ def run_experiment_stack(stack, offsets_h, offsets_w, spot_arrays,
         ii = np.pad(img_id[lo:hi], (0, pad))
         hh = np.pad(hs[lo:hi], (0, pad), constant_values=window_radius)
         ww = np.pad(ws[lo:hi], (0, pad), constant_values=window_radius)
-        phot[lo:hi] = np.asarray(kern(
+        pending.append((lo, hi, kern(
             imgs, jnp.asarray(ii, jnp.int32),
-            jnp.asarray(hh, jnp.int32), jnp.asarray(ww, jnp.int32)))[:n]
+            jnp.asarray(hh, jnp.int32), jnp.asarray(ww, jnp.int32))))
+    for lo, hi, dev in pending:
+        phot[lo:hi] = np.asarray(dev)[:hi - lo]
     phot = phot.reshape(-1, C)
 
     # Rows per field: categories in first-appearance order, then trace
