@@ -138,7 +138,9 @@ class Pipeline:
         return compute()
 
     def run_experiment(self, stacks, csv_path=None, max_candidates=None,
-                       max_spots=None, candidate_radius=2):
+                       max_spots=None, candidate_radius=2,
+                       category_csv_path=None, category_csv_filtered=True,
+                       category_csv_collate_fields=False):
         """The flagship workflow, one call: align + detect/fit + track +
         interpolate + categorize + track-photometries CSV.
 
@@ -149,6 +151,10 @@ class Pipeline:
                 ``CHANNEL,FIELD,H,W,CATEGORY,FRAME i...`` CSV there
                 (flexlibrary.py:2755-2892 with save_averages=False,
                 interpolate=True — the basic_experiment_script config).
+            category_csv_path: if given, also write the
+                ``Pattern[,Field],Channel,Count`` category-counts CSV
+                (flexlibrary.py:2948-3024; filtered keeps only one-drop
+                monotone patterns, like basic_experiment_script).
 
         Returns a dict:
             rows: list of (channel, field, h, w, category, photometries)
@@ -220,9 +226,36 @@ class Pipeline:
                 for (channel, f, h0, w0, cat, ph) in rows:
                     writer.writerow([str(channel), str(f), str(h0), str(w0),
                                      str(cat)] + [str(v) for v in ph])
+        if category_csv_path is not None:
+            import csv as csv_module
+            from .pipeline.experiment import Experiment
+            to_save = filtered if category_csv_filtered else category_counts
+            channels_sorted = sorted(to_save.keys())
+            patterns = sorted(set(
+                pattern for by_f in to_save.values()
+                for pats in by_f.values() for pattern in pats))
+            header = (["Pattern", "Field", "Channel", "Count"]
+                      if category_csv_collate_fields
+                      else ["Pattern", "Channel", "Count"])
+            with open(category_csv_path, "w", newline="") as fh:
+                writer = csv_module.writer(fh, dialect="excel")
+                writer.writerow(header)
+                for pattern in patterns:
+                    base = [Experiment.truefalse_to_onoff(pattern)]
+                    for chan in channels_sorted:
+                        if category_csv_collate_fields:
+                            for f, d in to_save[chan].items():
+                                writer.writerow(base + [str(f), str(chan),
+                                                        str(d.get(pattern,
+                                                                  0))])
+                        else:
+                            count = sum(d.get(pattern, 0)
+                                        for d in to_save[chan].values())
+                            writer.writerow(base + [str(chan), str(count)])
         return {"rows": rows, "category_counts": category_counts,
                 "filtered_category_counts": filtered,
-                "offsets": offsets_out, "csv_path": csv_path}
+                "offsets": offsets_out, "csv_path": csv_path,
+                "category_csv_path": category_csv_path}
 
     def run_files(self, paths_by_cycle, **kwargs):
         """Like run_stack, from image files: paths_by_cycle is a list (per

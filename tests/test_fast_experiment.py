@@ -192,6 +192,61 @@ def test_run_experiment_multichannel_dict():
     assert set(out["offsets"].keys()) == {"ch1", "ch2"}
 
 
+def test_run_experiment_category_csv_matches_class_path(tmp_path):
+    """The Pattern,Channel,Count CSV must match category_counts_as_csv
+    byte-for-byte (filtered and unfiltered, plain and collated)."""
+    from fluorosequencingimageanalysis_tpu.pipeline.spots import Image, Spot
+    from fluorosequencingimageanalysis_tpu.pipeline.experiment import (
+        SequenceExperiment, MultichannelSequenceExperiment,
+        MultifieldMultichannelSequenceExperiment)
+    from fluorosequencingimageanalysis_tpu.models.detect import (
+        find_peptides_batch)
+
+    stack = make_stack(F=2, C=4, seed=7, n_spots=14)
+    F, C, H, W = stack.shape
+    fields = []
+    for f in range(F):
+        psfs_list = find_peptides_batch(stack[f], max_candidates=512,
+                                        num_iters=60)
+        images = []
+        for c in range(C):
+            img = Image(image=stack[f, c],
+                        metadata={"filepath": f"mem://{f}/{c}"}, spots=None)
+            spots = []
+            for (h, w), gf in psfs_list[c].items():
+                try:
+                    spots.append(Spot(img, int(tracking._py2_round(h)),
+                                      int(tracking._py2_round(w)), 5,
+                                      gaussian_fit=gf))
+                except Exception:
+                    pass
+            img.spots = spots
+            images.append(img)
+        ex = SequenceExperiment(images, alignment_frames=images)
+        ex.offsets_from_frames()
+        fields.append(MultichannelSequenceExperiment({"ch1": ex}))
+    mfmc = MultifieldMultichannelSequenceExperiment(fields)
+    mfmc.trace_existing_spots()
+    mfmc.discard_invalid_traces()
+
+    out = Pipeline().run_experiment(
+        stack, max_candidates=512, max_spots=256,
+        category_csv_path=str(tmp_path / "fast.csv"))
+    for filtered, collate in [(True, False), (False, False), (True, True)]:
+        mfmc.category_counts_as_csv(str(tmp_path / "ref.csv"),
+                                    filtered=filtered,
+                                    collate_fields=collate)
+        Pipeline().run_experiment(
+            stack, max_candidates=512, max_spots=256,
+            category_csv_path=str(tmp_path / "fast.csv"),
+            category_csv_filtered=filtered,
+            category_csv_collate_fields=collate)
+        ref = (tmp_path / "ref.csv").read_text()
+        fast = (tmp_path / "fast.csv").read_text()
+        assert ref == fast, (filtered, collate)
+    assert out["category_csv_path"] is not None
+
+
 def test_run_experiment_uint16_equals_float32():
     """Raw 16-bit camera frames must give bit-identical rows to the same
     data pre-cast to float32 (the cast happens on device either way)."""
