@@ -198,6 +198,14 @@ class Pipeline:
                 keys=("offsets_h", "offsets_w", "spot_h", "spot_w",
                       "spot_valid", "spot_cand_idx", "spot_overflow"))
             rhs, rws = _spot_lists(out, F, C, H, W)
+            if out["spot_overflow"].any():
+                import logging
+                n_over = int(out["spot_overflow"].sum())
+                logging.getLogger(__name__).warning(
+                    "run_experiment: %d (field, cycle) images overflowed "
+                    "the max_spots bucket — their lowest-R^2 spots were "
+                    "dropped; raise max_spots for complete tracking",
+                    n_over)
             offsets_out[channel] = (out["offsets_h"], out["offsets_w"])
             with self._stage("api/run_experiment/track+photometry"):
                 per_field = run_experiment_stack(

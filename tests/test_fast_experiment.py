@@ -247,6 +247,17 @@ def test_run_experiment_category_csv_matches_class_path(tmp_path):
     assert out["category_csv_path"] is not None
 
 
+def test_run_experiment_warns_on_spot_overflow(caplog):
+    """Overflowing the spot bucket must be reported, never silent."""
+    import logging
+
+    stack = make_stack(F=1, C=3, seed=8, n_spots=20)
+    with caplog.at_level(logging.WARNING,
+                         logger="fluorosequencingimageanalysis_tpu.api"):
+        Pipeline().run_experiment(stack, max_candidates=256, max_spots=4)
+    assert any("overflowed" in r.message for r in caplog.records)
+
+
 def test_run_experiment_uint16_equals_float32():
     """Raw 16-bit camera frames must give bit-identical rows to the same
     data pre-cast to float32 (the cast happens on device either way)."""
