@@ -58,7 +58,7 @@ class Pipeline:
     # -- imaging ------------------------------------------------------------
 
     def run_stack(self, stack, max_candidates=None, max_spots=None,
-                  keys=None):
+                  keys=None, stack_key=None):
         """Full align + detect + fit + photometry over a [F, C, H, W] stack.
 
         Returns a dict of host numpy arrays (offsets, params, keep masks,
@@ -78,6 +78,11 @@ class Pipeline:
         outputs are neither transferred to host nor returned (the
         [F, C, max_candidates] fit arrays dominate the device->host
         transfer when only the compacted spots are needed).
+
+        ``stack_key``: optional precomputed content hash of the stack
+        (utils.checkpoint.content_key of the host array). With an
+        artifact store set and a device-resident ``stack``, providing it
+        avoids pulling the whole stack back to host just to hash it.
         """
         import jax
         import jax.numpy as jnp
@@ -130,7 +135,9 @@ class Pipeline:
 
         if self.store is not None:
             from .utils.checkpoint import content_key
-            key = content_key("run_stack", np.asarray(stack),
+            if stack_key is None:
+                stack_key = content_key(np.asarray(stack))
+            key = content_key("run_stack", stack_key,
                               self.config.asdict(), mc, max_spots,
                               sorted(keys) if keys is not None else None)
             return self.store.get_or_compute(key, compute,
@@ -182,19 +189,27 @@ class Pipeline:
         category_counts = {}
         offsets_out = {}
         for channel, stack in stacks.items():
+            import jax
             import jax.numpy as jnp
             # One host->device upload per channel; run_stack and the
             # photometry stage share the device-resident buffer. Integer
             # camera dtypes upload raw (half the bytes of float32) and
-            # cast on device.
-            stack = np.asarray(stack)
-            if stack.dtype not in (np.float32, np.uint8, np.uint16,
-                                   np.int16, np.int32):
-                stack = stack.astype(np.float32)
+            # cast on device. The cache key (when a store is set) hashes
+            # the host array BEFORE upload so nothing round-trips.
+            stack_key = None
+            if not isinstance(stack, jax.Array):
+                stack = np.asarray(stack)
+                if stack.dtype not in (np.float32, np.uint8, np.uint16,
+                                       np.int16, np.int32):
+                    stack = stack.astype(np.float32)
+                if self.store is not None:
+                    from .utils.checkpoint import content_key
+                    stack_key = content_key(stack)
             stack = jnp.asarray(stack)
             F, C, H, W = stack.shape
             out = self.run_stack(
                 stack, max_candidates=max_candidates, max_spots=max_spots,
+                stack_key=stack_key,
                 keys=("offsets_h", "offsets_w", "spot_h", "spot_w",
                       "spot_valid", "spot_cand_idx", "spot_overflow"))
             rhs, rws = _spot_lists(out, F, C, H, W)
@@ -207,6 +222,12 @@ class Pipeline:
                     "dropped; raise max_spots for complete tracking",
                     n_over)
             offsets_out[channel] = (out["offsets_h"], out["offsets_w"])
+            # Pre-create every (channel, field) entry: the reference's
+            # binary_trace_categories does (experiment.py:685 /
+            # flexlibrary.py:2682-2688), so zero-trace fields still emit
+            # count-0 rows in the collated category CSV.
+            for f in range(F):
+                category_counts.setdefault(channel, {}).setdefault(f, {})
             with self._stage("api/run_experiment/track+photometry"):
                 per_field = run_experiment_stack(
                     stack, out["offsets_h"], out["offsets_w"], (rhs, rws),
@@ -235,31 +256,11 @@ class Pipeline:
                     writer.writerow([str(channel), str(f), str(h0), str(w0),
                                      str(cat)] + [str(v) for v in ph])
         if category_csv_path is not None:
-            import csv as csv_module
-            from .pipeline.experiment import Experiment
+            from .pipeline.experiment import write_category_counts_csv
             to_save = filtered if category_csv_filtered else category_counts
-            channels_sorted = sorted(to_save.keys())
-            patterns = sorted(set(
-                pattern for by_f in to_save.values()
-                for pats in by_f.values() for pattern in pats))
-            header = (["Pattern", "Field", "Channel", "Count"]
-                      if category_csv_collate_fields
-                      else ["Pattern", "Channel", "Count"])
-            with open(category_csv_path, "w", newline="") as fh:
-                writer = csv_module.writer(fh, dialect="excel")
-                writer.writerow(header)
-                for pattern in patterns:
-                    base = [Experiment.truefalse_to_onoff(pattern)]
-                    for chan in channels_sorted:
-                        if category_csv_collate_fields:
-                            for f, d in to_save[chan].items():
-                                writer.writerow(base + [str(f), str(chan),
-                                                        str(d.get(pattern,
-                                                                  0))])
-                        else:
-                            count = sum(d.get(pattern, 0)
-                                        for d in to_save[chan].values())
-                            writer.writerow(base + [str(chan), str(count)])
+            write_category_counts_csv(
+                to_save, category_csv_path,
+                collate_fields=category_csv_collate_fields)
         return {"rows": rows, "category_counts": category_counts,
                 "filtered_category_counts": filtered,
                 "offsets": offsets_out, "csv_path": csv_path,

@@ -44,6 +44,32 @@ def brim_flat_indices(radius: int, brim_size: int) -> np.ndarray:
     return np.nonzero(m.reshape(-1))[0]
 
 
+def patch_reduction(method, radius, brim_size=6, top=1):
+    """The metric's reduction over flattened (N, (2r+1)^2) patch rows.
+
+    One definition of each metric's math, shared by the per-image batch
+    kernels below and the whole-stack experiment kernel
+    (pipeline/fast_experiment.py) so the formulas cannot drift.
+    """
+    if method == "mexican_hat":
+        crown_idx = crown_flat_indices(radius, brim_size)
+        brim_idx = brim_flat_indices(radius, brim_size)
+
+        def reduce(flat):
+            crown_sum = jnp.sum(flat[:, crown_idx], axis=-1)
+            brim_median = jnp.median(flat[:, brim_idx], axis=-1)
+            return crown_sum - crown_idx.size * brim_median
+    elif method == "simple":
+        def reduce(flat):
+            return jnp.sum(flat, axis=-1)
+    elif method == "maximum":
+        def reduce(flat):
+            return jnp.sum(jax.lax.top_k(flat, top)[0], axis=-1)
+    else:
+        raise ValueError("unknown patch metric: " + repr(method))
+    return reduce
+
+
 @functools.partial(jax.jit, static_argnames=("radius", "brim_size"))
 def mexican_hat_batch(image, hs, ws, brim_size=6, radius=9):
     """(N,) mexican-hat photometries for interior spots at (hs, ws).
@@ -53,17 +79,14 @@ def mexican_hat_batch(image, hs, ws, brim_size=6, radius=9):
     """
     patches = gather_patches(image, hs, ws, radius=radius)
     flat = patches.reshape(patches.shape[0], -1)
-    crown_idx = crown_flat_indices(radius, brim_size)
-    brim_idx = brim_flat_indices(radius, brim_size)
-    crown_sum = jnp.sum(flat[:, crown_idx], axis=-1)
-    brim_median = jnp.median(flat[:, brim_idx], axis=-1)
-    return crown_sum - crown_idx.size * brim_median
+    return patch_reduction("mexican_hat", radius, brim_size=brim_size)(flat)
 
 
 @functools.partial(jax.jit, static_argnames=("radius",))
 def simple_batch(image, hs, ws, radius=2):
     patches = gather_patches(image, hs, ws, radius=radius)
-    return jnp.sum(patches.reshape(patches.shape[0], -1), axis=-1)
+    return patch_reduction("simple", radius)(
+        patches.reshape(patches.shape[0], -1))
 
 
 @functools.partial(jax.jit, static_argnames=("radius", "top"))
@@ -74,8 +97,7 @@ def maximum_batch(image, hs, ws, radius=5, top=1, median_adjust=False):
     flat = patches.reshape(patches.shape[0], -1)
     if median_adjust:
         flat = flat - jnp.median(image)
-    topv = jax.lax.top_k(flat, top)[0]
-    return jnp.sum(topv, axis=-1)
+    return patch_reduction("maximum", radius, top=top)(flat)
 
 
 @functools.partial(jax.jit, static_argnames=("radius",))

@@ -29,6 +29,41 @@ logger = logging.getLogger(__name__)
 logger.addHandler(logging.NullHandler())
 
 
+def write_category_counts_csv(to_save, filepath, collate_fields=False,
+                              dialect="excel"):
+    """Write a {channel: {field: {pattern: count}}} dict as the reference's
+    Pattern[,Field],Channel,Count CSV (flexlibrary.py:2948-3024).
+
+    Shared by MultifieldMultichannelSequenceExperiment.category_counts_as_csv
+    and api.Pipeline.run_experiment so the two surfaces cannot drift.
+    Fields present in the dict with zero patterns still contribute count-0
+    rows under collate_fields (the reference pre-creates per-field entries
+    for every valid field).
+    """
+    to_save_channels = sorted(to_save.keys())
+    header = (["Pattern", "Field", "Channel", "Count"] if collate_fields
+              else ["Pattern", "Channel", "Count"])
+    patterns = sorted(set(
+        pattern for chan, fields in to_save.items()
+        for e, pats in fields.items() for pattern in pats))
+    with open(filepath, "w", newline="") as output_file:
+        output_writer = csv_module.writer(output_file, dialect=dialect)
+        output_writer.writerow(header)
+        for pattern in patterns:
+            base = [Experiment.truefalse_to_onoff(pattern)]
+            for chan in to_save_channels:
+                if collate_fields:
+                    for e, ex in to_save[chan].items():
+                        row = base + [str(e), str(chan),
+                                      str(ex.get(pattern, 0))]
+                        output_writer.writerow(row)
+                else:
+                    count = sum(ex.get(pattern, 0)
+                                for ex in to_save[chan].values())
+                    output_writer.writerow(base + [str(chan), str(count)])
+    return filepath
+
+
 class Experiment:
     """Base class: shared static utilities (flexlibrary.py:509-1317)."""
 
@@ -797,29 +832,9 @@ class MultifieldMultichannelSequenceExperiment(Experiment):
         else:
             to_save = self.count_binary_trace_categories(
                 ignore_invalid_fields=ignore_invalid_fields)[0]
-        to_save_channels = sorted(to_save.keys())
-        header = (["Pattern", "Field", "Channel", "Count"] if collate_fields
-                  else ["Pattern", "Channel", "Count"])
-        patterns = sorted(set(
-            pattern for chan, fields in to_save.items()
-            for e, pats in fields.items() for pattern in pats))
-        with open(filepath, "w", newline="") as output_file:
-            output_writer = csv_module.writer(output_file, dialect=dialect)
-            output_writer.writerow(header)
-            for pattern in patterns:
-                base = [Experiment.truefalse_to_onoff(pattern)]
-                for chan in to_save_channels:
-                    if collate_fields:
-                        for e, ex in to_save[chan].items():
-                            row = base + [str(e), str(chan),
-                                          str(ex.get(pattern, 0))]
-                            output_writer.writerow(row)
-                    else:
-                        count = sum(ex.get(pattern, 0)
-                                    for ex in to_save[chan].values())
-                        output_writer.writerow(base + [str(chan),
-                                                       str(count)])
-        return filepath
+        return write_category_counts_csv(to_save, filepath,
+                                         collate_fields=collate_fields,
+                                         dialect=dialect)
 
     def category_counts_as_string(self, filtered=True, collate_fields=False,
                                   ignore_invalid_fields=False):

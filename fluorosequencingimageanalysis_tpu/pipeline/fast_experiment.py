@@ -213,15 +213,19 @@ def _fill_traces(pos, present, cum, frame_shape, spot_radius=2,
     n_span = np.maximum((nxt - prev), 1).astype(np.float64)[:, :, None]
     i_span = (f_idx - prev)[:, :, None].astype(np.float64)
     start = pos_p
-    stop = pos_n + cum_p - cum_n
+    # Parenthesization matters for .5-boundary Py2 rounds with subpixel
+    # offsets: the reference computes the offset DIFFERENCE first, then one
+    # add (offset_frame_coordinates -> apply_offset), so (a - b) groups.
+    stop = pos_n + (cum_p - cum_n)
     inc = (stop - start) / n_span
     val_interior = start + inc * i_span + (cum_f - cum_p)
     # Head holes: constant at the next spot's frame-0-mapped position,
-    # re-offset per frame (base frame 0; cum[0] == (0, 0) by definition).
-    val_head = pos_n + cum[0][None, None, :] - cum_n + cum_f - \
-        cum[0][None, None, :]
+    # re-offset per frame (a head hole's run always starts at frame 0 and
+    # cum[0] == (0, 0) by definition, so the base terms vanish exactly).
+    val_head = pos_n + (cum[0][None, None, :] - cum_n) + \
+        (cum_f - cum[0][None, None, :])
     # Tail holes: constant at the previous spot's position, re-offset.
-    val_tail = pos_p + cum_f - cum_p
+    val_tail = pos_p + (cum_f - cum_p)
 
     val = np.where(has_p[:, :, None],
                    np.where(has_n[:, :, None], val_interior, val_tail),
@@ -264,12 +268,10 @@ def _photometry_window_radius(method, mexican_hat_radius):
 def _photometry_kernel(method, radius, brim, top):
     import jax
     import jax.numpy as jnp
-    from ..ops.photometry import crown_flat_indices, brim_flat_indices
+    from ..ops.photometry import patch_reduction
 
     d = 2 * radius + 1
-    if method == "mexican_hat":
-        crown_idx = crown_flat_indices(radius, brim)
-        brim_idx = brim_flat_indices(radius, brim)
+    reduce = patch_reduction(method, radius, brim_size=brim, top=top)
 
     @jax.jit
     def kernel(imgs, img_id, hs, ws):
@@ -280,17 +282,9 @@ def _photometry_kernel(method, radius, brim, top):
         patches = imgs[img_id[:, None, None], rows[:, :, None],
                        cols[:, None, :]]
         # Gather in the storage dtype (uint16 stacks stay uint16 in HBM),
-        # then cast for the reductions.
+        # then cast for the reduction.
         flat = patches.reshape(patches.shape[0], d * d).astype(jnp.float32)
-        if method == "mexican_hat":
-            crown_sum = jnp.sum(flat[:, crown_idx], axis=-1)
-            brim_median = jnp.median(flat[:, brim_idx], axis=-1)
-            return crown_sum - crown_idx.size * brim_median
-        if method == "simple":
-            return jnp.sum(flat, axis=-1)
-        if method == "maximum":
-            return jnp.sum(jax.lax.top_k(flat, top)[0], axis=-1)
-        raise ValueError("unknown method: " + repr(method))
+        return reduce(flat)
 
     return kernel
 

@@ -16,9 +16,13 @@ from fluorosequencingimageanalysis_tpu.api import Pipeline
 from fluorosequencingimageanalysis_tpu.pipeline import tracking
 
 
-def make_stack(F, C, H=128, W=128, n_spots=24, seed=0, presence_p=0.85):
+def make_stack(F, C, H=128, W=128, n_spots=24, seed=0, presence_p=0.85,
+               edge_margin=16):
     """Synthetic experiment: persistent spots with random per-cycle
-    dropouts (-> gaps, head holes, tail holes) and integer stage drift."""
+    dropouts (-> gaps, head holes, tail holes) and integer stage drift.
+
+    edge_margin < 9 plants spots inside the default mexican-hat window
+    ring, exercising the per-method window-validity rejection."""
     rng = np.random.default_rng(seed)
     hh, ww = np.indices((H, W)).astype(np.float32)
     drift = [(0, 0)] + [(int(rng.integers(-2, 3)), int(rng.integers(-2, 3)))
@@ -26,7 +30,7 @@ def make_stack(F, C, H=128, W=128, n_spots=24, seed=0, presence_p=0.85):
     cumd = np.cumsum(np.asarray(drift), axis=0)
     stack = rng.normal(400.0, 6.0, (F, C, H, W)).astype(np.float32)
     for f in range(F):
-        pos = rng.uniform(16, H - 16, (n_spots, 2))
+        pos = rng.uniform(edge_margin, H - edge_margin, (n_spots, 2))
         amp = rng.uniform(2000, 5000, n_spots)
         present = rng.random((n_spots, C)) < presence_p
         present[:, 0] |= rng.random(n_spots) < 0.7  # most start ON
@@ -79,7 +83,10 @@ def class_path_rows(stack, max_candidates=512, photometry_method="mexican_hat"):
         fields.append(MultichannelSequenceExperiment({"ch1": ex}))
     mfmc = MultifieldMultichannelSequenceExperiment(fields)
     mfmc.trace_existing_spots()
-    mfmc.discard_invalid_traces()
+    # The reference script passes the photometry parameters to BOTH the
+    # discard and the CSV emitter (basic_experiment_script.py:474, 620-624),
+    # so window validity is judged at the chosen metric's radius.
+    mfmc.discard_invalid_traces(photometry_method=photometry_method)
     import tempfile, os
     fd, path = tempfile.mkstemp(suffix=".csv")
     os.close(fd)
@@ -124,11 +131,15 @@ def test_run_experiment_matches_class_path(seed):
 @pytest.mark.parametrize("method", ["simple", "maximum"])
 def test_run_experiment_photometry_methods(method):
     """Non-default metrics must match the class path too (each metric has
-    its own square radius, hence its own window-validity rejection)."""
+    its own square radius, hence its own window-validity rejection).
+    edge_margin=7 plants spots inside the mexican-hat ring (radius 9) but
+    outside the simple/maximum windows (2/5), so rows exist here that the
+    default metric would reject — the validity radius must follow the
+    configured method."""
     from fluorosequencingimageanalysis_tpu.config import (
         PipelineConfig, PhotometryConfig)
 
-    stack = make_stack(F=1, C=4, seed=5, n_spots=16)
+    stack = make_stack(F=1, C=4, seed=5, n_spots=16, edge_margin=7)
     header_ref, rows_ref = class_path_rows(stack, photometry_method=method)
     pipe = Pipeline(PipelineConfig(photometry=PhotometryConfig(method=method)))
     res = pipe.run_experiment(stack, max_candidates=512, max_spots=256)
@@ -256,6 +267,35 @@ def test_run_experiment_warns_on_spot_overflow(caplog):
                          logger="fluorosequencingimageanalysis_tpu.api"):
         Pipeline().run_experiment(stack, max_candidates=256, max_spots=4)
     assert any("overflowed" in r.message for r in caplog.records)
+
+
+def test_run_experiment_category_csv_empty_field(tmp_path):
+    """Zero-trace fields must still appear: the reference pre-creates a
+    per-field entry for every valid field (experiment.py:685 /
+    flexlibrary.py:2682-2688), so collated category CSVs carry count-0
+    rows for fields that produced nothing."""
+    import csv as csv_module
+
+    stack = make_stack(F=2, C=3, seed=10, n_spots=10)
+    stack[1] = np.random.default_rng(99).normal(
+        400.0, 6.0, stack.shape[1:]).astype(np.float32)  # field 1: noise
+    out = Pipeline().run_experiment(
+        stack, max_candidates=256, max_spots=128,
+        category_csv_path=str(tmp_path / "cats.csv"),
+        category_csv_collate_fields=True)
+    # Both field keys exist even if field 1 produced no traces.
+    assert set(out["category_counts"]["ch1"].keys()) == {0, 1}
+    with open(tmp_path / "cats.csv") as fh:
+        reader = csv_module.reader(fh)
+        next(reader)
+        rows = list(reader)
+    # Every (pattern, field) combination appears exactly once — including
+    # field 1 rows (count 0 for patterns it never produced).
+    seen = {}
+    for (pattern, field, chan, count) in rows:
+        seen.setdefault(pattern, set()).add(field)
+    for pattern, fields_seen in seen.items():
+        assert fields_seen == {"0", "1"}, (pattern, fields_seen)
 
 
 def test_run_experiment_uint16_equals_float32():
