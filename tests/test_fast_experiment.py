@@ -17,7 +17,7 @@ from fluorosequencingimageanalysis_tpu.pipeline import tracking
 
 
 def make_stack(F, C, H=128, W=128, n_spots=24, seed=0, presence_p=0.85,
-               edge_margin=16):
+               edge_margin=16, subpixel_drift=False):
     """Synthetic experiment: persistent spots with random per-cycle
     dropouts (-> gaps, head holes, tail holes) and integer stage drift.
 
@@ -25,8 +25,17 @@ def make_stack(F, C, H=128, W=128, n_spots=24, seed=0, presence_p=0.85,
     ring, exercising the per-method window-validity rejection."""
     rng = np.random.default_rng(seed)
     hh, ww = np.indices((H, W)).astype(np.float32)
-    drift = [(0, 0)] + [(int(rng.integers(-2, 3)), int(rng.integers(-2, 3)))
-                        for _ in range(C - 1)]
+    if subpixel_drift:
+        # Real stage drift is subpixel; registration at upsample 20
+        # reports 0.05-px multiples, driving the interpolation float
+        # paths through non-representable offsets.
+        drift = [(0.0, 0.0)] + [(round(rng.uniform(-2, 2) * 20) / 20,
+                                 round(rng.uniform(-2, 2) * 20) / 20)
+                                for _ in range(C - 1)]
+    else:
+        drift = [(0, 0)] + [(int(rng.integers(-2, 3)),
+                             int(rng.integers(-2, 3)))
+                            for _ in range(C - 1)]
     cumd = np.cumsum(np.asarray(drift), axis=0)
     stack = rng.normal(400.0, 6.0, (F, C, H, W)).astype(np.float32)
     for f in range(F):
@@ -104,6 +113,13 @@ def class_path_rows(stack, max_candidates=512, photometry_method="mexican_hat"):
 
 @pytest.mark.parametrize("seed", [0, 3])
 def test_run_experiment_matches_class_path(seed):
+    # Integer drift only here: with subpixel drift the two paths register
+    # at different precisions (the class path casts frames to float64, the
+    # device step runs float32), so their offset ESTIMATES differ in low
+    # bits and can Py2-round across .5 boundaries — a registration-
+    # precision artifact, not an experiment-logic divergence. Subpixel
+    # interpolation parity is proven with injected identical offsets in
+    # test_fast_experiment_subpixel_offsets_match_class_path.
     stack = make_stack(F=2, C=4, seed=seed)
     header_ref, rows_ref = class_path_rows(stack)
 
@@ -126,6 +142,79 @@ def test_run_experiment_matches_class_path(seed):
     cats = {cat for (_, _, _, _, cat, _) in rows_fast}
     assert len(cats) > 2
     assert any(not all(cat) for cat in cats)
+
+
+@pytest.mark.parametrize("seed", [6, 11])
+def test_fast_experiment_subpixel_offsets_match_class_path(seed, tmp_path):
+    """Interpolation float-path parity under subpixel offsets, with BOTH
+    paths consuming identical injected offsets (isolating the
+    interpolate/fill/round logic from registration precision). 0.05-px
+    multiples are what upsample-20 registration reports and are not
+    exactly representable, so association order matters (the reference
+    groups offset differences before the add)."""
+    import csv as csv_module
+    from fluorosequencingimageanalysis_tpu.pipeline.spots import Image, Spot
+    from fluorosequencingimageanalysis_tpu.pipeline.experiment import (
+        SequenceExperiment, MultichannelSequenceExperiment,
+        MultifieldMultichannelSequenceExperiment)
+    from fluorosequencingimageanalysis_tpu.models.detect import (
+        find_peptides_batch)
+    from fluorosequencingimageanalysis_tpu.pipeline.fast_experiment import (
+        run_experiment_stack)
+
+    rng = np.random.default_rng(seed)
+    stack = make_stack(F=1, C=5, seed=seed, n_spots=18, presence_p=0.7,
+                       subpixel_drift=True)
+    F, C, H, W = stack.shape
+    offs = [(0.0, 0.0)] + [(round(rng.uniform(-2, 2) * 20) / 20,
+                            round(rng.uniform(-2, 2) * 20) / 20)
+                           for _ in range(C - 1)]
+
+    psfs_list = find_peptides_batch(stack[0], max_candidates=512,
+                                    num_iters=60)
+    images, rhs, rws = [], [[None] * C], [[None] * C]
+    for c in range(C):
+        img = Image(image=stack[0, c],
+                    metadata={"filepath": f"mem://0/{c}"}, spots=None)
+        spots = []
+        for (h, w), gf in psfs_list[c].items():
+            try:
+                spots.append(Spot(img, int(tracking._py2_round(h)),
+                                  int(tracking._py2_round(w)), 5,
+                                  gaussian_fit=gf))
+            except Exception:
+                pass
+        img.spots = spots
+        images.append(img)
+        rhs[0][c] = np.asarray([s.h for s in spots], np.int64)
+        rws[0][c] = np.asarray([s.w for s in spots], np.int64)
+
+    ex = SequenceExperiment(images, alignment_frames=images)
+    ex.offsets = list(offs)  # inject: skip offsets_from_frames
+    mfmc = MultifieldMultichannelSequenceExperiment(
+        [MultichannelSequenceExperiment({"ch1": ex})])
+    mfmc.trace_existing_spots()
+    mfmc.discard_invalid_traces()
+    path = tmp_path / "ref.csv"
+    mfmc.track_photometries_as_csv(str(path), save_averages=False)
+    with open(path) as fh:
+        reader = csv_module.reader(fh)
+        next(reader)
+        rows_ref = list(reader)
+
+    off_h = np.asarray([[o[0] for o in offs]])
+    off_w = np.asarray([[o[1] for o in offs]])
+    per_field = run_experiment_stack(stack, off_h, off_w, (rhs, rws))
+    rows_fast = per_field[0]
+    assert len(rows_fast) == len(rows_ref) > 0
+    interpolated = 0
+    for i, ((cat, h, w, ph), ref) in enumerate(zip(rows_fast, rows_ref)):
+        assert (str(h), str(w), str(cat)) == tuple(ref[2:5]), (i, ref[:5])
+        interpolated += cat.count(False) if isinstance(cat, tuple) else 0
+        ref_ph = np.array([float(x) for x in ref[5:]])
+        np.testing.assert_allclose(ph, ref_ph, rtol=1e-5, atol=1e-2,
+                                   err_msg=f"row {i}")
+    assert interpolated > 0  # the scenario actually interpolates holes
 
 
 @pytest.mark.parametrize("method", ["simple", "maximum"])
