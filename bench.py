@@ -1,13 +1,16 @@
 #!/usr/bin/env python
 """Benchmarks: the detect step AND the full experiment, per chip.
 
-Prints THREE JSON lines; the driver parses the LAST one (the headline):
+Prints FOUR JSON lines; the driver parses the LAST one (the headline):
 
   {"metric": "experiment_fields_per_sec", ...}        <- config 4 (full
       multi-field multi-cycle experiment: registration + detect/fit +
       tracking + trace interpolation + categories + track-photometries
       rows, via api.Pipeline.run_experiment at 32 fields x 8 cycles,
-      ~2k spots/field)
+      ~2k spots/field, raw uint16 frames)
+  {"metric": "stepfit_traces_per_sec", ...}           <- config 3 (the
+      timetrace step-fitting chain: Chung-Kennedy + sliding-t + refit +
+      t-test merge, 4096 traces x 100 frames)
   {"metric": "v8_traces_per_sec", ...}                <- config 5 (v8
       lognormal fluor counting, 1e5 traces x 6,188 sequences at the
       reference's cost-warning shape n_cycles=12, max_fluors=5)
@@ -298,6 +301,64 @@ def bench_experiment_cpu(stack_field):
     return detect_seconds + tracking_seconds + photometry_seconds
 
 
+def make_step_traces(N, T, seed=0, beta=30000.0, noise=800.0):
+    """N timetrace photometry traces of length T with 1-4 planted
+    photobleaching steps (the basic_timetrace_script workload)."""
+    rng = np.random.default_rng(seed)
+    levels = rng.integers(1, 5, N)
+    traces = np.empty((N, T))
+    for i in range(N):
+        drops = np.sort(rng.choice(np.arange(5, T - 5), levels[i],
+                                   replace=False))
+        value = beta * (levels[i] + 1)
+        trace = np.full(T, value)
+        for d in drops:
+            value -= beta
+            trace[d:] = value
+        traces[i] = trace + rng.normal(0, noise, T)
+    return traces
+
+
+def bench_stepfit(N=4096, T=100, host_sample=24):
+    """Config 3: batched step fitting (mirror -> Chung-Kennedy ->
+    sliding-t -> refit -> t-test merge; flexlibrary.py:1380-1469 per
+    trace) vs the same chain run per-trace on host. Returns
+    (traces/s batched, traces/s host). The host stand-in uses our direct
+    Welch-t (bit-identical to scipy.stats.ttest_ind but ~6x faster than
+    the reference's scipy-wrapped per-call loop), so the reported ratio
+    is conservative."""
+    from fluorosequencingimageanalysis_tpu.ops.stepfit_batch import (
+        stepfit_batched)
+    from fluorosequencingimageanalysis_tpu import stepfitting as sf
+
+    phot = make_step_traces(N, T)
+    kw = dict(mirror_start=10, chung_kennedy=1, p_threshold=0.01)
+    # Warm at the full chunk shape (1024 rows) so the timed run hits the
+    # compiled program.
+    stepfit_batched(phot[:1024], **kw)
+    t0 = time.perf_counter()
+    res = stepfit_batched(phot, **kw)
+    dt = time.perf_counter() - t0
+    assert len(res) == N and any(len(r[3]) > 1 for r in res)
+
+    t0 = time.perf_counter()
+    for i in range(host_sample):
+        photometries = tuple(phot[i].tolist())
+        mirrored = sf.mirror_photometries(photometries, mirror_size=10)
+        ck = sf.chung_kennedy_filter(luminosities=mirrored,
+                                     window_lengths=(2, 4, 8, 16))
+        plateaus = sf.sliding_t_fitter(
+            luminosity_sequence=ck, window_radius=6, p_threshold=0.01,
+            median_filter_size=None, downsteps_only=False,
+            min_step_magnitude=None)
+        plateaus = sf.refit_plateaus(mirrored, plateaus)
+        sf.t_test_filter(luminosities=mirrored, plateaus=plateaus,
+                         p_threshold=0.01, drop_sort=True,
+                         no_merge_start=10)
+    host_dt = (time.perf_counter() - t0) / host_sample
+    return N / dt, 1.0 / host_dt
+
+
 def make_v8_workload(T, F=12, K=5, beta=30000.0, beta_sigma=0.2, seed=0):
     """T synthetic traces at the reference's cost-warning shape
     (n_cycles=12, max_fluors=5 -> C(17, 12) = 6188 sequences/trace,
@@ -369,6 +430,16 @@ def main():
         "vs_baseline": round(exp_fields_per_sec * cpu_exp_seconds, 1),
         "rows": n_rows,
         "stages_sec": stages,
+    }))
+
+    # Config 3: step fitting over many timetrace traces.
+    step_tps, step_host_tps = bench_stepfit()
+    print(json.dumps({
+        "metric": "stepfit_traces_per_sec",
+        "value": round(step_tps, 1),
+        "unit": "traces/s",
+        "vs_baseline": round(step_tps / step_host_tps, 1),
+        "shape": "N=4096 T=100 (CK + sliding-t + refit + t-merge)",
     }))
 
     # Config 5: v8 fluor counting at the reference's cost-warning shape.

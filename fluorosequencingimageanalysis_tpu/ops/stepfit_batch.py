@@ -66,14 +66,13 @@ def chung_kennedy_batch(traces, window_lengths=(2, 4, 8, 16), M=10, p=2):
                        jnp.maximum(cnt_b, 1), 0.0)
 
         # Prediction-error windows (window M, reference edge truncations).
-        sqf = (lum - fp) ** 2
-        sqf = sqf.at[:, 0].set(0.0)  # fp undefined at 0; never in-window
-        csqf = jnp.concatenate([jnp.zeros((N, 1), lum.dtype),
-                                jnp.cumsum(sqf, axis=1)], axis=1)
-        sqb = (lum - bp) ** 2
-        sqb = sqb.at[:, T - 1].set(0.0)  # bp undefined at T-1
-        csqb = jnp.concatenate([jnp.zeros((N, 1), lum.dtype),
-                                jnp.cumsum(sqb, axis=1)], axis=1)
+        # Zero the undefined edge frames by column concat, not .at[].set —
+        # scatters into lane 0 compile pathologically on some TPU stacks.
+        z1 = jnp.zeros((N, 1), lum.dtype)
+        sqf = jnp.concatenate([z1, ((lum - fp) ** 2)[:, 1:]], axis=1)
+        csqf = jnp.concatenate([z1, jnp.cumsum(sqf, axis=1)], axis=1)
+        sqb = jnp.concatenate([((lum - bp) ** 2)[:, :T - 1], z1], axis=1)
+        csqb = jnp.concatenate([z1, jnp.cumsum(sqb, axis=1)], axis=1)
 
         # rear window [lo2, L]: lo2 = L-M+1, but the reference drops the
         # first frame when L < M (stepfitting_library.py edge truncation).
@@ -201,16 +200,36 @@ def stepfit_batched(photometries, mirror_start=0, chung_kennedy=0,
     phot = np.asarray(photometries, dtype=np.float64)
     N, T0 = phot.shape
     mirrored = np.concatenate([phot[:, :mirror_start][:, ::-1], phot], axis=1)
+
+    # Chunk the device dispatches at power-of-two row buckets (cap 1024):
+    # every call shape hits an already-compiled program, and no single
+    # dispatch grows past what constrained compile environments handle.
+    def run_chunked(fn, x, chunk=1024):
+        n = x.shape[0]
+        outs = []
+        for lo in range(0, n, chunk):
+            hi = min(lo + chunk, n)
+            m = hi - lo
+            bucket = m if m == chunk else min(
+                chunk, 1 << max(m - 1, 1).bit_length())
+            piece = x[lo:hi]
+            if bucket != m:
+                piece = np.concatenate(
+                    [piece, np.zeros((bucket - m,) + x.shape[1:], x.dtype)])
+            outs.append(np.asarray(fn(jnp.asarray(piece)))[:m])
+        return np.concatenate(outs)
+
     if chung_kennedy > 0:
         # The reference re-filters the *mirrored* input each round
         # (flexlibrary.py:1432-1436), so repetition does not compound.
-        ck = np.asarray(chung_kennedy_batch(jnp.asarray(mirrored),
-                                            window_lengths=(2, 4, 8, 16)))
+        ck = run_chunked(
+            lambda x: chung_kennedy_batch(x, window_lengths=(2, 4, 8, 16)),
+            mirrored)
     else:
         ck = mirrored
-    masks = np.asarray(sliding_t_masks(jnp.asarray(ck),
-                                       window_radius=window_radius,
-                                       p_threshold=p_threshold))
+    masks = run_chunked(
+        lambda x: sliding_t_masks(x, window_radius=window_radius,
+                                  p_threshold=p_threshold), ck)
     out = []
     for i in range(N):
         plateaus = _plateaus_from_mask(ck[i], masks[i])

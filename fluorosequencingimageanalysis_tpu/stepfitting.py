@@ -38,12 +38,34 @@ def _pairwise(iterable):
 
 def _welch_t(left, right):
     """Two-tailed Welch t-test (t, p); nan-safe like scipy on degenerate
-    inputs (empty or single-element windows -> nan p)."""
-    with warnings.catch_warnings():
-        warnings.simplefilter("ignore")
-        if len(left) == 0 or len(right) == 0:
-            return float("nan"), float("nan")
-        t, p = ttest_ind(left, right, equal_var=False)
+    inputs (empty or single-element windows -> nan p).
+
+    Direct transcription of scipy.stats.ttest_ind(equal_var=False)'s
+    math (Welch denominator + Welch-Satterthwaite df + student-t sf),
+    bit-compared against scipy in tests/test_stepfit.py — the scipy
+    wrapper's per-call overhead (~1.7 ms of axis/nan policy machinery)
+    dominated whole-experiment step fitting."""
+    if len(left) == 0 or len(right) == 0:
+        return float("nan"), float("nan")
+    from scipy.special import stdtr
+    a = np.asarray(left, dtype=np.float64)
+    b = np.asarray(right, dtype=np.float64)
+    n1, n2 = a.size, b.size
+    with np.errstate(divide="ignore", invalid="ignore"):
+        # scipy's _var: second central moment scaled by n/(n-1) — same
+        # value as np.var(ddof=1) but a different float op order; keep
+        # scipy's so results stay bit-identical.
+        v1 = np.mean((a - a.mean()) ** 2) * \
+            np.divide(np.float64(n1), np.float64(n1 - 1))
+        v2 = np.mean((b - b.mean()) ** 2) * \
+            np.divide(np.float64(n2), np.float64(n2 - 1))
+        vn1, vn2 = v1 / n1, v2 / n2
+        df = (vn1 + vn2) ** 2 / (vn1 ** 2 / (n1 - 1) + vn2 ** 2 / (n2 - 1))
+        if np.isnan(df):
+            # scipy's carve-out: all-zero variances -> df of 1
+            df = 1.0
+        t = (a.mean() - b.mean()) / np.sqrt(vn1 + vn2)
+        p = 2.0 * stdtr(df, -np.abs(t))
     return float(t), float(p)
 
 

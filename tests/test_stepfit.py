@@ -154,3 +154,32 @@ def test_welch_t_matches_scipy():
     t, p = sf._welch_t(a, b)
     t_ref, p_ref = ttest_ind(a, b, equal_var=False)
     np.testing.assert_allclose([t, p], [t_ref, p_ref])
+
+
+def test_welch_t_bit_identical_to_scipy():
+    """_welch_t re-implements scipy.stats.ttest_ind(equal_var=False)
+    without the per-call axis/nan-policy overhead; the transcription must
+    stay BIT-identical (t-test p-values gate plateau merges, so a single
+    ulp at a p == threshold boundary would change step fits)."""
+    import warnings
+
+    rng = np.random.default_rng(0)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        for trial in range(2000):
+            n1 = int(rng.integers(1, 12))
+            n2 = int(rng.integers(1, 12))
+            kind = trial % 4
+            a = rng.normal(0, 1, n1)
+            b = rng.normal(0, 1, n2)
+            if kind == 1:
+                a = np.full(n1, 3.0)  # zero variance left
+            if kind == 2:
+                a = np.full(n1, 3.0)
+                b = np.full(n2, 3.0)  # both degenerate
+            if kind == 3:
+                b = a[:n2] if n2 <= n1 else np.concatenate([a, a])[:n2]
+            t_ref, p_ref = ttest_ind(a, b, equal_var=False)
+            t_new, p_new = sf._welch_t(list(a), list(b))
+            assert (np.isnan(t_ref) and np.isnan(t_new)) or t_ref == t_new
+            assert (np.isnan(p_ref) and np.isnan(p_new)) or p_ref == p_new
