@@ -418,10 +418,10 @@ def bench_v8(T=100_000, F=12, K=5, beta_sigma=0.2, host_sample=150):
     intensities, categories, lfm = make_v8_workload(T, F, K)
     kw = dict(log_fluor_means=lfm, beta_sigma=beta_sigma, max_possible=K,
               allow_multidrop=True, max_deviation=3)
-    # warm/compile, then timed
-    score_traces(intensities[:4096], categories[:4096], chunk=4096, **kw)
+    # warm/compile at the chunk shape, then timed
+    score_traces(intensities[:8192], categories[:8192], **kw)
     t0 = time.perf_counter()
-    seqs, found, _ = score_traces(intensities, categories, chunk=4096, **kw)
+    seqs, found, _ = score_traces(intensities, categories, **kw)
     dt = time.perf_counter() - t0
     assert found.mean() > 0.95  # the workload must actually fit
 

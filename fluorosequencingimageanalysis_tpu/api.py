@@ -170,6 +170,16 @@ class Pipeline:
                 (tuple(sorted(bt, reverse=True)) == bt,
                 flexlibrary.py:2894-2946)
             offsets: {channel: (off_h [F, C], off_w [F, C])}
+            summary: {channel: {spot_count, trace_count, singleton_count}}
+                — the experiment script's printed summary stats.
+                trace_count/singleton_count match the classes
+                (post-discard valid traces). spot_count counts DETECTED
+                spots; the class path's number additionally grows every
+                time fill_in_trace runs, because the reference's
+                interpolate_spots appends its interpolated (and bookend)
+                Spots to the frames (flexlibrary.py:1931-1944) — a
+                path-dependent accumulation artifact this redesigned
+                surface deliberately does not reproduce.
             csv_path: echo of the written file (or None)
 
         Equality with the class-based path (SequenceExperiment ->
@@ -188,6 +198,7 @@ class Pipeline:
         rows = []
         category_counts = {}
         offsets_out = {}
+        summary = {}
         for channel, stack in stacks.items():
             import jax
             import jax.numpy as jnp
@@ -235,12 +246,21 @@ class Pipeline:
                     photometry_radius=phot.radius,
                     photometry_brim=phot.brim_size,
                     candidate_radius=candidate_radius)
+                n_traces = n_singletons = 0
                 for f, field_rows in enumerate(per_field):
                     for (cat, h0, w0, ph) in field_rows:
                         rows.append((channel, f, h0, w0, cat, ph))
                         category_counts.setdefault(channel, {}) \
                             .setdefault(f, {}).setdefault(cat, 0)
                         category_counts[channel][f][cat] += 1
+                        n_traces += 1
+                        n_singletons += sum(cat) == 1
+                summary[channel] = {
+                    "spot_count": int(sum(len(rh) for per_c in rhs
+                                          for rh in per_c)),
+                    "trace_count": n_traces,
+                    "singleton_count": n_singletons,
+                }
         filtered = {ch: {f: {cat: n for cat, n in d.items()
                              if tuple(sorted(cat, reverse=True)) == cat}
                          for f, d in by_f.items()}
@@ -263,7 +283,8 @@ class Pipeline:
                 collate_fields=category_csv_collate_fields)
         return {"rows": rows, "category_counts": category_counts,
                 "filtered_category_counts": filtered,
-                "offsets": offsets_out, "csv_path": csv_path,
+                "offsets": offsets_out, "summary": summary,
+                "csv_path": csv_path,
                 "category_csv_path": category_csv_path}
 
     def run_files(self, paths_by_cycle, **kwargs):

@@ -358,6 +358,58 @@ def test_run_experiment_warns_on_spot_overflow(caplog):
     assert any("overflowed" in r.message for r in caplog.records)
 
 
+def test_run_experiment_summary_matches_class_counts():
+    """spot/trace/singleton counts must agree with the experiment
+    classes' spot_count/trace_count/singleton_count (post-discard)."""
+    from fluorosequencingimageanalysis_tpu.pipeline.spots import Image, Spot
+    from fluorosequencingimageanalysis_tpu.pipeline.experiment import (
+        SequenceExperiment, MultichannelSequenceExperiment,
+        MultifieldMultichannelSequenceExperiment)
+    from fluorosequencingimageanalysis_tpu.models.detect import (
+        find_peptides_batch)
+
+    stack = make_stack(F=2, C=4, seed=12, n_spots=12, presence_p=0.6)
+    F, C, H, W = stack.shape
+    fields = []
+    for f in range(F):
+        psfs_list = find_peptides_batch(stack[f], max_candidates=512,
+                                        num_iters=60)
+        images = []
+        for c in range(C):
+            img = Image(image=stack[f, c],
+                        metadata={"filepath": f"mem://{f}/{c}"}, spots=None)
+            spots = []
+            for (h, w), gf in psfs_list[c].items():
+                try:
+                    spots.append(Spot(img, int(tracking._py2_round(h)),
+                                      int(tracking._py2_round(w)), 5,
+                                      gaussian_fit=gf))
+                except Exception:
+                    pass
+            img.spots = spots
+            images.append(img)
+        ex = SequenceExperiment(images, alignment_frames=images)
+        ex.offsets_from_frames()
+        fields.append(MultichannelSequenceExperiment({"ch1": ex}))
+    mfmc = MultifieldMultichannelSequenceExperiment(fields)
+    # Detected-spot count, taken BEFORE tracking: the class number grows
+    # afterwards because interpolate_spots appends its Spots to the
+    # frames on every fill_in_trace call (a path-dependent accumulation
+    # artifact the front door intentionally does not reproduce).
+    ref_spots = sum(ex.spot_count()["ch1"] for ex in fields)
+    mfmc.trace_existing_spots()
+    mfmc.discard_invalid_traces()
+    ref_traces = mfmc.trace_count()["ch1"]
+    ref_singletons = mfmc.singleton_count()["ch1"]
+
+    out = Pipeline().run_experiment(stack, max_candidates=512,
+                                    max_spots=256)
+    s = out["summary"]["ch1"]
+    assert s["spot_count"] == ref_spots
+    assert s["trace_count"] == ref_traces
+    assert s["singleton_count"] == ref_singletons
+
+
 def test_run_experiment_category_csv_empty_field(tmp_path):
     """Zero-trace fields must still appear: the reference pre-creates a
     per-field entry for every valid field (experiment.py:685 /
