@@ -314,7 +314,8 @@ class Pipeline:
                                    mirror_start=sf.mirror_start,
                                    chung_kennedy=sf.chung_kennedy,
                                    p_threshold=sf.p_threshold,
-                                   window_radius=sf.window_radius)
+                                   window_radius=sf.window_radius,
+                                   mesh=self.mesh)
 
     # -- inference -----------------------------------------------------------
 
@@ -339,7 +340,7 @@ class Pipeline:
                     max_deviation=(ln.max_deviation
                                    if ln.max_deviation is not None else 3),
                     quench_factors=quench_factors,
-                    alpha_adjust=alpha_adjust, **kwargs)
+                    alpha_adjust=alpha_adjust, mesh=self.mesh, **kwargs)
             from .inference.lognormal import photometries_lognormal_fit_v8
             return photometries_lognormal_fit_v8(
                 tracks, beta, beta_sigma, max_possible=ln.max_possible,
@@ -347,7 +348,7 @@ class Pipeline:
                 allow_multidrop=ln.allow_multidrop,
                 max_deviation=(ln.max_deviation
                                if ln.max_deviation is not None else 3),
-                quench_factors=quench_factors)
+                quench_factors=quench_factors, mesh=self.mesh)
 
     # -- simulation ----------------------------------------------------------
 

@@ -76,7 +76,8 @@ def _intensities_to_signal_lognormal_v8(intensities, beta, beta_sigma,
 def photometries_lognormal_fit_v8(photometries, beta, beta_sigma,
                                   max_possible=5, allow_upsteps=False,
                                   allow_multidrop=True, max_deviation=3,
-                                  quench_factor=0, quench_factors=None):
+                                  quench_factor=0, quench_factors=None,
+                                  mesh=None):
     """Batched v8 fit over an entire photometries dict (TPU path).
 
     Returns (signals, total_count, none_count, all_fit_info) exactly like
@@ -99,7 +100,8 @@ def photometries_lognormal_fit_v8(photometries, beta, beta_sigma,
     best_seqs, found, best_ls = score_traces(
         intensities, categories, log_fluor_means, beta_sigma,
         max_possible=max_possible, allow_multidrop=allow_multidrop,
-        allow_upsteps=allow_upsteps, max_deviation=max_deviation)
+        allow_upsteps=allow_upsteps, max_deviation=max_deviation,
+        mesh=mesh)
 
     signals = {}
     none_count = 0
@@ -148,7 +150,8 @@ def lognormal_fit_v8_from_csv(path, beta, beta_sigma, max_possible=5,
                               allow_upsteps=False, allow_multidrop=True,
                               max_deviation=3, quench_factors=None,
                               downstep_filtered=False, head_truncate=0,
-                              tail_truncate=0, alpha_adjust=0.0):
+                              tail_truncate=0, alpha_adjust=0.0,
+                              mesh=None):
     """End-to-end arrays path: track CSV -> batched v8 fit, dict-free.
 
     The reference pipeline is CSV -> photometries dict -> one Pool task per
@@ -194,7 +197,8 @@ def lognormal_fit_v8_from_csv(path, beta, beta_sigma, max_possible=5,
     best_seqs, found, best_ls = score_traces(
         intensities, categories, log_fluor_means, beta_sigma,
         max_possible=max_possible, allow_multidrop=allow_multidrop,
-        allow_upsteps=allow_upsteps, max_deviation=max_deviation)
+        allow_upsteps=allow_upsteps, max_deviation=max_deviation,
+        mesh=mesh)
 
     signals = {}
     none_count = 0

@@ -118,11 +118,15 @@ def _score_batch(log_intensities, categories, seq_tab, log_fluor_means,
 
 def score_traces(intensities, categories, log_fluor_means, beta_sigma,
                  max_possible=5, allow_multidrop=True, allow_upsteps=False,
-                 max_deviation=3, chunk=8192):
+                 max_deviation=3, chunk=8192, mesh=None):
     """Batched v8 scoring for T traces of F cycles each.
 
     intensities: (T, F) raw adjusted intensities (host array).
     categories: (T, F) bool.
+    mesh: optional jax.sharding.Mesh — the trace axis of every chunk is
+        sharded over the mesh's first axis (the reference's per-spot Pool
+        fan-out, SURVEY P2, as pure data parallelism; the sequence-table
+        matmul replicates and no collectives are needed).
     Returns (best_seqs (T, F) int array, found (T,) bool,
              best_logscore (T,) float).
 
@@ -147,6 +151,18 @@ def score_traces(intensities, categories, log_fluor_means, beta_sigma,
     lfm = np.asarray(log_fluor_means[:lmii], dtype=np.float32)
     tab_dev = jnp.asarray(tab)
 
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        axis = mesh.axis_names[0]
+        n_dev = mesh.shape[axis]
+        row_sharding = NamedSharding(mesh, P(axis, None))
+
+    def place(x):
+        x = jnp.asarray(x)
+        if mesh is None:
+            return x
+        return jax.device_put(x, row_sharding)
+
     best_idx = np.zeros((T,), np.int64)
     found = np.zeros((T,), bool)
     best_ls = np.zeros((T,), np.float64)
@@ -156,6 +172,10 @@ def score_traces(intensities, categories, log_fluor_means, beta_sigma,
         n = hi - lo
         bucket = n if n == chunk else min(chunk,
                                           1 << max(n - 1, 1).bit_length())
+        if mesh is not None:
+            # Even shards across the mesh's first axis.
+            bucket = max(bucket, n_dev)
+            bucket += (-bucket) % n_dev
         li = log_int[lo:hi]
         ca = cats[lo:hi]
         if bucket != n:
@@ -163,7 +183,7 @@ def score_traces(intensities, categories, log_fluor_means, beta_sigma,
                 [li, np.full((bucket - n, F), -10000.0, np.float32)])
             ca = np.concatenate([ca, np.zeros((bucket - n, F), bool)])
         pending.append((lo, hi, _score_batch(
-            jnp.asarray(li), jnp.asarray(ca), tab_dev,
+            place(li), place(ca), tab_dev,
             jnp.asarray(lfm), float(beta_sigma), float(max_deviation),
             bool(allow_multidrop))))
     for lo, hi, (bi, fo, bl) in pending:

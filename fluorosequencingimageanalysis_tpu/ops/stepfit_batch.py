@@ -189,17 +189,27 @@ def _plateaus_from_mask(seq, mask):
 
 
 def stepfit_batched(photometries, mirror_start=0, chung_kennedy=0,
-                    p_threshold=0.01, window_radius=6):
+                    p_threshold=0.01, window_radius=6, mesh=None):
     """Batched Trace.stepfit_photometries chain (flexlibrary.py:1380-1469)
     over an (N, T) array of trace photometries.
 
     Returns a list of N tuples ``(photometries, un_ck, un_plateaus, un_t)``
     matching the host chain: mirror -> CK(2,4,8,16) -> sliding-t(radius<6)
     -> refit on raw -> drop_sort t-test merge -> unmirror.
+
+    mesh: optional jax.sharding.Mesh — the trace axis of every device
+    dispatch is sharded over the mesh's first axis (pure data
+    parallelism; all window math is within-row).
     """
     phot = np.asarray(photometries, dtype=np.float64)
     N, T0 = phot.shape
     mirrored = np.concatenate([phot[:, :mirror_start][:, ::-1], phot], axis=1)
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        axis = mesh.axis_names[0]
+        n_dev = mesh.shape[axis]
+        row_sharding = NamedSharding(mesh, P(axis, None))
 
     # Chunk the device dispatches at power-of-two row buckets (cap 1024):
     # every call shape hits an already-compiled program, and no single
@@ -212,11 +222,17 @@ def stepfit_batched(photometries, mirror_start=0, chung_kennedy=0,
             m = hi - lo
             bucket = m if m == chunk else min(
                 chunk, 1 << max(m - 1, 1).bit_length())
+            if mesh is not None:
+                bucket = max(bucket, n_dev)
+                bucket += (-bucket) % n_dev
             piece = x[lo:hi]
             if bucket != m:
                 piece = np.concatenate(
                     [piece, np.zeros((bucket - m,) + x.shape[1:], x.dtype)])
-            outs.append(np.asarray(fn(jnp.asarray(piece)))[:m])
+            dev = jnp.asarray(piece)
+            if mesh is not None:
+                dev = jax.device_put(dev, row_sharding)
+            outs.append(np.asarray(fn(dev))[:m])
         return np.concatenate(outs)
 
     if chung_kennedy > 0:

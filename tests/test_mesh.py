@@ -186,3 +186,59 @@ def test_shard_map_with_pallas_interpret_smoke():
     # consolidation radius' reach of neighboring candidate pixels).
     ch = np.asarray(out["spot_h"])[np.asarray(out["spot_valid"])]
     assert ch.size > 0 and np.all(np.abs(ch - 30) < 2.5)
+
+
+def test_score_traces_mesh_sharded_equals_single_device():
+    """P2 data parallelism: the v8 scorer sharded over an 8-device mesh
+    must return exactly the single-device results (no collectives exist
+    in the row-wise program, so sharding cannot change the math)."""
+    import math
+    import numpy as np
+    from fluorosequencingimageanalysis_tpu.ops.lognormal import score_traces
+    from fluorosequencingimageanalysis_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(4)
+    T, F, K = 333, 6, 3  # ragged vs both chunk and device count
+    beta = 30000.0
+    lfm = [math.log(beta) + math.log(i + 1.0) for i in range(K + 2)]
+    counts = np.maximum(3 - np.cumsum(rng.random((T, F)) < 0.3, axis=1), 0)
+    ints = np.where(counts > 0,
+                    beta * np.maximum(counts, 1) *
+                    np.exp(0.1 * rng.normal(0, 1, (T, F))), 0.0)
+    cats = counts > 0
+    base = score_traces(ints, cats, lfm, 0.1, max_possible=K, chunk=128)
+    mesh = make_mesh(8)
+    sharded = score_traces(ints, cats, lfm, 0.1, max_possible=K, chunk=128,
+                           mesh=mesh)
+    np.testing.assert_array_equal(base[0], sharded[0])
+    np.testing.assert_array_equal(base[1], sharded[1])
+    np.testing.assert_allclose(base[2], sharded[2])
+
+
+def test_stepfit_batched_mesh_sharded_equals_single_device():
+    """Step fitting sharded over the mesh returns identical plateaus."""
+    import numpy as np
+    from fluorosequencingimageanalysis_tpu.ops.stepfit_batch import (
+        stepfit_batched)
+    from fluorosequencingimageanalysis_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(5)
+    N, T = 37, 40  # ragged vs the 8-device mesh
+    traces = np.empty((N, T))
+    for i in range(N):
+        lvl = int(rng.integers(1, 4))
+        drops = np.sort(rng.choice(np.arange(5, T - 5), lvl, replace=False))
+        v = 30000.0 * (lvl + 1)
+        tr = np.full(T, v)
+        for d in drops:
+            v -= 30000.0
+            tr[d:] = v
+        traces[i] = tr + rng.normal(0, 800.0, T)
+    kw = dict(mirror_start=5, chung_kennedy=1, p_threshold=0.01)
+    base = stepfit_batched(traces, **kw)
+    sharded = stepfit_batched(traces, mesh=make_mesh(8), **kw)
+    assert len(base) == len(sharded) == N
+    for (p0, ck0, pl0, t0), (p1, ck1, pl1, t1) in zip(base, sharded):
+        np.testing.assert_allclose(ck0, ck1, atol=1e-9)
+        assert [(a, b) for a, b, _ in pl0] == [(a, b) for a, b, _ in pl1]
+        assert [(a, b) for a, b, _ in t0] == [(a, b) for a, b, _ in t1]
