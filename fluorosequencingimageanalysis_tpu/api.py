@@ -22,6 +22,24 @@ import numpy as np
 
 from .config import PipelineConfig
 
+# Dtypes the device step accepts natively: float32, plus raw camera
+# integer dtypes which upload as-is (half the bytes of float32 for uint16)
+# and cast on device. Anything else pre-casts to float32 on host.
+_NATIVE_STACK_DTYPES = ("float32", "uint8", "uint16", "int16", "int32")
+
+
+def _normalize_stack(stack):
+    """Host-side dtype normalization for an image stack (see
+    _NATIVE_STACK_DTYPES); jax.Arrays pass through untouched."""
+    import jax
+
+    if isinstance(stack, jax.Array):
+        return stack
+    stack = np.asarray(stack)
+    if stack.dtype.name not in _NATIVE_STACK_DTYPES:
+        stack = stack.astype(np.float32)
+    return stack
+
 
 class Pipeline:
     """Config-driven, mesh-aware, optionally artifact-cached pipeline."""
@@ -88,11 +106,7 @@ class Pipeline:
         import jax.numpy as jnp
         from .parallel.mesh import experiment_step_sharded, shard_fields
 
-        if not isinstance(stack, jax.Array):
-            stack = np.asarray(stack)
-            if stack.dtype not in (np.float32, np.uint8, np.uint16,
-                                   np.int16, np.int32):
-                stack = stack.astype(np.float32)
+        stack = _normalize_stack(stack)
         if stack.ndim != 4:
             raise ValueError("stack must be [fields, cycles, H, W]")
         det = self.config.detect
@@ -189,6 +203,10 @@ class Pipeline:
         simple, or maximum — fit-parameter/background metrics and MDMA /
         adjustment_function workflows still go through the classes).
         """
+        import logging
+
+        import jax.numpy as jnp
+
         from .pipeline.fast_experiment import _spot_lists, \
             run_experiment_stack
 
@@ -200,22 +218,16 @@ class Pipeline:
         offsets_out = {}
         summary = {}
         for channel, stack in stacks.items():
-            import jax
-            import jax.numpy as jnp
             # One host->device upload per channel; run_stack and the
-            # photometry stage share the device-resident buffer. Integer
-            # camera dtypes upload raw (half the bytes of float32) and
-            # cast on device. The cache key (when a store is set) hashes
-            # the host array BEFORE upload so nothing round-trips.
+            # photometry stage share the device-resident buffer (raw
+            # integer camera dtypes stay integer — see _normalize_stack).
+            # The cache key (when a store is set) hashes the host array
+            # BEFORE upload so nothing round-trips.
+            stack = _normalize_stack(stack)
             stack_key = None
-            if not isinstance(stack, jax.Array):
-                stack = np.asarray(stack)
-                if stack.dtype not in (np.float32, np.uint8, np.uint16,
-                                       np.int16, np.int32):
-                    stack = stack.astype(np.float32)
-                if self.store is not None:
-                    from .utils.checkpoint import content_key
-                    stack_key = content_key(stack)
+            if self.store is not None and isinstance(stack, np.ndarray):
+                from .utils.checkpoint import content_key
+                stack_key = content_key(stack)
             stack = jnp.asarray(stack)
             F, C, H, W = stack.shape
             out = self.run_stack(
@@ -225,7 +237,6 @@ class Pipeline:
                       "spot_valid", "spot_cand_idx", "spot_overflow"))
             rhs, rws = _spot_lists(out, F, C, H, W)
             if out["spot_overflow"].any():
-                import logging
                 n_over = int(out["spot_overflow"].sum())
                 logging.getLogger(__name__).warning(
                     "run_experiment: %d (field, cycle) images overflowed "

@@ -151,11 +151,11 @@ def score_traces(intensities, categories, log_fluor_means, beta_sigma,
     lfm = np.asarray(log_fluor_means[:lmii], dtype=np.float32)
     tab_dev = jnp.asarray(tab)
 
+    from ..utils.dispatch import pow2_bucket, mesh_row_sharding
+
+    n_dev = 1
     if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec as P
-        axis = mesh.axis_names[0]
-        n_dev = mesh.shape[axis]
-        row_sharding = NamedSharding(mesh, P(axis, None))
+        row_sharding, n_dev = mesh_row_sharding(mesh)
 
     def place(x):
         x = jnp.asarray(x)
@@ -170,12 +170,7 @@ def score_traces(intensities, categories, log_fluor_means, beta_sigma,
     for lo in range(0, T, chunk):
         hi = min(lo + chunk, T)
         n = hi - lo
-        bucket = n if n == chunk else min(chunk,
-                                          1 << max(n - 1, 1).bit_length())
-        if mesh is not None:
-            # Even shards across the mesh's first axis.
-            bucket = max(bucket, n_dev)
-            bucket += (-bucket) % n_dev
+        bucket = pow2_bucket(n, chunk, multiple_of=n_dev)
         li = log_int[lo:hi]
         ca = cats[lo:hi]
         if bucket != n:

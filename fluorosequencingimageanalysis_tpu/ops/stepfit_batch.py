@@ -205,11 +205,11 @@ def stepfit_batched(photometries, mirror_start=0, chung_kennedy=0,
     N, T0 = phot.shape
     mirrored = np.concatenate([phot[:, :mirror_start][:, ::-1], phot], axis=1)
 
+    from ..utils.dispatch import pow2_bucket, mesh_row_sharding
+
+    n_dev = 1
     if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec as P
-        axis = mesh.axis_names[0]
-        n_dev = mesh.shape[axis]
-        row_sharding = NamedSharding(mesh, P(axis, None))
+        row_sharding, n_dev = mesh_row_sharding(mesh)
 
     # Chunk the device dispatches at power-of-two row buckets (cap 1024):
     # every call shape hits an already-compiled program, and no single
@@ -220,11 +220,7 @@ def stepfit_batched(photometries, mirror_start=0, chung_kennedy=0,
         for lo in range(0, n, chunk):
             hi = min(lo + chunk, n)
             m = hi - lo
-            bucket = m if m == chunk else min(
-                chunk, 1 << max(m - 1, 1).bit_length())
-            if mesh is not None:
-                bucket = max(bucket, n_dev)
-                bucket += (-bucket) % n_dev
+            bucket = pow2_bucket(m, chunk, multiple_of=n_dev)
             piece = x[lo:hi]
             if bucket != m:
                 piece = np.concatenate(

@@ -350,14 +350,14 @@ def run_experiment_stack(stack, offsets_h, offsets_w, spot_arrays,
     # Queue every chunk before fetching any result: JAX dispatch is async,
     # so the device pipelines the kernels and the host only blocks once.
     pending = []
+    from ..utils.dispatch import pow2_bucket
     for lo in range(0, B, chunk):
         hi = min(lo + chunk, B)
         # Pad ragged tails to a power-of-two bucket so every dispatch hits
         # an already-compiled kernel shape (positions pad with a safe
         # interior coordinate and are sliced off).
         n = hi - lo
-        bucket = n if n == chunk else min(chunk,
-                                          1 << max(n - 1, 1).bit_length())
+        bucket = pow2_bucket(n, chunk)
         pad = bucket - n
         ii = np.pad(img_id[lo:hi], (0, pad))
         hh = np.pad(hs[lo:hi], (0, pad), constant_values=window_radius)
