@@ -92,6 +92,51 @@ def test_basic_experiment_script_end_to_end(tmp_path, monkeypatch):
     assert sum(agg.values()) == 17
 
 
+def test_basic_experiment_script_sextractor(tmp_path, monkeypatch):
+    """--sextractor routes photometry_method='sextractor' into BOTH the
+    trace discard and the CSV emitter (reference
+    basic_experiment_script.py:474, 620-624); background-subtracted
+    aperture sums must differ from the default mexican hat."""
+    rng = np.random.default_rng(3)
+    anchors = [(12.3, 80.6), (80.3, 12.3), (84.6, 84.3), (15.3, 40.6),
+               (55.6, 85.3), (85.3, 55.6)]
+    peptide_files = []
+    for cycle in range(2):
+        d = tmp_path / f"cycle_{cycle:02d}"
+        d.mkdir()
+        f0 = d / "field_00.png"
+        _write_field_png(str(f0), anchors, rng=rng)
+        peptide_files.append(str(f0))
+
+    import basic_experiment_script
+    monkeypatch.chdir(tmp_path)
+    rows_by_mode = {}
+    for mode, extra in [("default", []), ("sex", ["--sextractor"])]:
+        outdir = tmp_path / ("out_" + mode)
+        outdir.mkdir()
+        basic_experiment_script.main([
+            "--peptide_files", *peptide_files,
+            "--output_directory", str(outdir),
+            "--no_sanity_check_images",
+            "-L", str(tmp_path / f"log_{mode}.txt"), *extra,
+        ])
+        csvs = [p for p in os.listdir(outdir)
+                if p.startswith("track_photometries_NO_NONES_")]
+        assert len(csvs) == 1
+        with open(outdir / csvs[0]) as f:
+            rows = list(csv.reader(f))[1:]
+        rows_by_mode[mode] = {tuple(r[:4]): [float(x) for x in r[5:]]
+                              for r in rows}
+    assert rows_by_mode["sex"], "sextractor run produced no traces"
+    shared = set(rows_by_mode["default"]) & set(rows_by_mode["sex"])
+    assert shared
+    diffs = [abs(a - b)
+             for k in shared
+             for a, b in zip(rows_by_mode["default"][k],
+                             rows_by_mode["sex"][k])]
+    assert max(diffs) > 1.0, "sextractor photometries identical to default"
+
+
 def test_basic_timetrace_script_end_to_end(tmp_path, monkeypatch):
     rng = np.random.default_rng(2)
     frames = []
