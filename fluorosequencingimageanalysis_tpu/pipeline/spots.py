@@ -329,12 +329,22 @@ def _mesh_background(image, box_size, filter_size):
     nh = max(1, int(np.ceil(H / box_size)))
     nw = max(1, int(np.ceil(W / box_size)))
     mesh = np.zeros((nh, nw))
+    # Full boxes in one vectorized reduction; only the ragged last
+    # row/column (image size not a multiple of box_size) loops.
+    fh, fw = H // box_size, W // box_size
+    if fh and fw:
+        core = image[:fh * box_size, :fw * box_size] \
+            .reshape(fh, box_size, fw, box_size) \
+            .transpose(0, 2, 1, 3).reshape(fh, fw, -1)
+        mesh[:fh, :fw] = (2.5 * np.median(core, axis=-1) -
+                          1.5 * np.mean(core, axis=-1))
     for i in range(nh):
         for j in range(nw):
+            if i < fh and j < fw:
+                continue
             box = image[i * box_size:(i + 1) * box_size,
                         j * box_size:(j + 1) * box_size]
-            med, mean = np.median(box), np.mean(box)
-            mesh[i, j] = 2.5 * med - 1.5 * mean
+            mesh[i, j] = 2.5 * np.median(box) - 1.5 * np.mean(box)
     if filter_size > 1 and mesh.size > 1:
         from scipy.ndimage import median_filter
         k = min(filter_size, mesh.shape[0], mesh.shape[1])
