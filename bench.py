@@ -418,8 +418,11 @@ def bench_v8(T=100_000, F=12, K=5, beta_sigma=0.2, host_sample=150):
     intensities, categories, lfm = make_v8_workload(T, F, K)
     kw = dict(log_fluor_means=lfm, beta_sigma=beta_sigma, max_possible=K,
               allow_multidrop=True, max_deviation=3)
-    # warm/compile at the chunk shape, then timed
+    # warm/compile the chunk shape AND the ragged-tail bucket, then timed
     score_traces(intensities[:8192], categories[:8192], **kw)
+    tail = T % 8192
+    if tail:
+        score_traces(intensities[:tail], categories[:tail], **kw)
     t0 = time.perf_counter()
     seqs, found, _ = score_traces(intensities, categories, **kw)
     dt = time.perf_counter() - t0

@@ -340,6 +340,9 @@ class Pipeline:
         ln = self.config.lognormal
         if quench_factors is None:
             quench_factors = (0.0,) * (ln.max_possible + 2)
+        # mesh=None in kwargs opts out of mesh sharding; default is the
+        # session mesh.
+        mesh = kwargs.pop("mesh", self.mesh)
         with self._stage("api/fluor_counts"):
             if isinstance(tracks, str):
                 from .inference.lognormal import lognormal_fit_v8_from_csv
@@ -351,7 +354,7 @@ class Pipeline:
                     max_deviation=(ln.max_deviation
                                    if ln.max_deviation is not None else 3),
                     quench_factors=quench_factors,
-                    alpha_adjust=alpha_adjust, mesh=self.mesh, **kwargs)
+                    alpha_adjust=alpha_adjust, mesh=mesh, **kwargs)
             from .inference.lognormal import photometries_lognormal_fit_v8
             return photometries_lognormal_fit_v8(
                 tracks, beta, beta_sigma, max_possible=ln.max_possible,
@@ -359,7 +362,7 @@ class Pipeline:
                 allow_multidrop=ln.allow_multidrop,
                 max_deviation=(ln.max_deviation
                                if ln.max_deviation is not None else 3),
-                quench_factors=quench_factors, mesh=self.mesh)
+                quench_factors=quench_factors, mesh=mesh)
 
     # -- simulation ----------------------------------------------------------
 

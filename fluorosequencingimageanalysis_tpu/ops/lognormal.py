@@ -158,9 +158,10 @@ def score_traces(intensities, categories, log_fluor_means, beta_sigma,
         row_sharding, n_dev = mesh_row_sharding(mesh)
 
     def place(x):
-        x = jnp.asarray(x)
         if mesh is None:
-            return x
+            return jnp.asarray(x)
+        # Direct sharded upload from host — jnp.asarray first would stage
+        # on the default device and copy a second time.
         return jax.device_put(x, row_sharding)
 
     best_idx = np.zeros((T,), np.int64)

@@ -214,9 +214,13 @@ def stepfit_batched(photometries, mirror_start=0, chung_kennedy=0,
     # Chunk the device dispatches at power-of-two row buckets (cap 1024):
     # every call shape hits an already-compiled program, and no single
     # dispatch grows past what constrained compile environments handle.
+    # All chunks are queued before any result is fetched so the device
+    # pipelines them (JAX dispatch is async).
     def run_chunked(fn, x, chunk=1024):
         n = x.shape[0]
-        outs = []
+        if n == 0:
+            return x.copy()
+        pending = []
         for lo in range(0, n, chunk):
             hi = min(lo + chunk, n)
             m = hi - lo
@@ -225,11 +229,14 @@ def stepfit_batched(photometries, mirror_start=0, chung_kennedy=0,
             if bucket != m:
                 piece = np.concatenate(
                     [piece, np.zeros((bucket - m,) + x.shape[1:], x.dtype)])
-            dev = jnp.asarray(piece)
             if mesh is not None:
-                dev = jax.device_put(dev, row_sharding)
-            outs.append(np.asarray(fn(dev))[:m])
-        return np.concatenate(outs)
+                # Direct sharded upload — jnp.asarray first would stage the
+                # chunk on the default device and copy again.
+                dev = jax.device_put(piece, row_sharding)
+            else:
+                dev = jnp.asarray(piece)
+            pending.append((m, fn(dev)))
+        return np.concatenate([np.asarray(d)[:m] for m, d in pending])
 
     if chung_kennedy > 0:
         # The reference re-filters the *mirrored* input each round

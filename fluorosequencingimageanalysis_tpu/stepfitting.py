@@ -27,7 +27,7 @@ import math
 import warnings
 
 import numpy as np
-from scipy.stats import linregress, ttest_ind
+from scipy.stats import linregress
 
 
 def _pairwise(iterable):

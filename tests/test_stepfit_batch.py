@@ -127,3 +127,12 @@ def test_stepfit_tracks_batched_equals_sequential():
         np.testing.assert_allclose(
             inter_b[hw]["ck_filtered_photometries"].trace,
             inter_s[hw]["ck_filtered_photometries"].trace, atol=1e-8)
+
+
+def test_stepfit_batched_empty_input():
+    """Zero traces must return an empty list, not crash (a spotless
+    experiment yields an (0, T) photometry array)."""
+    for mesh in (None,):
+        out = stepfit_batched(np.zeros((0, 30)), mirror_start=5,
+                              chung_kennedy=1, p_threshold=0.01)
+        assert out == []
