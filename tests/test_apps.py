@@ -327,3 +327,58 @@ def test_lognormal_fitter_v2_end_to_end(tmp_path, monkeypatch):
     assert glob.glob(path + "_*_ch1_INTERMEDIATES_v2.pkl")
     assert glob.glob(path + "_*_ch1_RAW_PHOTOMETRIES.pkl")
     assert glob.glob(path + "_*_ch1_HISTOGRAM.html")
+
+
+def test_module_cli_run_experiment_and_fluor_counts(tmp_path, monkeypatch):
+    """The redesigned CLI (python -m fluorosequencingimageanalysis_tpu):
+    run-experiment writes both CSVs from cycle/field image files, and
+    fluor-counts chains on the track CSV."""
+    import json as json_module
+    from fluorosequencingimageanalysis_tpu.__main__ import main as cli_main
+
+    rng = np.random.default_rng(7)
+    anchors = [(12.3, 80.6), (80.3, 12.3), (84.6, 84.3), (15.3, 40.6),
+               (55.6, 85.3), (85.3, 55.6)]
+    files = []
+    for cycle in range(3):
+        d = tmp_path / f"cycle_{cycle:02d}"
+        d.mkdir()
+        f0 = d / "field_00.png"
+        # anchors persist; one spot bleaches after cycle 1
+        coords = anchors + ([(40.6, 45.3)] if cycle < 1 else [])
+        _write_field_png(str(f0), coords, rng=rng)
+        files.append(str(f0))
+
+    outdir = tmp_path / "out"
+    monkeypatch.chdir(tmp_path)
+    import contextlib, io
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = cli_main(["run-experiment", "--peptide-files", *files,
+                       "--output-dir", str(outdir),
+                       "--max-candidates", "256", "--max-spots", "64",
+                       "--offsets-pkl", "offsets.pkl", "--profile"])
+    assert rc == 0
+    info = json_module.loads(buf.getvalue())
+    assert info["fields"] == 1 and info["cycles"] == 3
+    assert info["rows"] >= 6
+    assert "api/run_stack" in info["stages_sec"]
+    with open(outdir / "track_photometries.csv") as f:
+        rows = list(csv.reader(f))
+    assert rows[0][:5] == ["CHANNEL", "FIELD", "H", "W", "CATEGORY"]
+    assert len(rows) - 1 == info["rows"]
+    cat_text = (outdir / "category_counts.csv").read_text()
+    assert "[ON]" in cat_text
+    assert (outdir / "offsets.pkl").exists()
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = cli_main(["fluor-counts", str(outdir / "track_photometries.csv"),
+                       "--beta", "25000", "--beta-sigma", "0.3",
+                       "--signals-pkl", str(outdir / "SIGNALS.pkl")])
+    assert rc == 0
+    info = json_module.loads(buf.getvalue())
+    assert info["traces"] == len(rows) - 1
+    with open(outdir / "SIGNALS.pkl", "rb") as f:
+        signals = pickle.load(f)
+    assert isinstance(signals, dict)
