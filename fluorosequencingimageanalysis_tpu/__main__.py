@@ -51,6 +51,12 @@ def _cmd_run_experiment(args):
     from .config import PipelineConfig, PhotometryConfig
 
     stack, C = _load_stack(args.peptide_files)
+    stacks = {"ch1": stack}
+    if args.second_channel_files:
+        stack2, C2 = _load_stack(args.second_channel_files)
+        if C2 != C:
+            raise SystemExit("second channel must have the same cycle count")
+        stacks["ch2"] = stack2
     config = PipelineConfig(
         photometry=PhotometryConfig(method=args.photometry_method))
     pipe = Pipeline(config=config, profile=args.profile)
@@ -58,7 +64,7 @@ def _cmd_run_experiment(args):
     csv_path = os.path.join(args.output_dir, args.csv)
     category_csv_path = os.path.join(args.output_dir, args.category_csv)
     out = pipe.run_experiment(
-        stack, csv_path=csv_path, category_csv_path=category_csv_path,
+        stacks, csv_path=csv_path, category_csv_path=category_csv_path,
         category_csv_filtered=not args.all_categories,
         category_csv_collate_fields=args.collate_fields,
         max_candidates=args.max_candidates, max_spots=args.max_spots)
@@ -68,6 +74,7 @@ def _cmd_run_experiment(args):
             pickle.dump({ch: (np.asarray(oh), np.asarray(ow))
                          for ch, (oh, ow) in out["offsets"].items()}, fh)
     summary = {"fields": int(stack.shape[0]), "cycles": int(C),
+               "channels": sorted(stacks),
                "rows": len(out["rows"]),
                "summary": out["summary"],
                "csv": csv_path, "category_csv": category_csv_path}
@@ -107,6 +114,9 @@ def build_parser():
         help="registration + detect/fit + tracking + categories + CSVs")
     pe.add_argument("--peptide-files", nargs="+", required=True,
                     help="image files; directory = cycle, filename = field")
+    pe.add_argument("--second-channel-files", nargs="+", default=None,
+                    help="optional second-channel image files (ch2), same "
+                         "cycle/field layout")
     pe.add_argument("--output-dir", default=".",
                     help="directory for output CSVs")
     pe.add_argument("--csv", default="track_photometries.csv",
