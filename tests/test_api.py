@@ -34,6 +34,20 @@ def test_pipeline_run_stack_and_cache(tmp_path):
     np.testing.assert_allclose(out["photometry"], out2["photometry"])
     from fluorosequencingimageanalysis_tpu.utils.profiling import timings
     assert "api/run_stack" in timings()
+    # keys= filters the fetched outputs AND gets its own cache entry, so a
+    # later full-output call cannot collide with the subset.
+    sub = pipe.run_stack(stack, max_candidates=64, keys=("spot_h", "keep"))
+    assert set(sub.keys()) == {"spot_h", "keep"}
+    np.testing.assert_array_equal(sub["spot_h"], out["spot_h"])
+    assert len(list(store.keys())) == 2
+    # stack_key short-circuits the content hash (same key -> cache hit).
+    from fluorosequencingimageanalysis_tpu.utils.checkpoint import \
+        content_key
+    sub2 = pipe.run_stack(stack, max_candidates=64,
+                          keys=("spot_h", "keep"),
+                          stack_key=content_key(np.asarray(stack)))
+    np.testing.assert_array_equal(sub2["spot_h"], out["spot_h"])
+    assert len(list(store.keys())) == 2
 
 
 def test_pipeline_stepfit_and_fluor_counts(tmp_path):
