@@ -212,6 +212,16 @@ class Pipeline:
 
         if not isinstance(stacks, dict):
             stacks = {"ch1": stacks}
+        # Normalize up-front and require one cycle count across channels
+        # (the experiment classes enforce the same invariant in
+        # MultifieldMultichannelSequenceExperiment.__init__); the CSV
+        # frame header depends on it.
+        stacks = {ch: _normalize_stack(s) for ch, s in stacks.items()}
+        cycle_counts = {s.shape[1] for s in stacks.values()}
+        if len(cycle_counts) != 1:
+            raise ValueError("every channel must have the same cycle "
+                             f"count (got {sorted(cycle_counts)})")
+        n_cycles = cycle_counts.pop()
         phot = self.config.photometry
         rows = []
         category_counts = {}
@@ -220,10 +230,9 @@ class Pipeline:
         for channel, stack in stacks.items():
             # One host->device upload per channel; run_stack and the
             # photometry stage share the device-resident buffer (raw
-            # integer camera dtypes stay integer — see _normalize_stack).
-            # The cache key (when a store is set) hashes the host array
-            # BEFORE upload so nothing round-trips.
-            stack = _normalize_stack(stack)
+            # integer camera dtypes stay integer — see _normalize_stack,
+            # already applied above). The cache key (when a store is set)
+            # hashes the host array BEFORE upload so nothing round-trips.
             stack_key = None
             if self.store is not None and isinstance(stack, np.ndarray):
                 from .utils.checkpoint import content_key
@@ -278,11 +287,11 @@ class Pipeline:
                     for ch, by_f in category_counts.items()}
         if csv_path is not None:
             import csv as csv_module
-            C = next(iter(stacks.values())).shape[1]
             with open(csv_path, "w", newline="") as fh:
                 writer = csv_module.writer(fh, dialect="excel")
                 writer.writerow(["CHANNEL", "FIELD", "H", "W", "CATEGORY"] +
-                                ["FRAME " + str(i) for i in range(C)])
+                                ["FRAME " + str(i)
+                                 for i in range(n_cycles)])
                 for (channel, f, h0, w0, cat, ph) in rows:
                     writer.writerow([str(channel), str(f), str(h0), str(w0),
                                      str(cat)] + [str(v) for v in ph])

@@ -200,12 +200,9 @@ def experiment_step_sharded(stack, mesh, median_filter_size=5, c_std=2.0,
         elif photometry_method == "simple":
             def phot_one(img, hs, ws):
                 return phot_ops.simple_batch(img, hs, ws, radius=2)
-        elif photometry_method == "maximum":
+        else:  # "maximum" — the whitelist above already validated
             def phot_one(img, hs, ws):
                 return phot_ops.maximum_batch(img, hs, ws, radius=5)
-        else:
-            raise ValueError("unknown photometry_method: " +
-                             repr(photometry_method))
         phot = jax.vmap(phot_one)(imgs, rch, rcw)
     if photometry_min is not None:
         phot = jnp.maximum(phot, photometry_min)

@@ -42,12 +42,7 @@ import functools
 import numpy as np
 
 from ..utils.rounding import py2_round
-from .tracking import accumulate_offsets
-
-
-def _py2_round_arr(x):
-    return np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5)).astype(
-        np.int64)
+from .tracking import accumulate_offsets, _py2_round_array as _py2_round_arr
 
 
 def _spot_lists(out, F, C, H, W, spot_size=5):
@@ -79,19 +74,26 @@ def _spot_lists(out, F, C, H, W, spot_size=5):
             h0, w0 = h0[order], w0[order]
             rh = _py2_round_arr(h0)
             rw = _py2_round_arr(w0)
-            # Spot.__init__ validity (experiment classes discard raisers):
+            # psfs-dict setdefault FIRST: the first candidate wins a
+            # shared (rh, rw) key — and keys are pairs, never flattened
+            # (a flat rh*W+rw key aliases when a quirk-kept spot's rw
+            # falls outside [0, W)).
+            _, first = np.unique(np.stack([rh, rw], axis=1), axis=0,
+                                 return_index=True)
+            first.sort()
+            rh, rw = rh[first], rw[first]
+            h0, w0 = h0[first], w0[first]
+            # THEN Spot.__init__ validity on the dict winners (the class
+            # path builds the psfs dict before constructing Spots, so an
+            # invalid winner shadows a valid loser at the same key):
             # plain 5x5 fit, or the reference's buggy fallback that lets an
             # out-of-box spot through unless (h_0 outside AND w_0 inside).
             ok_plain = ((rh >= r) & (rh + r < H) & (rw >= r) & (rw + r < W))
             in_h = (h0 >= r) & (h0 < H - r)
             in_w = (w0 >= r) & (w0 < W - r)
             keep = ok_plain | ~(~in_h & in_w)
-            rh, rw = rh[keep], rw[keep]
-            # psfs-dict setdefault: first candidate wins a shared key.
-            _, first = np.unique(rh * W + rw, return_index=True)
-            first.sort()
-            rhs[f][c] = rh[first]
-            rws[f][c] = rw[first]
+            rhs[f][c] = rh[keep]
+            rws[f][c] = rw[keep]
     return rhs, rws
 
 
@@ -106,6 +108,26 @@ def _link_field(rh_by_cycle, rw_by_cycle, frame_shape, offsets,
 
     C = len(rh_by_cycle)
     cum = np.asarray(accumulate_offsets(offsets), dtype=np.float64)
+    H, W = frame_shape
+    # Discard dropouts BEFORE linking, like greedy_particle_tracking /
+    # the class path (discard_dropouts, flexlibrary.py:625-677): a spot
+    # whose offset position leaves any frame is excluded from tracking.
+    # This also guarantees every position handed to the C++ core bins
+    # inside the frame grid (quirk-kept out-of-box spots and stage drift
+    # would otherwise index out of bounds).
+    rh_by_cycle = list(rh_by_cycle)
+    rw_by_cycle = list(rw_by_cycle)
+    for c in range(C):
+        rh, rw = rh_by_cycle[c], rw_by_cycle[c]
+        if len(rh) == 0:
+            continue
+        gh = rh[:, None] + (cum[c, 0] - cum[:, 0])[None, :]   # (n, C)
+        gw = rw[:, None] + (cum[c, 1] - cum[:, 1])[None, :]
+        ok = ((gh >= 0) & (gh < H - 0.5) &
+              (gw >= 0) & (gw < W - 0.5)).all(axis=1)
+        if not ok.all():
+            rh_by_cycle[c] = rh[ok]
+            rw_by_cycle[c] = rw[ok]
     counts = np.array([len(rh_by_cycle[c]) for c in range(C)], np.int32)
     frame_start = np.zeros(C + 1, np.int32)
     np.cumsum(counts, out=frame_start[1:])

@@ -159,7 +159,9 @@ def greedy_particle_tracking(frame_spots, frame_shape, candidate_radius=2,
     # edge windows need no clipping logic (clipping only removes cells, it
     # never reorders the survivors, so unclipped cell ranks reproduce the
     # reference's raster walk ordering exactly).
-    pad = candidate_radius + 2
+    # int() matches the C++ core's truncation; integer grid offsets within
+    # a float radius r satisfy |dh| <= int(r) anyway.
+    pad = int(candidate_radius) + 2
     cell_offsets = [(i, j) for i in range(-pad, pad + 1)
                     for j in range(-pad, pad + 1)]
     H, W = int(frame_shape[0]), int(frame_shape[1])

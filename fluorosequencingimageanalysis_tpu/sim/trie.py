@@ -32,14 +32,13 @@ class _CountTrieBase:
 
     # -- addressing ----------------------------------------------------
 
-    def _rel_path(self, subsignal, canonicalize=False):
+    def _rel_path(self, subsignal):
         """Reference subsignal convention -> child-key path from self.
 
         At the root the whole subsignal is the path; at any other node,
         element 0 names the node itself and the path starts at element 1.
         """
-        blocks = ([tuple(b) for b in subsignal] if canonicalize
-                  else list(subsignal))
+        blocks = list(subsignal)
         return blocks if self._is_root() else blocks[1:]
 
     def _follow(self, path, create=False):
@@ -108,10 +107,9 @@ class _CountTrieBase:
             return None
         return self._follow(self._rel_path(subsignal))
 
-    def merge(self, trie):
-        for leaf in trie.leaf_iterator():
-            self.graft(leaf[0], leaf[1])
-        return self
+    # merge() lives on the concrete tries (SignalTrie / PolyfluorSignalTrie)
+    # which both enforce the reference's root-only contract; a base-class
+    # fallback without that assertion would silently relax it.
 
 
 class SignalTrie(_CountTrieBase):

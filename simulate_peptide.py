@@ -115,6 +115,12 @@ def main(argv=None):
                                   distance_ddifs))
 
     print("Parameters loaded. Starting simulation at " + str(datetime.now()))
+    if args.batched_simulation == "on" and (args.superdye_rate != 0.0 or
+                                            distance_ddifs is not None):
+        raise SystemExit(
+            "--batched_simulation on does not support superdyes or "
+            "distance DDIFs (the batched model omits them); use "
+            "--batched_simulation auto/off for these parameters.")
     use_batched = (args.batched_simulation == "on" or
                    (args.batched_simulation == "auto" and N >= 10000 and
                     args.superdye_rate == 0.0 and distance_ddifs is None))

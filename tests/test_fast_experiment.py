@@ -464,3 +464,42 @@ def test_run_experiment_empty_field():
     assert isinstance(out["rows"], list)
     for (_, _, h, w, cat, ph) in out["rows"]:
         assert len(cat) == 3 and len(ph) == 3
+
+
+def test_link_field_discards_dropouts_and_survives_edge_drift():
+    """Spots whose offset positions leave any frame must be discarded
+    before linking (discard_dropouts semantics), for BOTH the native C++
+    core and the Python fallback — previously the native branch fed
+    out-of-grid bins into the C++ vectors (out-of-bounds access)."""
+    from fluorosequencingimageanalysis_tpu.pipeline import fast_experiment
+    from fluorosequencingimageanalysis_tpu.native import tracklink
+
+    H = W = 64
+    # Cycle 0: an interior spot and an edge spot at h=1 (drops out of
+    # frame 1 under the +3 cumulative offset); cycle 1: an interior
+    # partner and a spot at h=63 whose own-frame binning (63 + 3 = 66)
+    # would index outside the grid without the pre-discard.
+    rh = [np.array([1, 30]), np.array([30, 63])]
+    rw = [np.array([30, 30]), np.array([30, 30])]
+    offsets = [(0.0, 0.0), (3.0, 0.0)]
+
+    results = {}
+    for native in (True, False):
+        orig = tracklink.have_native
+        tracklink.have_native = (lambda: True) if native else (lambda: False)
+        try:
+            pos, present = fast_experiment._link_field(
+                [a.copy() for a in rh], [a.copy() for a in rw], (H, W),
+                offsets)
+        finally:
+            tracklink.have_native = orig
+        results[native] = (pos, present)
+    (pos_n, present_n), (pos_p, present_p) = results[True], results[False]
+    np.testing.assert_array_equal(pos_n, pos_p)
+    np.testing.assert_array_equal(present_n, present_p)
+    # The two dropout spots are gone; the interior pair forms one trace.
+    all_pos = {tuple(p) for t in range(pos_n.shape[0])
+               for c in range(2) if present_n[t, c]
+               for p in [pos_n[t, c]]}
+    assert (1, 30) not in all_pos and (63, 30) not in all_pos
+    assert (30, 30) in all_pos
