@@ -503,3 +503,45 @@ def test_link_field_discards_dropouts_and_survives_edge_drift():
                for p in [pos_n[t, c]]}
     assert (1, 30) not in all_pos and (63, 30) not in all_pos
     assert (30, 30) in all_pos
+
+
+def test_run_experiment_matches_class_path_with_dropouts():
+    """Strong stage drift + edge-adjacent spots: some spots drift out of
+    frames (discard_dropouts territory) — rows must still match the
+    class-based oracle exactly."""
+    rng = np.random.default_rng(13)
+    H = W = 128
+    C = 4
+    hh, ww = np.indices((H, W)).astype(np.float32)
+    # Monotone drift pushing the field 4 px per cycle.
+    cumd = np.array([[0, 0], [4, 0], [8, 0], [12, 0]])
+    stack = rng.normal(400.0, 6.0, (1, C, H, W)).astype(np.float32)
+    pos = np.concatenate([
+        rng.uniform(16, H - 16, (14, 2)),     # interior anchors
+        np.array([[7.3, 40.6], [7.6, 90.3],   # near the leading edge:
+                  [120.3, 30.6]]),            # dropout candidates
+    ])
+    present = rng.random((len(pos), C)) < 0.9
+    present[:, 0] = True
+    for c in range(C):
+        for s in range(len(pos)):
+            if not present[s, c]:
+                continue
+            h = pos[s, 0] - cumd[c, 0]
+            w = pos[s, 1] - cumd[c, 1]
+            if not (-6 < h < H + 6):
+                continue
+            stack[0, c] += 3000 * np.exp(
+                -(((hh - h) ** 2) + ((ww - w) ** 2)) / (2 * 1.3 ** 2))
+    header_ref, rows_ref = class_path_rows(stack)
+    res = Pipeline().run_experiment(stack, max_candidates=512,
+                                    max_spots=256)
+    rows_fast = res["rows"]
+    assert len(rows_fast) == len(rows_ref) > 5
+    for i, ((ch, f, h, w, cat, ph), ref) in enumerate(
+            zip(rows_fast, rows_ref)):
+        assert (str(ch), str(f), str(h), str(w), str(cat)) == \
+            tuple(ref[:5]), (i, (ch, f, h, w, cat), ref[:5])
+        np.testing.assert_allclose(
+            ph, [float(x) for x in ref[5:]], rtol=1e-5, atol=1e-2,
+            err_msg=f"row {i}")
