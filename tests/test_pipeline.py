@@ -452,3 +452,36 @@ def test_luminosity_centroid_tracking_follows_spot():
     assert all(s is not None for s in tr)
     assert abs(tr[-1].w - (start[1] + 3)) <= 1
     assert abs(tr[-1].h - start[0]) <= 1
+
+
+def test_aperture_sum_matches_scalar_reference():
+    """The vectorized circular-aperture sum must agree with the scalar
+    subsampled-overlap accumulation it replaced (to summation-order
+    rounding), including edge-truncated windows."""
+    import numpy as np
+    from fluorosequencingimageanalysis_tpu.pipeline.spots import \
+        _aperture_sum
+
+    def scalar(image, h, w, radius, subsample=10):
+        image = np.asarray(image, dtype=np.float64)
+        r_int = int(np.ceil(radius)) + 1
+        h0, h1 = max(0, h - r_int), min(image.shape[0], h + r_int + 1)
+        w0, w1 = max(0, w - r_int), min(image.shape[1], w + r_int + 1)
+        total = 0.0
+        offs = (np.arange(subsample) + 0.5) / subsample - 0.5
+        for hh in range(h0, h1):
+            for ww in range(w0, w1):
+                dy = hh + offs[:, None] - h
+                dx = ww + offs[None, :] - w
+                frac = np.mean((dy ** 2 + dx ** 2) <= radius ** 2)
+                if frac > 0:
+                    total += image[hh, ww] * frac
+        return float(total)
+
+    rng = np.random.default_rng(0)
+    img = rng.normal(500, 30, (48, 48))
+    for (h, w) in [(24, 24), (0, 0), (47, 47), (1, 46), (3, 3), (24, 0)]:
+        for radius in (3, 2.5):
+            a = _aperture_sum(img, h, w, radius)
+            b = scalar(img, h, w, radius)
+            assert abs(a - b) <= 1e-9 * max(abs(b), 1.0), (h, w, radius)
