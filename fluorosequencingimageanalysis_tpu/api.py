@@ -200,7 +200,7 @@ class Pipeline:
         MultifieldMultichannelSequenceExperiment.track_photometries_as_csv)
         is proven row-by-row in tests/test_fast_experiment.py. The
         photometry method comes from config.photometry.method (mexican_hat,
-        simple, or maximum — fit-parameter/background metrics and MDMA /
+        simple, maximum, or gaussian_volume — sigmas/sextractor and MDMA /
         adjustment_function workflows still go through the classes).
         """
         import logging
@@ -239,12 +239,23 @@ class Pipeline:
                 stack_key = content_key(stack)
             stack = jnp.asarray(stack)
             F, C, H, W = stack.shape
+            # gaussian_volume rides the device step's per-spot photometry
+            # bucket (a pure fit-parameter product) instead of an image
+            # kernel.
+            need_values = phot.method == "gaussian_volume"
+            keys = ["offsets_h", "offsets_w", "spot_h", "spot_w",
+                    "spot_valid", "spot_cand_idx", "spot_overflow"]
+            if need_values:
+                keys.append("photometry")
             out = self.run_stack(
                 stack, max_candidates=max_candidates, max_spots=max_spots,
-                stack_key=stack_key,
-                keys=("offsets_h", "offsets_w", "spot_h", "spot_w",
-                      "spot_valid", "spot_cand_idx", "spot_overflow"))
-            rhs, rws = _spot_lists(out, F, C, H, W)
+                stack_key=stack_key, keys=tuple(keys))
+            spot_values = None
+            if need_values:
+                rhs, rws, spot_values = _spot_lists(out, F, C, H, W,
+                                                    with_values=True)
+            else:
+                rhs, rws = _spot_lists(out, F, C, H, W)
             if out["spot_overflow"].any():
                 n_over = int(out["spot_overflow"].sum())
                 logging.getLogger(__name__).warning(
@@ -265,7 +276,8 @@ class Pipeline:
                     photometry_method=phot.method,
                     photometry_radius=phot.radius,
                     photometry_brim=phot.brim_size,
-                    candidate_radius=candidate_radius)
+                    candidate_radius=candidate_radius,
+                    spot_values=spot_values)
                 n_traces = n_singletons = 0
                 for f, field_rows in enumerate(per_field):
                     for (cat, h0, w0, ph) in field_rows:

@@ -45,15 +45,18 @@ from ..utils.rounding import py2_round
 from .tracking import accumulate_offsets, _py2_round_array as _py2_round_arr
 
 
-def _spot_lists(out, F, C, H, W, spot_size=5):
+def _spot_lists(out, F, C, H, W, spot_size=5, with_values=False):
     """Device-step outputs -> per-(field, cycle) integer spot arrays.
 
     Replicates the psfs-dict construction + Spot.__init__ filtering of the
     class path: kept fits ordered by candidate index, deduplicated on the
     Py2-rounded center key (setdefault), 5x5 validity with the reference's
     gaussian_fit fallback quirk.
-    Returns rh[f][c], rw[f][c] (int64 arrays).
+    Returns (rh[f][c], rw[f][c]) int64 arrays — plus per-spot values
+    aligned with them when ``values`` (an [F, C, S] array, e.g. the
+    device step's gaussian_volume photometry bucket) is given.
     """
+    values = out.get("photometry") if with_values else None
     r = (spot_size - 1) // 2
     spot_valid = out["spot_valid"]
     spot_h = out["spot_h"]
@@ -61,17 +64,22 @@ def _spot_lists(out, F, C, H, W, spot_size=5):
     cand_idx = out["spot_cand_idx"]
     rhs = [[None] * C for _ in range(F)]
     rws = [[None] * C for _ in range(F)]
+    vals = [[None] * C for _ in range(F)] if values is not None else None
     for f in range(F):
         for c in range(C):
             v = spot_valid[f, c]
             if not v.any():
                 rhs[f][c] = np.zeros(0, np.int64)
                 rws[f][c] = np.zeros(0, np.int64)
+                if vals is not None:
+                    vals[f][c] = np.zeros(0, np.float64)
                 continue
             h0 = spot_h[f, c][v]
             w0 = spot_w[f, c][v]
             order = np.argsort(cand_idx[f, c][v], kind="stable")
             h0, w0 = h0[order], w0[order]
+            val = (np.asarray(values[f, c][v], np.float64)[order]
+                   if values is not None else None)
             rh = _py2_round_arr(h0)
             rw = _py2_round_arr(w0)
             # psfs-dict setdefault FIRST: the first candidate wins a
@@ -83,6 +91,8 @@ def _spot_lists(out, F, C, H, W, spot_size=5):
             first.sort()
             rh, rw = rh[first], rw[first]
             h0, w0 = h0[first], w0[first]
+            if val is not None:
+                val = val[first]
             # THEN Spot.__init__ validity on the dict winners (the class
             # path builds the psfs dict before constructing Spots, so an
             # invalid winner shadows a valid loser at the same key):
@@ -94,6 +104,10 @@ def _spot_lists(out, F, C, H, W, spot_size=5):
             keep = ok_plain | ~(~in_h & in_w)
             rhs[f][c] = rh[keep]
             rws[f][c] = rw[keep]
+            if vals is not None:
+                vals[f][c] = val[keep]
+    if with_values:
+        return rhs, rws, vals
     return rhs, rws
 
 
@@ -272,19 +286,23 @@ def _fill_traces(pos, present, cum, frame_shape, spot_radius=2,
     return filled, valid
 
 
-# Photometry methods the array-native path can batch over the whole stack.
-# Each metric measures a square of its own radius (Spot.photometry ->
-# *_photometry_metric defaults, pipeline/spots.py:71-120); gaussian_volume/
-# sigmas/sextractor need fit params or background models and go through the
-# class path instead.
-FAST_PHOTOMETRY_METHODS = ("mexican_hat", "simple", "maximum")
+# Photometry methods the array-native path supports. The image metrics
+# each measure a square of their own radius (Spot.photometry ->
+# *_photometry_metric defaults, pipeline/spots.py:71-120);
+# gaussian_volume is a pure fit-parameter product the device step already
+# computed per detected spot (interpolated spots have no fit and take the
+# reference's fit-less default of 0, spots.py:85-92). sigmas/sextractor
+# need per-spot state or background models and go through the class path.
+FAST_PHOTOMETRY_METHODS = ("mexican_hat", "simple", "maximum",
+                           "gaussian_volume")
 
 
 def _photometry_window_radius(method, mexican_hat_radius):
     """The metric's square radius — also the trace_to_photometry
-    (return_invalid=False) validity radius for that metric."""
+    (return_invalid=False) validity radius for that metric
+    (gaussian_volume checks valid_slice() at the spot-box radius)."""
     return {"mexican_hat": mexican_hat_radius, "simple": 2,
-            "maximum": 5}[method]
+            "maximum": 5, "gaussian_volume": 2}[method]
 
 
 def _photometry_kernel(method, radius, brim, top):
@@ -320,13 +338,16 @@ def run_experiment_stack(stack, offsets_h, offsets_w, spot_arrays,
                          photometry_method="mexican_hat",
                          photometry_radius=9, photometry_brim=6,
                          photometry_top=1,
-                         candidate_radius=2, chunk=65536):
+                         candidate_radius=2, chunk=65536,
+                         spot_values=None):
     """All fields: tracking -> fill-in -> validity -> batched photometry.
 
     stack: (F, C, H, W) numpy array OR device-resident jax.Array (the
     latter avoids re-uploading a stack run_stack already placed on
-    device); offsets_h/w: (F, C); spot_arrays from _spot_lists. Returns a
-    list of per-field row lists, each row (category, h0, w0,
+    device); offsets_h/w: (F, C); spot_arrays from _spot_lists;
+    spot_values: per-spot metric values aligned with spot_arrays
+    (required for gaussian_volume — the device step's per-spot bucket).
+    Returns a list of per-field row lists, each row (category, h0, w0,
     photometries (C,)) in reference order.
     """
     import jax.numpy as jnp
@@ -335,8 +356,11 @@ def run_experiment_stack(stack, offsets_h, offsets_w, spot_arrays,
         raise ValueError(
             "run_experiment supports photometry methods "
             f"{FAST_PHOTOMETRY_METHODS}; {photometry_method!r} needs "
-            "per-spot fit params or background models — use the experiment "
+            "per-spot state or background models — use the experiment "
             "classes (pipeline.experiment) for it.")
+    if photometry_method == "gaussian_volume" and spot_values is None:
+        raise ValueError("gaussian_volume needs spot_values (the device "
+                         "step's per-spot photometry bucket)")
     window_radius = _photometry_window_radius(photometry_method,
                                               photometry_radius)
     F, C, H, W = stack.shape
@@ -358,6 +382,25 @@ def run_experiment_stack(stack, offsets_h, offsets_w, spot_arrays,
     pos = np.concatenate(all_pos)          # (Ttot, C, 2)
     cats = np.concatenate(all_valid_cat)   # (Ttot, C)
     field_of = np.repeat(np.arange(F), field_sizes)
+
+    if photometry_method == "gaussian_volume":
+        # No image access: detected frames take the device step's per-spot
+        # A*sigma_h*sigma_w value (looked up by the spot's integer center,
+        # unique per cycle after the psfs-dict dedup); interpolated frames
+        # have no gaussian_fit and take the reference's default of 0
+        # (spots.py:85-92 / flexlibrary.py:212-230).
+        lookups = [[{(int(h), int(w)): float(v)
+                     for h, w, v in zip(rhs[f][c], rws[f][c],
+                                        spot_values[f][c])}
+                    for c in range(C)] for f in range(F)]
+        phot = np.zeros((pos.shape[0], C), np.float64)
+        for t in range(pos.shape[0]):
+            lk = lookups[field_of[t]]
+            for c in range(C):
+                if cats[t, c]:
+                    phot[t, c] = lk[c][(int(pos[t, c, 0]),
+                                        int(pos[t, c, 1]))]
+        return _rows_by_field(pos, cats, phot, field_sizes, F)
 
     # One chunked device kernel over every (trace, cycle) position.
     # jnp.asarray is a no-op for an already-device stack.
@@ -390,9 +433,12 @@ def run_experiment_stack(stack, offsets_h, offsets_w, spot_arrays,
     for lo, hi, dev in pending:
         phot[lo:hi] = np.asarray(dev)[:hi - lo]
     phot = phot.reshape(-1, C)
+    return _rows_by_field(pos, cats, phot, field_sizes, F)
 
-    # Rows per field: categories in first-appearance order, then trace
-    # order (binary_trace_categories -> btc_photometries iteration).
+
+def _rows_by_field(pos, cats, phot, field_sizes, F):
+    """Rows per field: categories in first-appearance order, then trace
+    order (binary_trace_categories -> btc_photometries iteration)."""
     out = []
     start = 0
     for f in range(F):
