@@ -200,7 +200,7 @@ class Pipeline:
         MultifieldMultichannelSequenceExperiment.track_photometries_as_csv)
         is proven row-by-row in tests/test_fast_experiment.py. The
         photometry method comes from config.photometry.method (mexican_hat,
-        simple, maximum, or gaussian_volume — sigmas/sextractor and MDMA /
+        simple, maximum, gaussian_volume, or sigmas — sextractor and MDMA /
         adjustment_function workflows still go through the classes).
         """
         import logging
@@ -239,10 +239,10 @@ class Pipeline:
                 stack_key = content_key(stack)
             stack = jnp.asarray(stack)
             F, C, H, W = stack.shape
-            # gaussian_volume rides the device step's per-spot photometry
-            # bucket (a pure fit-parameter product) instead of an image
-            # kernel.
-            need_values = phot.method == "gaussian_volume"
+            # The fit-product metrics (gaussian_volume, sigmas) ride the
+            # device step's per-spot photometry bucket instead of an
+            # image kernel.
+            need_values = phot.method in ("gaussian_volume", "sigmas")
             keys = ["offsets_h", "offsets_w", "spot_h", "spot_w",
                     "spot_valid", "spot_cand_idx", "spot_overflow"]
             if need_values:

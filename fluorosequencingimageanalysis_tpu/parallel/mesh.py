@@ -177,15 +177,18 @@ def experiment_step_sharded(stack, mesh, median_filter_size=5, c_std=2.0,
 
     # 4. Photometry at the (rounded) kept-spot centers.
     if photometry_method not in ("mexican_hat", "simple", "maximum",
-                                 "gaussian_volume"):
+                                 "gaussian_volume", "sigmas"):
         raise ValueError("unknown photometry_method: " +
                          repr(photometry_method))
-    if photometry_method == "gaussian_volume":
-        # A * sigma_h * sigma_w * 1e6 from the fit itself
-        # (flexlibrary.py:212-230) — no image access needed.
+    if photometry_method in ("gaussian_volume", "sigmas"):
+        # Pure fit-parameter products (flexlibrary.py:212-241) — no image
+        # access needed: A * sigma_h * sigma_w * 1e6 (gaussian_volume) or
+        # sigma_h * sigma_w * 1e6 (sigmas).
         p_flat = res.params.reshape(F * C, max_candidates, 7)
         pk = jax.vmap(lambda p, i: jnp.take(p, i, axis=0))(p_flat, top_idx)
-        phot = 1e6 * pk[..., 1] * pk[..., 4] * pk[..., 5]
+        phot = 1e6 * pk[..., 4] * pk[..., 5]
+        if photometry_method == "gaussian_volume":
+            phot = phot * pk[..., 1]
     else:
         r = {"mexican_hat": photometry_radius, "simple": 2,
              "maximum": 5}[photometry_method]

@@ -289,20 +289,27 @@ def _fill_traces(pos, present, cum, frame_shape, spot_radius=2,
 # Photometry methods the array-native path supports. The image metrics
 # each measure a square of their own radius (Spot.photometry ->
 # *_photometry_metric defaults, pipeline/spots.py:71-120);
-# gaussian_volume is a pure fit-parameter product the device step already
-# computed per detected spot (interpolated spots have no fit and take the
-# reference's fit-less default of 0, spots.py:85-92). sigmas/sextractor
-# need per-spot state or background models and go through the class path.
+# gaussian_volume and sigmas are pure fit-parameter products the device
+# step already computed per detected spot (interpolated spots have no fit
+# and take the reference's fit-less defaults: 0 for gaussian_volume,
+# -1e9 for sigmas — spots.py:85-101). sextractor needs per-image
+# background models and goes through the class path.
 FAST_PHOTOMETRY_METHODS = ("mexican_hat", "simple", "maximum",
-                           "gaussian_volume")
+                           "gaussian_volume", "sigmas")
+
+# Fit-less (interpolated-frame) defaults for the fit-product metrics.
+_FIT_METRIC_DEFAULTS = {"gaussian_volume": 0.0, "sigmas": -1e9}
 
 
 def _photometry_window_radius(method, mexican_hat_radius):
     """The metric's square radius — also the trace_to_photometry
-    (return_invalid=False) validity radius for that metric
-    (gaussian_volume checks valid_slice() at the spot-box radius)."""
+    (return_invalid=False) validity radius for that metric.
+    gaussian_volume checks valid_slice() at the spot-box radius; the
+    reference's sigmas metric ignores valid_slice entirely (it always
+    returns a value), so it imposes no window constraint — radius 0 is
+    implied by the interpolation box check."""
     return {"mexican_hat": mexican_hat_radius, "simple": 2,
-            "maximum": 5, "gaussian_volume": 2}[method]
+            "maximum": 5, "gaussian_volume": 2, "sigmas": 0}[method]
 
 
 def _photometry_kernel(method, radius, brim, top):
@@ -358,9 +365,9 @@ def run_experiment_stack(stack, offsets_h, offsets_w, spot_arrays,
             f"{FAST_PHOTOMETRY_METHODS}; {photometry_method!r} needs "
             "per-spot state or background models — use the experiment "
             "classes (pipeline.experiment) for it.")
-    if photometry_method == "gaussian_volume" and spot_values is None:
-        raise ValueError("gaussian_volume needs spot_values (the device "
-                         "step's per-spot photometry bucket)")
+    if photometry_method in _FIT_METRIC_DEFAULTS and spot_values is None:
+        raise ValueError(f"{photometry_method} needs spot_values (the "
+                         "device step's per-spot photometry bucket)")
     window_radius = _photometry_window_radius(photometry_method,
                                               photometry_radius)
     F, C, H, W = stack.shape
@@ -383,17 +390,18 @@ def run_experiment_stack(stack, offsets_h, offsets_w, spot_arrays,
     cats = np.concatenate(all_valid_cat)   # (Ttot, C)
     field_of = np.repeat(np.arange(F), field_sizes)
 
-    if photometry_method == "gaussian_volume":
+    if photometry_method in _FIT_METRIC_DEFAULTS:
         # No image access: detected frames take the device step's per-spot
-        # A*sigma_h*sigma_w value (looked up by the spot's integer center,
-        # unique per cycle after the psfs-dict dedup); interpolated frames
-        # have no gaussian_fit and take the reference's default of 0
-        # (spots.py:85-92 / flexlibrary.py:212-230).
+        # fit product (looked up by the spot's integer center, unique per
+        # cycle after the psfs-dict dedup); interpolated frames have no
+        # gaussian_fit and take the reference's fit-less default
+        # (spots.py:85-101 / flexlibrary.py:212-241).
         lookups = [[{(int(h), int(w)): float(v)
                      for h, w, v in zip(rhs[f][c], rws[f][c],
                                         spot_values[f][c])}
                     for c in range(C)] for f in range(F)]
-        phot = np.zeros((pos.shape[0], C), np.float64)
+        phot = np.full((pos.shape[0], C),
+                       _FIT_METRIC_DEFAULTS[photometry_method], np.float64)
         for t in range(pos.shape[0]):
             lk = lookups[field_of[t]]
             for c in range(C):

@@ -217,7 +217,8 @@ def test_fast_experiment_subpixel_offsets_match_class_path(seed, tmp_path):
     assert interpolated > 0  # the scenario actually interpolates holes
 
 
-@pytest.mark.parametrize("method", ["simple", "maximum", "gaussian_volume"])
+@pytest.mark.parametrize("method", ["simple", "maximum", "gaussian_volume",
+                                    "sigmas"])
 def test_run_experiment_photometry_methods(method):
     """Non-default metrics must match the class path too (each metric has
     its own square radius, hence its own window-validity rejection).
