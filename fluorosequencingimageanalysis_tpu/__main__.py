@@ -50,6 +50,10 @@ def _cmd_run_experiment(args):
     from .api import Pipeline
     from .config import PipelineConfig, PhotometryConfig
 
+    store = None
+    if args.store:
+        from .utils.checkpoint import ArtifactStore
+        store = ArtifactStore(args.store)
     stack, C = _load_stack(args.peptide_files)
     stacks = {"ch1": stack}
     if args.second_channel_files:
@@ -59,7 +63,7 @@ def _cmd_run_experiment(args):
         stacks["ch2"] = stack2
     config = PipelineConfig(
         photometry=PhotometryConfig(method=args.photometry_method))
-    pipe = Pipeline(config=config, profile=args.profile)
+    pipe = Pipeline(config=config, store=store, profile=args.profile)
     os.makedirs(args.output_dir, exist_ok=True)
     csv_path = os.path.join(args.output_dir, args.csv)
     category_csv_path = os.path.join(args.output_dir, args.category_csv)
@@ -136,6 +140,10 @@ def build_parser():
                     help="per-field category counts")
     pe.add_argument("--profile", action="store_true",
                     help="print per-stage wall-clock")
+    pe.add_argument("--store", default=None,
+                    help="artifact-store directory: detect-step results "
+                         "are content-hash cached there, so re-runs with "
+                         "unchanged inputs skip the device step")
     pe.set_defaults(func=_cmd_run_experiment)
 
     fc = sub.add_parser("fluor-counts",
