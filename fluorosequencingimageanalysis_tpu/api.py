@@ -158,6 +158,93 @@ class Pipeline:
                                              meta={"stage": "run_stack"})
         return compute()
 
+    def _stack_step_overlapped(self, stack, keys, max_candidates=None,
+                               max_spots=None, stack_key=None,
+                               group_fields=8):
+        """run_stack with the host->device upload split into field groups
+        so transfer overlaps compute: device_put(group k+1) is issued
+        right after the (async) step dispatch on group k, letting the
+        runtime DMA the next group while the current one computes — on a
+        bandwidth-limited link the wall clock drops from transfer+compute
+        to ~max(transfer, compute).
+
+        Returns (out, device_stack): ``out`` exactly as run_stack (host
+        arrays, sliced to the true field count, artifact-store-cached
+        under the SAME key as run_stack); ``device_stack`` is the
+        device-resident [F_padded, C, H, W] stack (fields padded up to a
+        group multiple at the END) for downstream stages to reuse, or
+        None on a store cache hit (no upload happened).
+        """
+        import jax
+        import jax.numpy as jnp
+        from .parallel.mesh import experiment_step_sharded, shard_fields
+
+        det = self.config.detect
+        reg = self.config.registration
+        phot = self.config.photometry
+        mc = max_candidates if max_candidates is not None \
+            else det.max_candidates
+        keys = tuple(keys) if keys is not None else None
+
+        key = None
+        if self.store is not None:
+            from .utils.checkpoint import content_key
+            if stack_key is None:
+                stack_key = content_key(np.asarray(stack))
+            key = content_key("run_stack", stack_key,
+                              self.config.asdict(), mc, max_spots,
+                              sorted(keys) if keys is not None else None)
+            if self.store.exists(key):
+                return self.store.load(key), None
+
+        if isinstance(stack, jax.Array):  # already uploaded: nothing to
+            out = self.run_stack(stack, max_candidates=max_candidates,  # overlap
+                                 max_spots=max_spots, keys=keys,
+                                 stack_key=stack_key)
+            return out, stack
+
+        with self._stage("api/run_stack"):
+            mesh = self.mesh
+            n_data = mesh.shape["data"]
+            F = stack.shape[0]
+            g = max(int(group_fields), n_data)
+            g += (-g) % n_data
+            step_kwargs = dict(
+                median_filter_size=det.median_filter_size, c_std=det.c_std,
+                r_2_threshold=det.r_2_threshold,
+                consolidation_radius=det.consolidation_radius,
+                max_candidates=mc, max_spots=max_spots,
+                num_iters=det.num_iters, theta_starts=det.theta_starts,
+                use_pallas=det.use_pallas,
+                upsample_factor=reg.upsample_factor,
+                photometry_method=phot.method,
+                photometry_radius=phot.radius,
+                photometry_brim=phot.brim_size,
+                photometry_min=phot.photometry_min)
+            devs, outs = [], []
+            with mesh:
+                for lo in range(0, F, g):
+                    hi = min(lo + g, F)
+                    grp = stack[lo:hi]
+                    if hi - lo < g:  # pad the tail group (sliced off below)
+                        grp = np.concatenate(
+                            [grp, np.repeat(grp[-1:], g - (hi - lo),
+                                            axis=0)])
+                    x = shard_fields(grp, mesh)
+                    devs.append(x)
+                    outs.append(
+                        (experiment_step_sharded(x, mesh, **step_kwargs),
+                         hi - lo))
+            names = [k for k in outs[0][0]
+                     if keys is None or k in keys]
+            out = {k: np.concatenate([np.asarray(o[k])[:ga]
+                                      for o, ga in outs])
+                   for k in names}
+            dev_stack = devs[0] if len(devs) == 1 else jnp.concatenate(devs)
+        if key is not None:
+            self.store.save(key, out, meta={"stage": "run_stack"})
+        return out, dev_stack
+
     def run_experiment(self, stacks, csv_path=None, max_candidates=None,
                        max_spots=None, candidate_radius=2,
                        category_csv_path=None, category_csv_filtered=True,
@@ -205,8 +292,6 @@ class Pipeline:
         """
         import logging
 
-        import jax.numpy as jnp
-
         from .pipeline.fast_experiment import _spot_lists, \
             run_experiment_stack
 
@@ -228,8 +313,9 @@ class Pipeline:
         offsets_out = {}
         summary = {}
         for channel, stack in stacks.items():
-            # One host->device upload per channel; run_stack and the
-            # photometry stage share the device-resident buffer (raw
+            # Grouped async upload per channel: the device step runs on
+            # field group k while group k+1's transfer is in flight, and
+            # the photometry stage reuses the device-resident buffer (raw
             # integer camera dtypes stay integer — see _normalize_stack,
             # already applied above). The cache key (when a store is set)
             # hashes the host array BEFORE upload so nothing round-trips.
@@ -237,25 +323,20 @@ class Pipeline:
             if self.store is not None and isinstance(stack, np.ndarray):
                 from .utils.checkpoint import content_key
                 stack_key = content_key(stack)
-            stack = jnp.asarray(stack)
             F, C, H, W = stack.shape
-            # The fit-product metrics (gaussian_volume, sigmas) ride the
-            # device step's per-spot photometry bucket instead of an
-            # image kernel.
-            need_values = phot.method in ("gaussian_volume", "sigmas")
-            keys = ["offsets_h", "offsets_w", "spot_h", "spot_w",
-                    "spot_valid", "spot_cand_idx", "spot_overflow"]
-            if need_values:
-                keys.append("photometry")
-            out = self.run_stack(
-                stack, max_candidates=max_candidates, max_spots=max_spots,
-                stack_key=stack_key, keys=tuple(keys))
-            spot_values = None
-            if need_values:
-                rhs, rws, spot_values = _spot_lists(out, F, C, H, W,
-                                                    with_values=True)
-            else:
-                rhs, rws = _spot_lists(out, F, C, H, W)
+            # Every metric rides the device step's per-spot photometry
+            # bucket: fit products (gaussian_volume, sigmas) have no
+            # image kernel at all, and the image metrics reuse the
+            # bucket for detected frames so only interpolated holes
+            # dispatch patch gathers.
+            keys = ("offsets_h", "offsets_w", "spot_h", "spot_w",
+                    "spot_valid", "spot_cand_idx", "spot_overflow",
+                    "photometry")
+            out, dev_stack = self._stack_step_overlapped(
+                stack, keys, max_candidates=max_candidates,
+                max_spots=max_spots, stack_key=stack_key)
+            rhs, rws, spot_values = _spot_lists(out, F, C, H, W,
+                                                with_values=True)
             if out["spot_overflow"].any():
                 n_over = int(out["spot_overflow"].sum())
                 logging.getLogger(__name__).warning(
@@ -272,7 +353,8 @@ class Pipeline:
                 category_counts.setdefault(channel, {}).setdefault(f, {})
             with self._stage("api/run_experiment/track+photometry"):
                 per_field = run_experiment_stack(
-                    stack, out["offsets_h"], out["offsets_w"], (rhs, rws),
+                    dev_stack if dev_stack is not None else stack,
+                    out["offsets_h"], out["offsets_w"], (rhs, rws),
                     photometry_method=phot.method,
                     photometry_radius=phot.radius,
                     photometry_brim=phot.brim_size,

@@ -192,8 +192,19 @@ def experiment_step_sharded(stack, mesh, median_filter_size=5, c_std=2.0,
     else:
         r = {"mexican_hat": photometry_radius, "simple": 2,
              "maximum": 5}[photometry_method]
-        rch = jnp.clip(jnp.round(sh).astype(jnp.int32), r, H - r - 1)
-        rcw = jnp.clip(jnp.round(sw).astype(jnp.int32), r, W - r - 1)
+        # Py2 rounding (half away from zero), exact in float32: frac =
+        # x - floor(x) is computed exactly (Sterbenz), so the >= 0.5
+        # comparison matches the host's float64 py2_round of the same
+        # float32 center bit-for-bit. This keeps the bucket photometry
+        # measured at the SAME integer pixel the tracking layer assigns
+        # the spot (utils.rounding.py2_round of spot_h/spot_w), letting
+        # run_experiment reuse these values for detected frames instead
+        # of re-gathering patches (flexlibrary.py:90-101 spot identity).
+        fh, fw = jnp.floor(sh), jnp.floor(sw)
+        rh_f = fh + (sh - fh >= 0.5)
+        rw_f = fw + (sw - fw >= 0.5)
+        rch = jnp.clip(rh_f.astype(jnp.int32), r, H - r - 1)
+        rcw = jnp.clip(rw_f.astype(jnp.int32), r, W - r - 1)
 
         if photometry_method == "mexican_hat":
             def phot_one(img, hs, ws):

@@ -312,6 +312,51 @@ def _photometry_window_radius(method, mexican_hat_radius):
             "maximum": 5, "gaussian_volume": 2, "sigmas": 0}[method]
 
 
+def _lookup_spot_values(rhs, rws, vals, C, field_of, pos, cats, default):
+    """Present-frame values by vectorized key matching — no per-trace
+    Python dict probes (O(traces x cycles) host work at 1e5-trace scale).
+
+    Every present (trace, cycle) position IS some detected spot's
+    (rh, rw) key (tracking is built from exactly these arrays, and the
+    psfs-dict dedup makes the key unique per image), so a sorted
+    searchsorted over composite (image, rh, rw) keys resolves all of
+    them in one pass. Positions are shifted by 2^20 before packing so
+    quirk-kept spots with negative/out-of-frame coordinates still form
+    valid keys (flat rh*W+rw keys would alias).
+    """
+    SHIFT = np.int64(1 << 20)
+    M = np.int64(1 << 21)
+    F = len(rhs)
+    skeys, svals = [], []
+    for f in range(F):
+        for c in range(C):
+            rh = rhs[f][c]
+            if len(rh) == 0:
+                continue
+            key = ((np.int64(f * C + c) * M + (rh + SHIFT)) * M
+                   + (rws[f][c] + SHIFT))
+            skeys.append(key)
+            svals.append(np.asarray(vals[f][c], np.float64))
+    out = np.full(pos.shape[:2], default, np.float64)
+    if not skeys:
+        return out
+    skeys = np.concatenate(skeys)
+    svals = np.concatenate(svals)
+    order = np.argsort(skeys)
+    skeys, svals = skeys[order], svals[order]
+    img_of = (field_of[:, None] * C + np.arange(C)[None, :]).astype(np.int64)
+    qkey = ((img_of * M + (pos[:, :, 0] + SHIFT)) * M
+            + (pos[:, :, 1] + SHIFT))
+    qi = np.clip(np.searchsorted(skeys, qkey), 0, len(skeys) - 1)
+    hit = cats & (skeys[qi] == qkey)
+    if not np.array_equal(hit, cats):  # every present position must match
+        raise AssertionError("present trace position missing from the "
+                             "spot bucket — spot_values misaligned with "
+                             "spot_arrays")
+    out[hit] = svals[qi][hit]
+    return out
+
+
 def _photometry_kernel(method, radius, brim, top):
     import jax
     import jax.numpy as jnp
@@ -351,9 +396,14 @@ def run_experiment_stack(stack, offsets_h, offsets_w, spot_arrays,
 
     stack: (F, C, H, W) numpy array OR device-resident jax.Array (the
     latter avoids re-uploading a stack run_stack already placed on
-    device); offsets_h/w: (F, C); spot_arrays from _spot_lists;
-    spot_values: per-spot metric values aligned with spot_arrays
-    (required for gaussian_volume — the device step's per-spot bucket).
+    device; the fields axis may be PADDED beyond the real field count —
+    field indices come from spot_arrays); offsets_h/w: (F, C);
+    spot_arrays from _spot_lists; spot_values: per-spot metric values
+    aligned with spot_arrays. For the fit-product metrics
+    (gaussian_volume, sigmas) it is required; for the image metrics it
+    is the device step's already-measured photometry at each detected
+    spot, reused for present frames so only interpolated holes dispatch
+    patch gathers (without it, every position is gathered).
     Returns a list of per-field row lists, each row (category, h0, w0,
     photometries (C,)) in reference order.
     """
@@ -370,8 +420,10 @@ def run_experiment_stack(stack, offsets_h, offsets_w, spot_arrays,
                          "device step's per-spot photometry bucket)")
     window_radius = _photometry_window_radius(photometry_method,
                                               photometry_radius)
-    F, C, H, W = stack.shape
     rhs, rws = spot_arrays
+    F = len(rhs)
+    C = len(rhs[0]) if F else 0
+    H, W = stack.shape[2], stack.shape[3]
     all_pos, all_valid_cat, field_sizes = [], [], []
     for f in range(F):
         offs = [(float(offsets_h[f, c]), float(offsets_w[f, c]))
@@ -392,32 +444,51 @@ def run_experiment_stack(stack, offsets_h, offsets_w, spot_arrays,
 
     if photometry_method in _FIT_METRIC_DEFAULTS:
         # No image access: detected frames take the device step's per-spot
-        # fit product (looked up by the spot's integer center, unique per
-        # cycle after the psfs-dict dedup); interpolated frames have no
-        # gaussian_fit and take the reference's fit-less default
-        # (spots.py:85-101 / flexlibrary.py:212-241).
-        lookups = [[{(int(h), int(w)): float(v)
-                     for h, w, v in zip(rhs[f][c], rws[f][c],
-                                        spot_values[f][c])}
-                    for c in range(C)] for f in range(F)]
-        phot = np.full((pos.shape[0], C),
-                       _FIT_METRIC_DEFAULTS[photometry_method], np.float64)
-        for t in range(pos.shape[0]):
-            lk = lookups[field_of[t]]
-            for c in range(C):
-                if cats[t, c]:
-                    phot[t, c] = lk[c][(int(pos[t, c, 0]),
-                                        int(pos[t, c, 1]))]
+        # fit product; interpolated frames have no gaussian_fit and take
+        # the reference's fit-less default (spots.py:85-101 /
+        # flexlibrary.py:212-241).
+        phot = _lookup_spot_values(
+            rhs, rws, spot_values, C, field_of, pos, cats,
+            _FIT_METRIC_DEFAULTS[photometry_method])
         return _rows_by_field(pos, cats, phot, field_sizes, F)
 
-    # One chunked device kernel over every (trace, cycle) position.
-    # jnp.asarray is a no-op for an already-device stack.
-    imgs = jnp.asarray(stack).reshape(F * C, H, W)
+    if spot_values is not None:
+        # Detected frames reuse the device step's photometry (measured at
+        # the same Py2-rounded center with the same kernel — bit-equal to
+        # a re-gather); only interpolated holes touch the images.
+        phot = _lookup_spot_values(rhs, rws, spot_values, C, field_of,
+                                   pos, cats, np.nan)
+        hole_t, hole_c = np.nonzero(~cats)
+        if hole_t.size:
+            img_id = field_of[hole_t] * C + hole_c
+            hs = pos[hole_t, hole_c, 0]
+            ws = pos[hole_t, hole_c, 1]
+            phot[hole_t, hole_c] = _dispatch_photometry(
+                stack, img_id, hs, ws, photometry_method, window_radius,
+                photometry_brim, photometry_top, chunk)
+        return _rows_by_field(pos, cats, phot, field_sizes, F)
+
+    # No per-spot bucket provided: one chunked device kernel over every
+    # (trace, cycle) position.
     img_id = (field_of[:, None] * C + np.arange(C)[None, :]).reshape(-1)
     hs = pos[:, :, 0].reshape(-1)
     ws = pos[:, :, 1].reshape(-1)
-    kern = _get_photometry_kernel(photometry_method, window_radius,
-                                  photometry_brim, photometry_top)
+    phot = _dispatch_photometry(stack, img_id, hs, ws, photometry_method,
+                                window_radius, photometry_brim,
+                                photometry_top, chunk).reshape(-1, C)
+    return _rows_by_field(pos, cats, phot, field_sizes, F)
+
+
+def _dispatch_photometry(stack, img_id, hs, ws, method, window_radius,
+                         brim, top, chunk):
+    """Chunked device photometry at (img_id, hs, ws) positions over the
+    [F, C, H, W] stack (device-resident or host). Returns (B,) float64."""
+    import jax.numpy as jnp
+
+    # jnp.asarray is a no-op for an already-device stack.
+    Fp, C, H, W = stack.shape
+    imgs = jnp.asarray(stack).reshape(Fp * C, H, W)
+    kern = _get_photometry_kernel(method, window_radius, brim, top)
     B = hs.shape[0]
     phot = np.empty(B, np.float64)
     # Queue every chunk before fetching any result: JAX dispatch is async,
@@ -440,8 +511,7 @@ def run_experiment_stack(stack, offsets_h, offsets_w, spot_arrays,
             jnp.asarray(hh, jnp.int32), jnp.asarray(ww, jnp.int32))))
     for lo, hi, dev in pending:
         phot[lo:hi] = np.asarray(dev)[:hi - lo]
-    phot = phot.reshape(-1, C)
-    return _rows_by_field(pos, cats, phot, field_sizes, F)
+    return phot
 
 
 def _rows_by_field(pos, cats, phot, field_sizes, F):
