@@ -217,7 +217,11 @@ class Pipeline:
                 num_iters=det.num_iters, theta_starts=det.theta_starts,
                 use_pallas=det.use_pallas,
                 upsample_factor=reg.upsample_factor,
-                photometry_method=phot.method,
+                # sextractor photometry happens host-side on background-
+                # subtracted images; fill the device bucket with the
+                # (free) sigmas fit product instead of raising.
+                photometry_method=(phot.method if phot.method !=
+                                   "sextractor" else "sigmas"),
                 photometry_radius=phot.radius,
                 photometry_brim=phot.brim_size,
                 photometry_min=phot.photometry_min)
@@ -248,7 +252,8 @@ class Pipeline:
     def run_experiment(self, stacks, csv_path=None, max_candidates=None,
                        max_spots=None, candidate_radius=2,
                        category_csv_path=None, category_csv_filtered=True,
-                       category_csv_collate_fields=False):
+                       category_csv_collate_fields=False, mdma=False,
+                       remainder_threshold=None, remainder_channels=None):
         """The flagship workflow, one call: align + detect/fit + track +
         interpolate + categorize + track-photometries CSV.
 
@@ -263,6 +268,23 @@ class Pipeline:
                 ``Pattern[,Field],Channel,Count`` category-counts CSV
                 (flexlibrary.py:2948-3024; filtered keeps only one-drop
                 monotone patterns, like basic_experiment_script).
+            mdma: apply multiplicative-delta-median adjustments — the
+                per-frame photometric drift factors Af derived from each
+                field's persistent remainders (all-frames-ON traces),
+                I_adj = I * (1 - Af). Same math, same remainder set
+                (post-discard valid traces), and same application point
+                (every row, remainders included, interpolated defaults
+                included) as SequenceExperiment.
+                multiplicative_delta_median_adjustments +
+                mdma_adjustment fed to track_photometries_as_csv
+                (flexlibrary.py:2131-2212).
+            remainder_threshold: if set, QC-mask fields whose remainder
+                count falls below it in any of ``remainder_channels``
+                (default: all channels) — remainder_threshold_fields
+                semantics (flexlibrary.py:3231-3263, min_remainders=5
+                there). Masked fields keep their category_counts but
+                their rows are dropped from ``rows`` and the CSV, like
+                track_photometries_as_csv(ignore_invalid_fields=True).
 
         Returns a dict:
             rows: list of (channel, field, h, w, category, photometries)
@@ -281,14 +303,20 @@ class Pipeline:
                 Spots to the frames (flexlibrary.py:1931-1944) — a
                 path-dependent accumulation artifact this redesigned
                 surface deliberately does not reproduce.
+            remainder_counts: {channel: [per-field remainder count]}
+            mdma_adjustments: {channel: {field: (Af per frame)}} when
+                ``mdma`` (else None)
+            invalid_fields_mask: per-field QC mask when
+                ``remainder_threshold`` is set (else None)
             csv_path: echo of the written file (or None)
 
         Equality with the class-based path (SequenceExperiment ->
         MultifieldMultichannelSequenceExperiment.track_photometries_as_csv)
         is proven row-by-row in tests/test_fast_experiment.py. The
-        photometry method comes from config.photometry.method (mexican_hat,
-        simple, maximum, gaussian_volume, or sigmas — sextractor and MDMA /
-        adjustment_function workflows still go through the classes).
+        photometry method comes from config.photometry.method: mexican_hat,
+        simple, maximum, gaussian_volume, sigmas, or sextractor (the
+        aperture/background parameters ride config.photometry's
+        aperture_radius/box_size/filter_size).
         """
         import logging
 
@@ -307,11 +335,19 @@ class Pipeline:
             raise ValueError("every channel must have the same cycle "
                              f"count (got {sorted(cycle_counts)})")
         n_cycles = cycle_counts.pop()
+        if remainder_threshold is not None:
+            field_counts = {s.shape[0] for s in stacks.values()}
+            if len(field_counts) != 1:
+                raise ValueError(
+                    "remainder_threshold needs one field count across "
+                    f"channels (got {sorted(field_counts)})")
         phot = self.config.photometry
         rows = []
         category_counts = {}
         offsets_out = {}
         summary = {}
+        remainder_counts = {}
+        mdma_adjustments = {}
         for channel, stack in stacks.items():
             # Grouped async upload per channel: the device step runs on
             # field group k while group k+1's transfer is in flight, and
@@ -352,14 +388,46 @@ class Pipeline:
             for f in range(F):
                 category_counts.setdefault(channel, {}).setdefault(f, {})
             with self._stage("api/run_experiment/track+photometry"):
+                # sextractor measures on host (background-subtracted
+                # images) — hand it the host stack so nothing downloads.
+                host_phot = phot.method == "sextractor"
                 per_field = run_experiment_stack(
-                    dev_stack if dev_stack is not None else stack,
+                    stack if host_phot or dev_stack is None else dev_stack,
                     out["offsets_h"], out["offsets_w"], (rhs, rws),
                     photometry_method=phot.method,
                     photometry_radius=phot.radius,
                     photometry_brim=phot.brim_size,
                     candidate_radius=candidate_radius,
-                    spot_values=spot_values)
+                    spot_values=None if host_phot else spot_values,
+                    aperture_radius=phot.aperture_radius,
+                    box_size=phot.box_size,
+                    filter_size=phot.filter_size)
+                # Persistent remainders per field: all-frames-ON valid
+                # traces (count_remainders over post-discard spot_traces).
+                remainder_counts[channel] = [
+                    sum(1 for (cat, _, _, _) in field_rows if all(cat))
+                    for field_rows in per_field]
+                if mdma:
+                    adjs = {}
+                    for f, field_rows in enumerate(per_field):
+                        rem = [ph for (cat, _, _, ph) in field_rows
+                               if all(cat)]
+                        if rem:
+                            # Per-remainder: (I_f - median_f(I)) / median;
+                            # per-frame: median of those ratios —
+                            # flexlibrary.py:2188-2198.
+                            rr = np.stack([(np.asarray(ph, np.float64)
+                                            - np.median(ph)) / np.median(ph)
+                                           for ph in rem])
+                            af = np.median(rr, axis=0)
+                        else:
+                            af = np.zeros(n_cycles)
+                        adjs[f] = tuple(float(a) for a in af)
+                        per_field[f] = [
+                            (cat, h0, w0, np.asarray(ph, np.float64)
+                             * (1.0 - af))
+                            for (cat, h0, w0, ph) in field_rows]
+                    mdma_adjustments[channel] = adjs
                 n_traces = n_singletons = 0
                 for f, field_rows in enumerate(per_field):
                     for (cat, h0, w0, ph) in field_rows:
@@ -375,6 +443,17 @@ class Pipeline:
                     "trace_count": n_traces,
                     "singleton_count": n_singletons,
                 }
+        invalid_fields_mask = None
+        if remainder_threshold is not None:
+            n_fields = len(next(iter(remainder_counts.values())))
+            chans = (list(remainder_counts) if remainder_channels is None
+                     else [c for c in remainder_counts
+                           if c in remainder_channels])
+            invalid_fields_mask = [
+                not any(remainder_counts[c][f] < remainder_threshold
+                        for c in chans)
+                for f in range(n_fields)]
+            rows = [r for r in rows if invalid_fields_mask[r[1]]]
         filtered = {ch: {f: {cat: n for cat, n in d.items()
                              if tuple(sorted(cat, reverse=True)) == cat}
                          for f, d in by_f.items()}
@@ -398,6 +477,9 @@ class Pipeline:
         return {"rows": rows, "category_counts": category_counts,
                 "filtered_category_counts": filtered,
                 "offsets": offsets_out, "summary": summary,
+                "remainder_counts": remainder_counts,
+                "mdma_adjustments": mdma_adjustments if mdma else None,
+                "invalid_fields_mask": invalid_fields_mask,
                 "csv_path": csv_path,
                 "category_csv_path": category_csv_path}
 

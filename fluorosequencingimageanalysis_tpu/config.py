@@ -61,11 +61,16 @@ class RegistrationConfig:
 
 @dataclass(frozen=True)
 class PhotometryConfig:
-    """Spot photometry (flexlibrary.py:172-210 defaults)."""
+    """Spot photometry (flexlibrary.py:172-210 defaults; the sextractor
+    trio mirrors sextractor_photometry_metric's radius/box_size/
+    filter_size, flexlibrary.py:243-262)."""
     method: str = "mexican_hat"
     radius: int = 9
     brim_size: int = 6
     photometry_min: float | None = None
+    aperture_radius: float = 3
+    box_size: int = 10
+    filter_size: int = 10
 
     from_cli = classmethod(_from_cli)
 

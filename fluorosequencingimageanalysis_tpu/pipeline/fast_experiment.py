@@ -292,22 +292,29 @@ def _fill_traces(pos, present, cum, frame_shape, spot_radius=2,
 # gaussian_volume and sigmas are pure fit-parameter products the device
 # step already computed per detected spot (interpolated spots have no fit
 # and take the reference's fit-less defaults: 0 for gaussian_volume,
-# -1e9 for sigmas — spots.py:85-101). sextractor needs per-image
-# background models and goes through the class path.
+# -1e9 for sigmas — spots.py:85-101). sextractor measures circular-
+# aperture sums over per-image SExtractor background subtractions
+# (flexlibrary.py:243-262) — a vectorized host pass per image here.
 FAST_PHOTOMETRY_METHODS = ("mexican_hat", "simple", "maximum",
-                           "gaussian_volume", "sigmas")
+                           "gaussian_volume", "sigmas", "sextractor")
 
 # Fit-less (interpolated-frame) defaults for the fit-product metrics.
 _FIT_METRIC_DEFAULTS = {"gaussian_volume": 0.0, "sigmas": -1e9}
 
 
-def _photometry_window_radius(method, mexican_hat_radius):
+def _photometry_window_radius(method, mexican_hat_radius,
+                              aperture_radius=3):
     """The metric's square radius — also the trace_to_photometry
     (return_invalid=False) validity radius for that metric.
     gaussian_volume checks valid_slice() at the spot-box radius; the
     reference's sigmas metric ignores valid_slice entirely (it always
     returns a value), so it imposes no window constraint — radius 0 is
-    implied by the interpolation box check."""
+    implied by the interpolation box check. sextractor checks
+    valid_slice at its aperture radius (flexlibrary.py:250-251); the
+    aperture itself truncates at frame edges (photutils semantics), so
+    no wider constraint applies."""
+    if method == "sextractor":
+        return int(np.ceil(aperture_radius))
     return {"mexican_hat": mexican_hat_radius, "simple": 2,
             "maximum": 5, "gaussian_volume": 2, "sigmas": 0}[method]
 
@@ -391,7 +398,8 @@ def run_experiment_stack(stack, offsets_h, offsets_w, spot_arrays,
                          photometry_radius=9, photometry_brim=6,
                          photometry_top=1,
                          candidate_radius=2, chunk=65536,
-                         spot_values=None):
+                         spot_values=None, aperture_radius=3,
+                         box_size=10, filter_size=10):
     """All fields: tracking -> fill-in -> validity -> batched photometry.
 
     stack: (F, C, H, W) numpy array OR device-resident jax.Array (the
@@ -419,7 +427,8 @@ def run_experiment_stack(stack, offsets_h, offsets_w, spot_arrays,
         raise ValueError(f"{photometry_method} needs spot_values (the "
                          "device step's per-spot photometry bucket)")
     window_radius = _photometry_window_radius(photometry_method,
-                                              photometry_radius)
+                                              photometry_radius,
+                                              aperture_radius)
     rhs, rws = spot_arrays
     F = len(rhs)
     C = len(rhs[0]) if F else 0
@@ -441,6 +450,39 @@ def run_experiment_stack(stack, offsets_h, offsets_w, spot_arrays,
     pos = np.concatenate(all_pos)          # (Ttot, C, 2)
     cats = np.concatenate(all_valid_cat)   # (Ttot, C)
     field_of = np.repeat(np.arange(F), field_sizes)
+
+    if photometry_method == "sextractor":
+        # Host-vectorized per image: SExtractor background subtraction,
+        # then ALL of the image's trace positions measured as one
+        # windowed dot product with the exact circular-overlap kernel
+        # (spots._aperture_fracs; flexlibrary.py:243-262 semantics, edge
+        # truncation included via zero padding — outside pixels
+        # contribute nothing to an aperture sum either way).
+        from .spots import _aperture_fracs, _mesh_background
+
+        stack_np = np.asarray(stack)
+        fr = _aperture_fracs(aperture_radius)
+        r_int = (fr.shape[0] - 1) // 2
+        dd = np.arange(-r_int, r_int + 1)
+        phot = np.empty((pos.shape[0], C), np.float64)
+        start = 0
+        for f in range(F):
+            stop = start + field_sizes[f]
+            if stop == start:
+                continue
+            p = pos[start:stop]                       # (n, C, 2)
+            for c in range(C):
+                data = (stack_np[f, c].astype(np.float64)
+                        - _mesh_background(stack_np[f, c], box_size,
+                                           filter_size))
+                padded = np.pad(data, r_int)
+                hs = p[:, c, 0] + r_int
+                ws = p[:, c, 1] + r_int
+                wins = padded[hs[:, None, None] + dd[None, :, None],
+                              ws[:, None, None] + dd[None, None, :]]
+                phot[start:stop, c] = np.einsum("nij,ij->n", wins, fr)
+            start = stop
+        return _rows_by_field(pos, cats, phot, field_sizes, F)
 
     if photometry_method in _FIT_METRIC_DEFAULTS:
         # No image access: detected frames take the device step's per-spot

@@ -1,0 +1,78 @@
+"""Independent SCALAR implementation of the photutils-style SExtractor
+background spec, for differential testing of the vectorized production
+stand-in (fluorosequencingimageanalysis_tpu.pipeline.spots._mesh_background).
+
+The spec (what /root/reference/flexlibrary.py:457-470 gets from
+photutils.background.Background(method='sextractor'), modern photutils'
+Background2D + SigmaClip(3, 10) + SExtractorBackground +
+BkgZoomInterpolator):
+
+  1. pad the image to a box_size multiple by edge replication,
+  2. per box: median-centered 3-sigma clip (population std, <= 10
+     iterations or until no value is rejected),
+  3. per box: mode = 2.5*median - 1.5*mean of the clipped values; the
+     median if |mean - median| > 0.3*std (crowded); the mean if std == 0,
+  4. median-filter the low-resolution mesh (filter_size, 'reflect'),
+  5. cubic-spline zoom with box centers as knots (order 3, 'reflect',
+     grid_mode=True), cropped to the original shape.
+
+photutils itself is not installable in this environment (and the
+reference's photutils release is a Py2-era API that predates PyPI
+wheels), so steps 2-3 — the parts where vectorization can silently go
+wrong — are re-derived here as per-box Python loops over value lists;
+steps 4-5 are the same scipy library calls in both implementations (no
+independent information, kept for end-to-end comparability). Deviations
+from any particular photutils release are documented in PARITY.md.
+"""
+
+import numpy as np
+from scipy.ndimage import median_filter, zoom
+
+
+def clip_box_scalar(values, sigma=3.0, maxiters=10):
+    """Scalar sigma clip of one box: list in, kept-values list out."""
+    vals = [float(v) for v in values]
+    for _ in range(maxiters):
+        med = float(np.median(vals))
+        std = float(np.std(vals))
+        kept = [v for v in vals
+                if med - sigma * std <= v <= med + sigma * std]
+        if len(kept) == len(vals):
+            break
+        vals = kept
+    return vals
+
+
+def sextractor_mode_scalar(values):
+    """Scalar SExtractor mode estimator of one clipped box."""
+    med = float(np.median(values))
+    mean = float(np.mean(values))
+    std = float(np.std(values))
+    if std == 0:
+        return mean
+    if abs(mean - med) > 0.3 * std:
+        return med
+    return 2.5 * med - 1.5 * mean
+
+
+def background_oracle(image, box_size=10, filter_size=10):
+    image = np.asarray(image, dtype=np.float64)
+    H, W = image.shape
+    nh = max(1, int(np.ceil(H / box_size)))
+    nw = max(1, int(np.ceil(W / box_size)))
+    padded = np.pad(image, ((0, nh * box_size - H), (0, nw * box_size - W)),
+                    mode="edge")
+    mesh = np.zeros((nh, nw))
+    for i in range(nh):
+        for j in range(nw):
+            box = padded[i * box_size:(i + 1) * box_size,
+                         j * box_size:(j + 1) * box_size].ravel()
+            mesh[i, j] = sextractor_mode_scalar(clip_box_scalar(box))
+    k = min(filter_size, nh, nw)
+    if k > 1:
+        mesh = median_filter(mesh, size=k)
+    if nh == 1 and nw == 1:
+        return np.full((H, W), mesh[0, 0])
+    up = zoom(mesh, box_size, order=min(3, min(nh, nw) - 1),
+              mode="reflect", grid_mode=True)
+    return up[:H, :W]

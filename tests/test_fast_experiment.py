@@ -218,7 +218,7 @@ def test_fast_experiment_subpixel_offsets_match_class_path(seed, tmp_path):
 
 
 @pytest.mark.parametrize("method", ["simple", "maximum", "gaussian_volume",
-                                    "sigmas"])
+                                    "sigmas", "sextractor"])
 def test_run_experiment_photometry_methods(method):
     """Non-default metrics must match the class path too (each metric has
     its own square radius, hence its own window-validity rejection).
@@ -244,15 +244,15 @@ def test_run_experiment_photometry_methods(method):
                                    err_msg=f"row {i}")
 
 
-def test_run_experiment_rejects_fit_param_methods():
-    from fluorosequencingimageanalysis_tpu.config import (
-        PipelineConfig, PhotometryConfig)
+def test_run_experiment_rejects_unknown_methods():
+    from fluorosequencingimageanalysis_tpu.pipeline.fast_experiment import (
+        run_experiment_stack)
 
     stack = make_stack(F=1, C=3, seed=6, n_spots=6)
-    pipe = Pipeline(PipelineConfig(
-        photometry=PhotometryConfig(method="sextractor")))
-    with pytest.raises(ValueError, match="sextractor"):
-        pipe.run_experiment(stack, max_candidates=256, max_spots=64)
+    rhs = [[np.zeros(0, np.int64)] * 3]
+    with pytest.raises(ValueError, match="no_such_metric"):
+        run_experiment_stack(stack, np.zeros((1, 3)), np.zeros((1, 3)),
+                             (rhs, rhs), photometry_method="no_such_metric")
 
 
 def test_run_experiment_csv_and_counts(tmp_path):
