@@ -71,7 +71,8 @@ def _cmd_run_experiment(args):
         stacks, csv_path=csv_path, category_csv_path=category_csv_path,
         category_csv_filtered=not args.all_categories,
         category_csv_collate_fields=args.collate_fields,
-        max_candidates=args.max_candidates, max_spots=args.max_spots)
+        max_candidates=args.max_candidates, max_spots=args.max_spots,
+        mdma=args.mdma, remainder_threshold=args.remainder_threshold)
     if args.offsets_pkl:
         with open(os.path.join(args.output_dir, args.offsets_pkl),
                   "wb") as fh:
@@ -94,15 +95,86 @@ def _cmd_fluor_counts(args):
     from .api import Pipeline
 
     pipe = Pipeline()
-    signals, total, none_count, fit_info = pipe.fluor_counts(
-        args.tracks_csv, beta=args.beta, beta_sigma=args.beta_sigma,
-        alpha_adjust=args.alpha_adjust)
+    if args.auto_calibrate:
+        signals, total, none_count, fit_info, calibration = \
+            pipe.fluor_counts_calibrated(
+                args.tracks_csv, channel=args.channel, beta=args.beta,
+                beta_sigma=args.beta_sigma, truncate=args.truncate,
+                ddif=args.ddif, max_possible=args.max_possible,
+                allow_multidrop=not args.no_multidrop,
+                adjustment=not args.no_adjustment)
+    else:
+        if args.beta is None:
+            raise SystemExit("--beta is required without --auto-calibrate")
+        calibration = None
+        signals, total, none_count, fit_info = pipe.fluor_counts(
+            args.tracks_csv, beta=args.beta, beta_sigma=args.beta_sigma,
+            alpha_adjust=args.alpha_adjust)
     if args.signals_pkl:
         with open(args.signals_pkl, "wb") as fh:
             pickle.dump(signals, fh)
     print(json.dumps({"traces": total, "none": none_count,
                       "distinct_signals": len(signals),
+                      "calibration": calibration,
                       "signals_pkl": args.signals_pkl}, default=str))
+    return 0
+
+
+def _cmd_timetrace(args):
+    from .api import Pipeline
+    from .config import PipelineConfig, PhotometryConfig
+    from .utils.imageio import read_image_array
+
+    movie = np.stack([read_image_array(p) for p in args.frames])
+    config = PipelineConfig(
+        photometry=PhotometryConfig(method=args.photometry_method))
+    pipe = Pipeline(config=config, profile=args.profile)
+    os.makedirs(args.output_dir, exist_ok=True)
+    csv_path = os.path.join(args.output_dir, args.csv)
+    out = pipe.run_timetrace(
+        movie, csv_path=csv_path, search_radius=args.search_radius,
+        s_n_cutoff=args.sn_cutoff, max_candidates=args.max_candidates,
+        photometry_min=args.photometry_minimum,
+        mirror_start=args.mirror_start, chung_kennedy=args.chung_kennedy,
+        p_threshold=args.p_threshold)
+    summary = {"frames": int(movie.shape[0]),
+               "traces": out["trace_count"], "csv": csv_path}
+    if args.profile:
+        from .utils import profiling
+        summary["stages_sec"] = {k: round(v["total"], 3)
+                                 for k, v in profiling.timings().items()}
+    print(json.dumps(summary, default=str))
+    return 0
+
+
+def _cmd_simulate(args):
+    import math
+
+    from .sim.dye_sim import peptide_simulation_batched
+
+    results = peptide_simulation_batched(
+        args.sequence, args.labels, num_mocks=args.num_mocks,
+        num_edmans=args.num_edmans, num_simulations=args.num_sims,
+        seed=args.seed, beta=args.fluor_intensity,
+        beta_sigma=args.beta_sigma, ddif=args.ddif,
+        p=args.edman_efficiency,
+        b=-math.log(1.0 - args.dye_destruction),
+        u=args.dud_dyes,
+        s=args.surface_degradation_1,
+        sc=args.surface_degradation_1_num_cycles,
+        s2=args.surface_degradation_2)
+    decrement_counts = {}
+    for decrements, _, _, _ in results:
+        decrement_counts[decrements] = decrement_counts.get(decrements,
+                                                            0) + 1
+    if args.results_pkl:
+        with open(args.results_pkl, "wb") as fh:
+            pickle.dump(results, fh)
+    top = sorted(decrement_counts.items(), key=lambda kv: -kv[1])[:20]
+    print(json.dumps({"simulations": args.num_sims,
+                      "distinct_patterns": len(decrement_counts),
+                      "top_patterns": [[str(k), v] for k, v in top],
+                      "results_pkl": args.results_pkl}, default=str))
     return 0
 
 
@@ -130,9 +202,17 @@ def build_parser():
     pe.add_argument("--offsets-pkl", default=None,
                     help="also dump per-channel offsets to this pkl")
     pe.add_argument("--photometry-method", default="mexican_hat",
-                    choices=["mexican_hat", "simple", "maximum"])
+                    choices=["mexican_hat", "simple", "maximum",
+                             "gaussian_volume", "sigmas", "sextractor"])
     pe.add_argument("--max-candidates", type=int, default=None)
     pe.add_argument("--max-spots", type=int, default=None)
+    pe.add_argument("--mdma", action="store_true",
+                    help="apply multiplicative-delta-median photometric "
+                         "drift adjustments (flexlibrary MDMA)")
+    pe.add_argument("--remainder-threshold", type=int, default=None,
+                    help="QC-mask fields with fewer persistent remainders "
+                         "than this in any channel "
+                         "(remainder_threshold_fields semantics)")
     pe.add_argument("--all-categories", action="store_true",
                     help="category CSV keeps every pattern (default: "
                          "one-drop monotone only, like the reference)")
@@ -149,12 +229,84 @@ def build_parser():
     fc = sub.add_parser("fluor-counts",
                         help="v8 lognormal fluor counting from a track CSV")
     fc.add_argument("tracks_csv")
-    fc.add_argument("--beta", type=float, required=True)
-    fc.add_argument("--beta-sigma", type=float, required=True)
-    fc.add_argument("--alpha-adjust", type=float, default=0.0)
+    fc.add_argument("--auto-calibrate", action="store_true",
+                    help="derive alpha via the histogram mode-separation "
+                         "method and beta/beta_sigma via last-drop v2, "
+                         "with an ON/OFF re-adjustment pass — the "
+                         "lognormal_fitter_v2 flow")
+    fc.add_argument("--beta", type=float, default=None,
+                    help="lognormal intensity scale; required without "
+                         "--auto-calibrate, pins beta with it")
+    fc.add_argument("--beta-sigma", type=float, default=0.2)
+    fc.add_argument("--alpha-adjust", type=float, default=0.0,
+                    help="(manual mode) subtract this zero level")
+    fc.add_argument("--channel", default="ch1",
+                    help="(auto-calibrate) channel to read from the CSV")
+    fc.add_argument("--truncate", type=int, default=0,
+                    help="(auto-calibrate) head-truncate cycles for the "
+                         "last-drop beta estimate")
+    fc.add_argument("--ddif", type=float, default=0.0,
+                    help="(auto-calibrate) dye-dye interaction quench "
+                         "factor")
+    fc.add_argument("--max-possible", type=int, default=5)
+    fc.add_argument("--no-multidrop", action="store_true")
+    fc.add_argument("--no-adjustment", action="store_true",
+                    help="(auto-calibrate) skip the ON/OFF re-adjustment "
+                         "pass")
     fc.add_argument("--signals-pkl", default=None,
                     help="dump the signals dict to this pkl")
     fc.set_defaults(func=_cmd_fluor_counts)
+
+    tt = sub.add_parser(
+        "timetrace",
+        help="movie workflow: detect + LC tracking + step fits + CSV")
+    tt.add_argument("--frames", nargs="+", required=True,
+                    help="movie frame image files, in order")
+    tt.add_argument("--output-dir", default=".")
+    tt.add_argument("--csv", default="timetrace.csv",
+                    help="timetrace CSV filename")
+    tt.add_argument("--photometry-method", default="mexican_hat",
+                    choices=["mexican_hat", "simple", "maximum",
+                             "gaussian_volume", "sigmas", "sextractor"])
+    tt.add_argument("--search-radius", type=int, default=3,
+                    help="luminosity-centroid search radius")
+    tt.add_argument("--sn-cutoff", type=float, default=3.0,
+                    help="Illumina S/N gate for accepting a tracked spot")
+    tt.add_argument("--max-candidates", type=int, default=None)
+    tt.add_argument("--photometry-minimum", type=float, default=None)
+    tt.add_argument("--mirror-start", type=int, default=None,
+                    help="mirror this many frames before step fitting")
+    tt.add_argument("--chung-kennedy", type=int, default=None,
+                    help="number of Chung-Kennedy filter passes")
+    tt.add_argument("--p-threshold", type=float, default=None,
+                    help="t-test merge p threshold")
+    tt.add_argument("--profile", action="store_true")
+    tt.set_defaults(func=_cmd_timetrace)
+
+    sim = sub.add_parser(
+        "simulate",
+        help="batched Monte-Carlo peptide simulation (exact joint "
+             "multi-color dye sim)")
+    sim.add_argument("sequence", help="peptide amino-acid sequence")
+    sim.add_argument("labels", help="labeled amino acids, e.g. 'C' or 'CK'")
+    sim.add_argument("--num-mocks", type=int, default=4)
+    sim.add_argument("--num-edmans", type=int, default=8)
+    sim.add_argument("--num-sims", type=int, default=10000)
+    sim.add_argument("--seed", type=int, default=0)
+    sim.add_argument("--fluor-intensity", type=float, default=30000.0)
+    sim.add_argument("--beta-sigma", type=float, default=0.2)
+    sim.add_argument("--edman-efficiency", type=float, default=0.94)
+    sim.add_argument("--dye-destruction", type=float, default=0.05)
+    sim.add_argument("--dud-dyes", type=float, default=0.3)
+    sim.add_argument("--surface-degradation-1", type=float, default=0.0)
+    sim.add_argument("--surface-degradation-1-num-cycles", type=int,
+                     default=0)
+    sim.add_argument("--surface-degradation-2", type=float, default=0.0)
+    sim.add_argument("--ddif", type=float, default=None,
+                     help="dye-dye interaction quench factor")
+    sim.add_argument("--results-pkl", default=None,
+                     help="dump the per-molecule FluorEvent results pkl")
+    sim.set_defaults(func=_cmd_simulate)
     return parser
 
 

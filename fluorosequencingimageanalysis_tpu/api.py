@@ -483,6 +483,130 @@ class Pipeline:
                 "csv_path": csv_path,
                 "category_csv_path": category_csv_path}
 
+    def run_timetrace(self, movie, csv_path=None, search_radius=3,
+                      s_n_cutoff=3.0, max_candidates=None,
+                      photometry_min=None, mirror_start=None,
+                      chung_kennedy=None, p_threshold=None,
+                      include_step_fits=True, include_intermediates=True):
+        """The movie workflow, one call: first-frame detect -> batched
+        luminosity-centroid tracking (one lax.scan dispatch for the whole
+        movie) -> per-trace photometry -> batched step fitting -> the
+        timetrace CSV.
+
+        Semantics are basic_timetrace_script's (initial spots from the
+        device detector's psfs with their float centers; LC tracking per
+        flexlibrary.py:1172-1317; Trace.photometries zeros for None
+        frames; the mirror -> Chung-Kennedy -> sliding-t -> refit ->
+        t-merge chain per flexlibrary.py:3642-3713); CSV rows equal the
+        classes' TimetraceExperiment.save_experiment_as_csv — proven in
+        tests/test_fast_timetrace.py.
+
+        Arguments:
+            movie: [T, H, W] array — one continuously-filmed field.
+            csv_path: if given, write the Trace#/Hcoord/Wcoord/Frame#/
+                Photometry [...] CSV there (include_step_fits /
+                include_intermediates add the reference's step-fit and
+                intermediate columns).
+            search_radius / s_n_cutoff: LC tracking parameters
+                (flexlibrary lc_create_traces defaults).
+            photometry_min / mirror_start / chung_kennedy / p_threshold:
+                step-fit chain parameters; None means
+                config.stepfit's values.
+
+        Returns a dict: traces {h, w, present, rec_h, rec_w},
+        photometries (N, T), step_fits, step_fit_intermediates,
+        trace_count, csv_path.
+        """
+        from .models.detect import find_peptides
+        from .pipeline.fast_timetrace import lc_track, \
+            timetrace_photometries
+        from .pipeline.traces import PhotometryTrace, PlateauTrace
+        from .ops.stepfit_batch import stepfit_batched
+
+        sf = self.config.stepfit
+        phot = self.config.photometry
+        mirror_start = (sf.mirror_start if mirror_start is None
+                        else mirror_start)
+        chung_kennedy = (sf.chung_kennedy if chung_kennedy is None
+                         else chung_kennedy)
+        p_threshold = sf.p_threshold if p_threshold is None else p_threshold
+
+        movie = _normalize_stack(movie)
+        if movie.ndim != 3:
+            raise ValueError("movie must be [frames, H, W]")
+        import jax.numpy as jnp
+        movie_dev = jnp.asarray(movie)
+        with self._stage("api/run_timetrace/detect"):
+            det = self.config.detect
+            psfs = find_peptides(
+                np.asarray(movie[0]),
+                median_filter_size=det.median_filter_size, c_std=det.c_std,
+                r_2_threshold=det.r_2_threshold,
+                consolidation_radius=det.consolidation_radius,
+                max_candidates=(max_candidates if max_candidates is not None
+                                else det.max_candidates),
+                num_iters=det.num_iters)
+        if not psfs:
+            return {"traces": {"h": [], "w": [], "present": None,
+                               "rec_h": None, "rec_w": None},
+                    "photometries": np.zeros((0, movie.shape[0])),
+                    "step_fits": {}, "step_fit_intermediates": {},
+                    "trace_count": 0, "csv_path": None}
+        keys = list(psfs.keys())
+        h0 = np.array([k[0] for k in keys])
+        w0 = np.array([k[1] for k in keys])
+        fits = [psfs[k] for k in keys]
+        with self._stage("api/run_timetrace/track"):
+            rec_h, rec_w, present = lc_track(
+                movie_dev, h0, w0, search_radius=search_radius,
+                s_n_cutoff=s_n_cutoff)
+        with self._stage("api/run_timetrace/photometry"):
+            photometries = timetrace_photometries(
+                movie_dev, rec_h, rec_w, present, phot.method,
+                initial_fits=fits, photometry_radius=phot.radius,
+                photometry_brim=phot.brim_size,
+                photometry_min=photometry_min,
+                aperture_radius=phot.aperture_radius,
+                box_size=phot.box_size, filter_size=phot.filter_size)
+        with self._stage("api/run_timetrace/stepfit"):
+            results = stepfit_batched(photometries,
+                                      mirror_start=mirror_start,
+                                      chung_kennedy=chung_kennedy,
+                                      p_threshold=p_threshold,
+                                      mesh=self.mesh)
+        step_fits = {}
+        intermediates = {}
+        spot_traces = []
+        for i, (hh, ww) in enumerate(zip(h0, w0)):
+            hw = (hh, ww)
+            if hw in step_fits:
+                raise Exception("Two tracks have initial Spots with "
+                                "identical (h, w).")
+            phots, ck, plateaus, t_filtered = results[i]
+            step_fits[hw] = PlateauTrace(t_filtered, hh, ww)
+            intermediates[hw] = {
+                "photometries": PhotometryTrace(phots, hh, ww),
+                "ck_filtered_photometries": PhotometryTrace(ck, hh, ww),
+                "plateaus": PlateauTrace(plateaus, hh, ww),
+                "t_filtered_plateaus": PlateauTrace(t_filtered, hh, ww),
+            }
+            spot_traces.append(PhotometryTrace(
+                tuple(float(v) for v in photometries[i]), hh, ww))
+        if csv_path is not None:
+            from .pipeline.experiment import TimetraceExperiment
+            tte = TimetraceExperiment(
+                frames=[None] * movie.shape[0], spot_traces=spot_traces,
+                step_fits=step_fits, step_fit_intermediates=intermediates)
+            tte.save_experiment_as_csv(
+                csv_path, include_step_fits=include_step_fits,
+                include_intermediates=include_intermediates,
+                photometry_method=phot.method)
+        return {"traces": {"h": h0, "w": w0, "present": present,
+                           "rec_h": rec_h, "rec_w": rec_w},
+                "photometries": photometries, "step_fits": step_fits,
+                "step_fit_intermediates": intermediates,
+                "trace_count": len(spot_traces), "csv_path": csv_path}
+
     def run_files(self, paths_by_cycle, **kwargs):
         """Like run_stack, from image files: paths_by_cycle is a list (per
         cycle) of lists (per field) of image paths."""
@@ -548,6 +672,87 @@ class Pipeline:
                 max_deviation=(ln.max_deviation
                                if ln.max_deviation is not None else 3),
                 quench_factors=quench_factors, mesh=mesh)
+
+    def fluor_counts_calibrated(self, tracks, channel="ch1", beta=None,
+                                beta_sigma=0.2, truncate=0, ddif=0.0,
+                                max_possible=5, allow_multidrop=True,
+                                adjustment=True):
+        """Auto-calibrated v8 fluor counting: the lognormal_fitter_v2
+        flow (lognormal_fitter_v2.py:119-212 in the reference) on the
+        batched MXU scorer.
+
+        alpha comes from the first-two-mode histogram separation
+        (_get_m0Dm1[7]); beta/beta_sigma from the last-drop method v2 on
+        the truncated alpha-adjusted photometries; an optional ON/OFF
+        re-adjustment pass (grab_ON_OFFS -> ON_OFF_adjust_photometries)
+        recalibrates before the final fit. Passing ``beta`` pins it (the
+        reference's --beta override).
+
+        Returns (signals, total_count, none_count, all_fit_info,
+        calibration) where calibration = {alpha, beta, beta_sigma,
+        original_beta, original_beta_sigma}.
+        """
+        from collections import defaultdict
+
+        from .inference.calibration import _get_m0Dm1, last_drop_method_v2
+        from .inference.lognormal import photometries_lognormal_fit_v8
+        from .inference.photometries import (read_track_photometries_csv,
+                                             unwind_photometries)
+        from . import notebook as jd
+
+        with self._stage("api/fluor_counts_calibrated"):
+            if isinstance(tracks, str):
+                photometries, _ = read_track_photometries_csv(
+                    tracks, head_truncate=0, tail_truncate=0,
+                    downstep_filtered=True, channels=[channel])
+            else:
+                photometries = tracks
+            raw = tuple(i for (_, _, _, _, _, ints, _)
+                        in unwind_photometries(photometries)
+                        for i in ints)
+            alpha = _get_m0Dm1(raw_photometries=raw,
+                               optimal_bin_number=None)[7]
+            alpha_adjusted = defaultdict(dict)
+            truncated = defaultdict(dict)
+            for (ch, field, h, w, category, ints,
+                 row) in unwind_photometries(photometries):
+                adj = tuple(i - alpha for i in ints)
+                (alpha_adjusted[ch].setdefault(field, {})
+                 .setdefault((h, w), (category, adj, row)))
+                (truncated[ch].setdefault(field, {})
+                 .setdefault((h, w), (category[truncate:], ints[truncate:],
+                                      row)))
+            original_beta, original_bs = last_drop_method_v2(
+                photometries=dict(truncated))
+            if beta is not None:
+                original_beta = beta
+            quench = tuple([0.0] + [ddif] * (max_possible + 1))
+            first = photometries_lognormal_fit_v8(
+                dict(alpha_adjusted), original_beta, beta_sigma,
+                max_possible=max_possible, allow_upsteps=False,
+                allow_multidrop=allow_multidrop, max_deviation=3,
+                quench_factors=quench, mesh=self.mesh)
+            on_offs = jd.grab_ON_OFFS(first[3], alpha_adjust=0)
+            if adjustment and on_offs:
+                adj_photometries = jd.ON_OFF_adjust_photometries(
+                    photometries=photometries, ON_OFFS=on_offs, alpha=alpha)
+            else:
+                adj_photometries = dict(alpha_adjusted)
+            adj_beta, adj_bs = last_drop_method_v2(
+                photometries=adj_photometries)
+            if beta is not None:
+                adj_beta = beta
+            signals, total, none_count, fit_info = \
+                photometries_lognormal_fit_v8(
+                    adj_photometries, adj_beta, beta_sigma,
+                    max_possible=max_possible, allow_upsteps=False,
+                    allow_multidrop=allow_multidrop, max_deviation=3,
+                    quench_factors=quench, mesh=self.mesh)
+        calibration = {"alpha": float(alpha), "beta": float(adj_beta),
+                       "beta_sigma": float(beta_sigma),
+                       "original_beta": float(original_beta),
+                       "original_beta_sigma": float(original_bs)}
+        return signals, total, none_count, fit_info, calibration
 
     # -- simulation ----------------------------------------------------------
 

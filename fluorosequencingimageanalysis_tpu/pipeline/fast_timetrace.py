@@ -1,0 +1,218 @@
+"""Array-native timetrace workflow (the movie front door).
+
+The reference's movie flow (basic_timetrace_script.py -> flexlibrary
+TimetraceExperiment, flexlibrary.py:3266-3713) is: detect spots on the
+first frame, follow each spot frame-to-frame by luminosity centroid with
+an S/N gate (flexlibrary.py:1172-1317), measure a photometry trace per
+track, and step-fit every trace.
+
+TPU-first redesign: the WHOLE tracking recursion runs as one jitted
+``lax.scan`` over the movie — per frame, all live spots' centroid
+windows, S/N windows, and gating decisions are batched array ops, so a
+T-frame movie costs one device dispatch instead of 2T (the class path's
+per-frame batches) or N*T host iterations (the reference's loop).
+Photometry then reuses the chunked whole-stack gather kernels, and
+step fitting the batched CK + sliding-t + refit + merge chain
+(ops/stepfit_batch.py).
+
+Semantic parity with the class path (proven in
+tests/test_fast_timetrace.py):
+- window origins truncate the (possibly float) prior center like the
+  reference's ``int()`` casts (flexlibrary.py:1216-1222),
+- candidate acceptance is Spot.__init__'s 5x5 fit (gaussian_fit=None:
+  no quirk fallback),
+- the S/N gate measures Illumina S/N on the 5x5 slice at the ROUNDED
+  centroid; failures fall back to a spot at the prior center's
+  Py2-rounded position when that fits, else None,
+- a None frame does not kill the track — the walk continues from the
+  last accepted spot (flexlibrary.py:1303-1310).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import numpy as np
+
+from ..utils.rounding import py2_round
+
+# Edge mask of a 5x5 slice (the 16 border pixels illumina_s_n reduces
+# over) — a host constant, NOT an in-jit scatter (lane scatters have
+# pathological compile times on some TPU backends).
+_EDGE_MASK_5 = np.ones((5, 5), bool)
+_EDGE_MASK_5[1:4, 1:4] = False
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("search_radius", "s_n_cutoff"))
+def _lc_track_scan(movie, trunc0_h, trunc0_w, round0_h, round0_w,
+                   search_radius=3, s_n_cutoff=3.0):
+    import jax.numpy as jnp
+
+    T, H, W = movie.shape
+    r = search_radius
+    d = 2 * r + 1
+    movie_f = movie.astype(jnp.float32)
+
+    def gather(img, hs, ws, radius):
+        dd = jnp.arange(-radius, radius + 1)
+        return img[hs[:, None, None] + dd[None, :, None],
+                   ws[:, None, None] + dd[None, None, :]]
+
+    def py2round_i32(x):
+        f = jnp.floor(x)
+        return (f + (x - f >= 0.5)).astype(jnp.int32)
+
+    def step(state, img):
+        trunc_h, trunc_w, round_h, round_w = state
+        in_bounds = ((r <= trunc_h) & (trunc_h < H - r) &
+                     (r <= trunc_w) & (trunc_w < W - r))
+        th = jnp.clip(trunc_h, r, H - r - 1)
+        tw = jnp.clip(trunc_w, r, W - r - 1)
+        patches = gather(img, th, tw, r)
+        total = jnp.sum(patches.reshape(patches.shape[0], -1), axis=-1)
+        idx = jnp.arange(d, dtype=jnp.float32)
+        ch = jnp.sum(patches * idx[None, :, None], axis=(-2, -1)) / total
+        cw = jnp.sum(patches * idx[None, None, :], axis=(-2, -1)) / total
+        rc_h = py2round_i32(ch + th.astype(jnp.float32) - r)
+        rc_w = py2round_i32(cw + tw.astype(jnp.float32) - r)
+        cand_fits = ((2 <= rc_h) & (rc_h < H - 2) &
+                     (2 <= rc_w) & (rc_w < W - 2))
+        # Illumina S/N of the 5x5 slice at the rounded centroid
+        # (Spot.illumina_s_n; ops/quality.py math).
+        sl = gather(img, jnp.clip(rc_h, 2, H - 3), jnp.clip(rc_w, 2, W - 3),
+                    2)
+        edge = sl.reshape(sl.shape[0], 25)[:, _EDGE_MASK_5.reshape(25)]
+        e_mean = jnp.mean(edge, axis=-1)
+        e_std = jnp.std(edge, axis=-1)
+        sn = (jnp.max(sl.reshape(sl.shape[0], 25), axis=-1) - e_mean) / e_std
+        good = in_bounds & cand_fits & (sn >= s_n_cutoff)
+        fb_fits = ((2 <= round_h) & (round_h < H - 2) &
+                   (2 <= round_w) & (round_w < W - 2))
+        fallback = in_bounds & cand_fits & (sn < s_n_cutoff) & fb_fits
+        present = good | fallback
+        rec_h = jnp.where(good, rc_h, jnp.where(fallback, round_h, -1))
+        rec_w = jnp.where(good, rc_w, jnp.where(fallback, round_w, -1))
+        new_state = (jnp.where(present, rec_h, trunc_h),
+                     jnp.where(present, rec_w, trunc_w),
+                     jnp.where(present, rec_h, round_h),
+                     jnp.where(present, rec_w, round_w))
+        return new_state, (rec_h, rec_w, present)
+
+    init = (trunc0_h, trunc0_w, round0_h, round0_w)
+    _, (rec_h, rec_w, present) = jax.lax.scan(step, init, movie_f[1:])
+    return rec_h, rec_w, present
+
+
+def lc_track(movie, h0, w0, search_radius=3, s_n_cutoff=3.0):
+    """Batched LC tracking over a [T, H, W] movie from float initial
+    centers (h0, w0). Returns (rec_h, rec_w, present): [T, N] arrays;
+    frame 0 records the truncated initial centers (the positions the
+    class path's photometry batching uses for the float-centered
+    initial Spots)."""
+    import jax.numpy as jnp
+
+    h0 = np.asarray(h0, np.float64)
+    w0 = np.asarray(w0, np.float64)
+    # int() truncation (reference: int(spot.h - offset)) and Py2 rounding
+    # of the initial float centers happen on HOST in float64 — exact.
+    trunc0_h = np.trunc(h0).astype(np.int32)
+    trunc0_w = np.trunc(w0).astype(np.int32)
+    round0_h = np.asarray([py2_round(v) for v in h0], np.int32)
+    round0_w = np.asarray([py2_round(v) for v in w0], np.int32)
+    rec_h, rec_w, present = _lc_track_scan(
+        jnp.asarray(movie), jnp.asarray(trunc0_h), jnp.asarray(trunc0_w),
+        jnp.asarray(round0_h), jnp.asarray(round0_w),
+        search_radius=search_radius, s_n_cutoff=float(s_n_cutoff))
+    rec_h = np.concatenate([trunc0_h[None], np.asarray(rec_h)])
+    rec_w = np.concatenate([trunc0_w[None], np.asarray(rec_w)])
+    present = np.concatenate([np.ones((1, len(h0)), bool),
+                              np.asarray(present)])
+    return rec_h, rec_w, present
+
+
+def timetrace_photometries(movie, rec_h, rec_w, present, method,
+                           initial_fits=None, photometry_radius=9,
+                           photometry_brim=6, photometry_min=None,
+                           aperture_radius=3, box_size=10, filter_size=10,
+                           chunk=65536):
+    """(N, T) photometry traces at the tracked positions.
+
+    None frames are 0 (Trace.photometries, flexlibrary.py:1339-1346);
+    interior positions batch on device; edge positions use the exact
+    host truncation fallbacks; the fit-product metrics take the initial
+    frame's fit values and the fit-less defaults afterwards (tracked
+    Spots carry gaussian_fit=None). photometry_min rounds everything up
+    afterwards, like Trace.photometries.
+    """
+    from ..ops import photometry as phot_ops
+    from .fast_experiment import _dispatch_photometry
+
+    T, N = rec_h.shape
+    H, W = movie.shape[1:]
+    out = np.zeros((N, T), np.float64)
+    if method in ("gaussian_volume", "sigmas"):
+        default = 0.0 if method == "gaussian_volume" else -1e9
+        out[:, :] = np.where(present.T, default, 0.0)
+        if initial_fits is not None:
+            for i, gf in enumerate(initial_fits):
+                if gf is None:
+                    out[i, 0] = default
+                elif method == "gaussian_volume":
+                    out[i, 0] = 1e6 * gf[3] * gf[4] * gf[5]
+                else:
+                    out[i, 0] = 1e6 * gf[4] * gf[5]
+    elif method == "sextractor":
+        from .spots import _aperture_fracs, _mesh_background
+
+        movie_np = np.asarray(movie)
+        fr = _aperture_fracs(aperture_radius)
+        r_int = (fr.shape[0] - 1) // 2
+        dd = np.arange(-r_int, r_int + 1)
+        for f in range(T):
+            idx = np.nonzero(present[f])[0]
+            if idx.size == 0:
+                continue
+            data = (movie_np[f].astype(np.float64)
+                    - _mesh_background(movie_np[f], box_size, filter_size))
+            padded = np.pad(data, r_int)
+            hs = rec_h[f, idx] + r_int
+            ws = rec_w[f, idx] + r_int
+            wins = padded[hs[:, None, None] + dd[None, :, None],
+                          ws[:, None, None] + dd[None, None, :]]
+            out[idx, f] = np.einsum("nij,ij->n", wins, fr)
+    else:
+        win_r = {"mexican_hat": photometry_radius, "simple": 2,
+                 "maximum": 5}[method]
+        f_idx, n_idx = np.nonzero(present)
+        hs = rec_h[f_idx, n_idx]
+        ws = rec_w[f_idx, n_idx]
+        interior = ((hs >= win_r) & (hs < H - win_r) &
+                    (ws >= win_r) & (ws < W - win_r))
+        if interior.any():
+            # [T, H, W] -> [T, 1, H, W]: one "cycle" per frame, so the
+            # whole-stack gather kernel's img_id is just the frame index.
+            vals = _dispatch_photometry(
+                movie.reshape(T, 1, H, W),
+                f_idx[interior], hs[interior], ws[interior], method,
+                win_r, photometry_brim, 1, chunk)
+            out[n_idx[interior], f_idx[interior]] = vals
+        movie_np = None
+        for k in np.nonzero(~interior)[0]:
+            if movie_np is None:
+                movie_np = np.asarray(movie)
+            img = movie_np[f_idx[k]]
+            h, w = int(hs[k]), int(ws[k])
+            if method == "mexican_hat":
+                v = phot_ops.mexican_hat_host(img, h, w,
+                                              brim_size=photometry_brim,
+                                              radius=win_r)
+            elif method == "simple":
+                v = phot_ops.simple_host(img, h, w, radius=win_r)
+            else:
+                v = phot_ops.maximum_host(img, h, w, radius=win_r)
+            out[n_idx[k], f_idx[k]] = v
+    if photometry_min is not None:
+        out = np.maximum(out, photometry_min)
+    return out

@@ -139,6 +139,14 @@ class PhotometryTrace(Trace):
     def photometry(self, frame, **kwargs):
         return self.trace[frame]
 
+    def photometries(self, photometry_min=None, **kwargs):
+        # The base implementation assumes Spot entries; here the trace IS
+        # the photometry sequence (the reference never exercises this
+        # combination — its base method would crash on floats).
+        if photometry_min is not None:
+            return tuple(max(photometry_min, v) for v in self.trace)
+        return tuple(self.trace)
+
     def plateau_starts(self):
         return set(range(self.num_frames))
 

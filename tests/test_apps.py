@@ -382,3 +382,110 @@ def test_module_cli_run_experiment_and_fluor_counts(tmp_path, monkeypatch):
     with open(outdir / "SIGNALS.pkl", "rb") as f:
         signals = pickle.load(f)
     assert isinstance(signals, dict)
+
+
+def test_module_cli_timetrace(tmp_path):
+    """`timetrace` subcommand: movie frame files -> LC tracking ->
+    step fits -> timetrace CSV."""
+    import contextlib
+    import io
+    import json as json_module
+
+    import imageio.v2 as iio
+
+    from fluorosequencingimageanalysis_tpu.__main__ import main as cli_main
+    from test_fast_timetrace import make_movie
+
+    movie = make_movie(seed=2, T=12, n_spots=6)
+    frames = []
+    for f in range(movie.shape[0]):
+        p = tmp_path / f"frame_{f:03d}.png"
+        iio.imwrite(str(p), np.clip(np.round(movie[f]), 0,
+                                    65535).astype(np.uint16))
+        frames.append(str(p))
+    outdir = tmp_path / "out"
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = cli_main(["timetrace", "--frames", *frames,
+                       "--output-dir", str(outdir),
+                       "--max-candidates", "256", "--chung-kennedy", "1",
+                       "--profile"])
+    assert rc == 0
+    info = json_module.loads(buf.getvalue())
+    assert info["frames"] == 12
+    assert info["traces"] > 2
+    assert "api/run_timetrace/track" in info["stages_sec"]
+    with open(outdir / "timetrace.csv") as fh:
+        rows = list(csv.reader(fh))
+    assert rows[0][:5] == ["Trace #", "Hcoord", "Wcoord", "Frame #",
+                           "Photometry"]
+    assert len(rows) - 1 == info["traces"] * 12
+
+
+def test_module_cli_simulate(tmp_path):
+    """`simulate` subcommand: batched MC over the event model."""
+    import contextlib
+    import io
+    import json as json_module
+
+    from fluorosequencingimageanalysis_tpu.__main__ import main as cli_main
+
+    buf = io.StringIO()
+    pkl = tmp_path / "sim.pkl"
+    with contextlib.redirect_stdout(buf):
+        rc = cli_main(["simulate", "GCAGCAGAG", "C",
+                       "--num-mocks", "2", "--num-edmans", "6",
+                       "--num-sims", "2000", "--seed", "3",
+                       "--results-pkl", str(pkl)])
+    assert rc == 0
+    info = json_module.loads(buf.getvalue())
+    assert info["simulations"] == 2000
+    assert info["distinct_patterns"] > 1
+    with open(pkl, "rb") as f:
+        results = pickle.load(f)
+    assert len(results) == 2000
+    # Each record is (dye_decrements, dye_counts, None, ci).
+    decs, counts, _, ci = results[0]
+    assert "C" in counts and "C" in ci
+
+
+def test_module_cli_fluor_counts_auto_calibrate(tmp_path):
+    """fluor-counts --auto-calibrate derives alpha/beta itself (the
+    lognormal_fitter_v2 flow) and reports the calibration."""
+    import contextlib
+    import io
+    import json as json_module
+
+    from fluorosequencingimageanalysis_tpu.__main__ import main as cli_main
+    from fluorosequencingimageanalysis_tpu.inference.photometries import (
+        write_photometries_dict_to_csv)
+
+    rng = np.random.default_rng(5)
+    beta = 30000.0
+    photometries = {"ch1": {0: {}}}
+    n_cycles = 6
+    for t in range(160):
+        n0 = int(rng.integers(1, 3))
+        drop = int(rng.integers(1, n_cycles))
+        counts = [n0] * drop + [n0 - 1] * (n_cycles - drop)
+        intensities = tuple(
+            float(n * beta * np.exp(rng.normal(0, 0.18))) if n else
+            float(rng.normal(0, 120.0)) for n in counts)
+        category = tuple(n > 0 for n in counts)
+        photometries["ch1"][0][(t, t)] = (category, intensities, t)
+    path = tmp_path / "tracks.csv"
+    write_photometries_dict_to_csv(photometries, str(path))
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = cli_main(["fluor-counts", str(path), "--auto-calibrate",
+                       "--signals-pkl", str(tmp_path / "SIGNALS.pkl")])
+    assert rc == 0
+    info = json_module.loads(buf.getvalue())
+    assert info["traces"] == 160
+    cal = info["calibration"]
+    # beta recovered within a factor-ish band (last-drop HWHM estimate).
+    assert 0.5 * beta < float(cal["beta"]) < 2.0 * beta
+    with open(tmp_path / "SIGNALS.pkl", "rb") as f:
+        signals = pickle.load(f)
+    assert sum(signals.values()) > 100

@@ -1,0 +1,199 @@
+"""Differential test: array-native run_timetrace vs the class-based path.
+
+The class flow (find_peptides -> Image/Spot -> TimetraceExperiment:
+lc_create_traces -> stepfit_tracks -> save_experiment_as_csv) is the
+reference-parity oracle (flexlibrary.py:3266-3713); api.Pipeline.
+run_timetrace must reproduce its CSV rows."""
+
+import csv
+
+import numpy as np
+import pytest
+
+from fluorosequencingimageanalysis_tpu.api import Pipeline
+
+
+def make_movie(T=24, H=96, W=96, n_spots=10, seed=0, beta=2500.0,
+               drift=0.08):
+    """Bleaching spots: each drops to background in 1-3 steps, with slow
+    subpixel wander (LC tracking territory)."""
+    rng = np.random.default_rng(seed)
+    hh, ww = np.indices((H, W)).astype(np.float32)
+    movie = rng.normal(400.0, 6.0, (T, H, W)).astype(np.float32)
+    pos = rng.uniform(12, H - 12, (n_spots, 2))
+    steps = rng.integers(1, 4, n_spots)
+    for s in range(n_spots):
+        drops = np.sort(rng.choice(np.arange(4, T - 2), steps[s],
+                                   replace=False))
+        level = float(steps[s])
+        wander = rng.normal(0, drift, (T, 2)).cumsum(axis=0)
+        for f in range(T):
+            if len(drops) and f >= drops[0]:
+                level -= 1.0
+                drops = drops[1:]
+            if level <= 0:
+                break
+            h = pos[s, 0] + wander[f, 0]
+            w = pos[s, 1] + wander[f, 1]
+            movie[f] += level * beta * np.exp(
+                -(((hh - h) ** 2) + ((ww - w) ** 2)) / (2 * 1.3 ** 2))
+    return movie
+
+
+def class_path_csv(movie, tmp_path, photometry_method="mexican_hat",
+                   mirror_start=0, chung_kennedy=1, **p_params):
+    from fluorosequencingimageanalysis_tpu.pipeline.spots import Image, Spot
+    from fluorosequencingimageanalysis_tpu.pipeline.experiment import (
+        TimetraceExperiment)
+    from fluorosequencingimageanalysis_tpu.models.detect import find_peptides
+
+    T = movie.shape[0]
+    frames = [Image(image=movie[f], metadata={"filepath": f"mem://{f}"},
+                    spots=None) for f in range(T)]
+    psfs = find_peptides(movie[0], max_candidates=256, num_iters=60)
+    frames[0].spots = [Spot(frames[0], h, w, gaussian_fit[7].shape[0],
+                            gaussian_fit=gaussian_fit)
+                       for (h, w), gaussian_fit in psfs.items()]
+    tte = TimetraceExperiment(frames=frames, spot_traces=None,
+                              step_fits=None, step_fit_intermediates=None)
+    tte.lc_create_traces()
+    tte.stepfit_tracks(photometry_min=None, mirror_start=mirror_start,
+                       chung_kennedy=chung_kennedy, p_threshold=0.01,
+                       photometry_method=photometry_method, **p_params)
+    path = tmp_path / "ref.csv"
+    tte.save_experiment_as_csv(str(path), include_step_fits=True,
+                               include_intermediates=True,
+                               photometry_method=photometry_method,
+                               **p_params)
+    with open(path) as fh:
+        reader = csv.reader(fh)
+        header = next(reader)
+        return header, list(reader)
+
+
+def _compare_csvs(header_ref, rows_ref, header_fast, rows_fast):
+    assert header_fast == header_ref
+    assert len(rows_fast) == len(rows_ref) > 0
+    for i, (fast, ref) in enumerate(zip(rows_fast, rows_ref)):
+        assert len(fast) == len(ref), i
+        for j, (a, b) in enumerate(zip(fast, ref)):
+            try:
+                fb = float(b)
+            except ValueError:
+                assert a == b, (i, j, a, b)  # plateau tuples etc.
+                continue
+            assert float(a) == pytest.approx(fb, rel=1e-5, abs=1e-2), \
+                (i, j, header_ref[j], a, b)
+
+
+@pytest.mark.parametrize("seed,ck", [(0, 1), (5, 0)])
+def test_run_timetrace_matches_class_path(seed, ck, tmp_path):
+    from fluorosequencingimageanalysis_tpu.config import (
+        PipelineConfig, StepfitConfig)
+
+    movie = make_movie(seed=seed)
+    header_ref, rows_ref = class_path_csv(movie, tmp_path, chung_kennedy=ck)
+
+    pipe = Pipeline(PipelineConfig(stepfit=StepfitConfig(
+        mirror_start=0, chung_kennedy=ck, p_threshold=0.01)))
+    out = pipe.run_timetrace(movie, csv_path=str(tmp_path / "fast.csv"),
+                             max_candidates=256)
+    assert out["trace_count"] > 3
+    with open(tmp_path / "fast.csv") as fh:
+        reader = csv.reader(fh)
+        header_fast = next(reader)
+        rows_fast = list(reader)
+    _compare_csvs(header_ref, rows_ref, header_fast, rows_fast)
+    # The scenario must really exercise steps (bleaching plateaus).
+    assert any(len(sf.trace) > 1 for sf in out["step_fits"].values())
+
+
+def test_run_timetrace_edge_spot_goes_none(tmp_path):
+    """A spot wandering off the frame edge must produce None frames
+    (position -1, present False) in BOTH paths, row-equal."""
+    rng = np.random.default_rng(11)
+    T, H, W = 10, 64, 64
+    hh, ww = np.indices((H, W)).astype(np.float32)
+    movie = rng.normal(400.0, 6.0, (T, H, W)).astype(np.float32)
+    # One interior anchor and one spot marching off the top edge.
+    for f in range(T):
+        movie[f] += 3000 * np.exp(
+            -(((hh - 32.3) ** 2) + ((ww - 40.6) ** 2)) / (2 * 1.3 ** 2))
+        h_edge = 6.0 - 1.2 * f
+        if h_edge > -4:
+            movie[f] += 3000 * np.exp(
+                -(((hh - h_edge) ** 2) + ((ww - 20.4) ** 2)) / (2 * 1.3 ** 2))
+    header_ref, rows_ref = class_path_csv(movie, tmp_path)
+    out = Pipeline().run_timetrace(movie,
+                                   csv_path=str(tmp_path / "fast.csv"),
+                                   max_candidates=64, chung_kennedy=1)
+    with open(tmp_path / "fast.csv") as fh:
+        reader = csv.reader(fh)
+        header_fast = next(reader)
+        rows_fast = list(reader)
+    _compare_csvs(header_ref, rows_ref, header_fast, rows_fast)
+    assert not out["traces"]["present"].all()  # the walk-off went None
+
+
+def test_run_timetrace_photometry_methods(tmp_path):
+    """sextractor photometries ride the background/aperture host path."""
+    from fluorosequencingimageanalysis_tpu.config import (
+        PipelineConfig, PhotometryConfig)
+
+    movie = make_movie(seed=3, T=12, n_spots=6)
+    header_ref, rows_ref = class_path_csv(
+        movie, tmp_path, photometry_method="sextractor")
+    pipe = Pipeline(PipelineConfig(
+        photometry=PhotometryConfig(method="sextractor")))
+    out = pipe.run_timetrace(movie, csv_path=str(tmp_path / "fast.csv"),
+                             max_candidates=256, chung_kennedy=1)
+    with open(tmp_path / "fast.csv") as fh:
+        reader = csv.reader(fh)
+        header_fast = next(reader)
+        rows_fast = list(reader)
+    _compare_csvs(header_ref, rows_ref, header_fast, rows_fast)
+    assert out["trace_count"] > 2
+
+
+def test_run_timetrace_empty_movie():
+    rng = np.random.default_rng(0)
+    movie = rng.normal(400.0, 6.0, (6, 64, 64)).astype(np.float32)
+    out = Pipeline().run_timetrace(movie, max_candidates=64)
+    assert out["photometries"].shape[1] == 6 or out["trace_count"] == 0
+
+
+def test_lc_track_matches_host_tracker():
+    """The lax.scan tracker must agree with the per-frame batched host
+    tracker (pipeline/tracking.luminosity_centroid_particle_tracking)
+    position by position, including None frames and fallbacks."""
+    from fluorosequencingimageanalysis_tpu.pipeline.spots import Image, Spot
+    from fluorosequencingimageanalysis_tpu.pipeline.tracking import (
+        luminosity_centroid_particle_tracking)
+    from fluorosequencingimageanalysis_tpu.pipeline.fast_timetrace import (
+        lc_track)
+    from fluorosequencingimageanalysis_tpu.models.detect import find_peptides
+
+    movie = make_movie(seed=7, T=16, n_spots=8)
+    T = movie.shape[0]
+    frames = [Image(image=movie[f], metadata={"filepath": f"mem://{f}"},
+                    spots=None) for f in range(T)]
+    psfs = find_peptides(movie[0], max_candidates=256, num_iters=60)
+    spots = [Spot(frames[0], h, w, 5, gaussian_fit=gf)
+             for (h, w), gf in psfs.items()]
+    frames[0].spots = spots
+    tracks = luminosity_centroid_particle_tracking(frames, spots)
+
+    h0 = np.array([s.h for s in spots])
+    w0 = np.array([s.w for s in spots])
+    rec_h, rec_w, present = lc_track(movie, h0, w0)
+    assert len(tracks) == len(spots)
+    mismatches = 0
+    for i, track in enumerate(tracks):
+        for f in range(1, T):
+            s = track[f]
+            if s is None:
+                mismatches += present[f, i]
+            else:
+                mismatches += (not present[f, i] or
+                               rec_h[f, i] != s.h or rec_w[f, i] != s.w)
+    assert mismatches == 0
