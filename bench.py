@@ -1,7 +1,7 @@
 #!/usr/bin/env python
 """Benchmarks: the detect step AND the full experiment, per chip.
 
-Prints FOUR JSON lines; the driver parses the LAST one (the headline):
+Prints FIVE JSON lines; the driver parses the LAST one (the headline):
 
   {"metric": "experiment_fields_per_sec", ...}        <- config 4 (full
       multi-field multi-cycle experiment: registration + detect/fit +
@@ -11,6 +11,9 @@ Prints FOUR JSON lines; the driver parses the LAST one (the headline):
   {"metric": "stepfit_traces_per_sec", ...}           <- config 3 (the
       timetrace step-fitting chain: Chung-Kennedy + sliding-t + refit +
       t-test merge, 4096 traces x 100 frames)
+  {"metric": "timetrace_traces_per_sec", ...}         <- movie front door
+      (run_timetrace: detect + lax.scan LC tracking + photometry +
+      batched step fits on a 24-frame 512x512 movie)
   {"metric": "v8_traces_per_sec", ...}                <- config 5 (v8
       lognormal fluor counting, 1e5 traces x 6,188 sequences at the
       reference's cost-warning shape n_cycles=12, max_fluors=5)
@@ -281,6 +284,23 @@ def bench_experiment_cpu(stack_field):
                                          use_native=False)
     tracking_seconds = time.perf_counter() - t0
 
+    # TRUE-reference tracking estimate: the vendored oracle
+    # (tests/tracking_oracle.py) reproduces flexlibrary.py:679-1027's
+    # full-grid object-array walk — the cost the reference actually
+    # pays. Timed on the same spot sets.
+    import importlib.util as _ilu
+    import os as _os
+    _spec = _ilu.spec_from_file_location(
+        "tracking_oracle",
+        _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                      "tests", "tracking_oracle.py"))
+    _oracle = _ilu.module_from_spec(_spec)
+    _spec.loader.exec_module(_oracle)
+    t0 = time.perf_counter()
+    _oracle.greedy_particle_tracking_oracle(frames, stack_field.shape[1:],
+                                            candidate_radius=2)
+    oracle_tracking_seconds = time.perf_counter() - t0
+
     # Photometry: per-(spot, frame) Python mexican hat (crown sum - crown
     # size x brim median on a 19x19 window), the reference's per-call cost.
     H, W = stack_field.shape[1:]
@@ -298,7 +318,9 @@ def bench_experiment_cpu(stack_field):
             _ = crown.sum() - crown.size * np.median(brim)
             n_phot += 1
     photometry_seconds = time.perf_counter() - t0
-    return detect_seconds + tracking_seconds + photometry_seconds
+    floor = detect_seconds + tracking_seconds + photometry_seconds
+    ref_est = detect_seconds + oracle_tracking_seconds + photometry_seconds
+    return floor, ref_est
 
 
 def make_step_traces(N, T, seed=0, beta=30000.0, noise=800.0):
@@ -388,6 +410,116 @@ def bench_stepfit(N=4096, T=100, host_sample=24):
     return N / dt, 1.0 / host_dt, 1.0 / ref_dt
 
 
+def make_movie(T=24, H=512, W=512, n_spots=800, seed=0, beta=2500.0):
+    """A timetrace movie: n_spots bleaching spots with subpixel wander
+    (the basic_timetrace_script workload)."""
+    rng = np.random.default_rng(seed)
+    movie = rng.normal(400.0, 6.0, (T, H, W)).astype(np.float32)
+    pos = rng.uniform(12, H - 12, (n_spots, 2))
+    steps = rng.integers(1, 4, n_spots)
+    hh, ww = np.indices((25, 25)).astype(np.float32)
+    for s in range(n_spots):
+        drops = np.sort(rng.choice(np.arange(4, T - 2), steps[s],
+                                   replace=False)).tolist()
+        level = float(steps[s])
+        wander = rng.normal(0, 0.08, (T, 2)).cumsum(axis=0)
+        for f in range(T):
+            if drops and f >= drops[0]:
+                level -= 1.0
+                drops = drops[1:]
+            if level <= 0:
+                break
+            h = pos[s, 0] + wander[f, 0]
+            w = pos[s, 1] + wander[f, 1]
+            ih, iw = int(h) - 12, int(w) - 12
+            movie[f, ih:ih + 25, iw:iw + 25] += level * beta * np.exp(
+                -(((hh - (h - ih)) ** 2) + ((ww - (w - iw)) ** 2)) /
+                (2 * 1.3 ** 2))
+    return movie
+
+
+def bench_timetrace(T=24, n_spots=800, host_sample=12):
+    """Timetrace front door (run_timetrace: detect -> lax.scan LC
+    tracking -> photometry -> batched step fits) vs the reference's
+    per-spot-per-frame host walk + per-trace scipy step-fit chain
+    (basic_timetrace_script.py; flexlibrary.py:1172-1317, 3309-3536).
+    Returns (traces/s end-to-end, traces/s CPU-equivalent, n_traces)."""
+    from fluorosequencingimageanalysis_tpu.api import Pipeline
+    from fluorosequencingimageanalysis_tpu import stepfitting as sf
+    from scipy import ndimage
+    from scipy.stats import ttest_ind
+    import warnings
+
+    movie = make_movie(T=T, n_spots=n_spots)
+    pipe = Pipeline()
+    kw = dict(max_candidates=4096, chung_kennedy=1, p_threshold=0.01,
+              mirror_start=10)
+    out = pipe.run_timetrace(movie, **kw)  # compile + warm
+    n_traces = out["trace_count"]
+    t0 = time.perf_counter()
+    out = pipe.run_timetrace(movie, **kw)
+    dt = time.perf_counter() - t0
+    assert out["trace_count"] == n_traces and n_traces > 100
+
+    # CPU equivalent, per trace: LC walk (center-of-mass on the search
+    # window + Illumina S/N gate per frame), mexican-hat photometry per
+    # frame, and the scipy-wrapped step-fit chain; plus the per-trace
+    # share of the first-frame detect cost.
+    detect_dt, _ = bench_cpu_reference(movie[0], max_fits=400)
+    h0 = out["traces"]["h"][:host_sample]
+    w0 = out["traces"]["w"][:host_sample]
+    H, W = movie.shape[1:]
+
+    def _scipy_welch(left, right):
+        if len(left) == 0 or len(right) == 0:
+            return float("nan"), float("nan")
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            t, p = ttest_ind(left, right, equal_var=False)
+        return float(t), float(p)
+
+    fast_welch = sf._welch_t
+    sf._welch_t = _scipy_welch
+    try:
+        t0 = time.perf_counter()
+        for i in range(len(h0)):
+            h, w = int(h0[i]), int(w0[i])
+            phots = []
+            for f in range(T):
+                win = movie[f, max(h - 3, 0):h + 4, max(w - 3, 0):w + 4]
+                ch, cw = ndimage.center_of_mass(win)
+                rh = int(np.floor(ch) + (ch - np.floor(ch) >= 0.5)) + h - 3
+                rw = int(np.floor(cw) + (cw - np.floor(cw) >= 0.5)) + w - 3
+                sl = movie[f, max(rh - 2, 0):rh + 3, max(rw - 2, 0):rw + 3]
+                edge = np.concatenate([sl[0].ravel(), sl[-1].ravel(),
+                                       sl[1:-1, 0], sl[1:-1, -1]])
+                _ = (sl.max() - edge.mean()) / edge.std()
+                h, w = min(max(rh, 9), H - 10), min(max(rw, 9), W - 10)
+                pw = movie[f, h - 9:h + 10, w - 9:w + 10]
+                crown = pw[6:13, 6:13]
+                brim = np.concatenate([pw[:6].ravel(), pw[13:].ravel(),
+                                       pw[6:13, :6].ravel(),
+                                       pw[6:13, 13:].ravel()])
+                phots.append(float(crown.sum() -
+                                   crown.size * np.median(brim)))
+            mirrored = sf.mirror_photometries(tuple(phots), mirror_size=10)
+            ck = sf.chung_kennedy_filter(luminosities=mirrored,
+                                         window_lengths=(2, 4, 8, 16))
+            plateaus = sf.sliding_t_fitter(
+                luminosity_sequence=ck, window_radius=6, p_threshold=0.01,
+                median_filter_size=None, downsteps_only=False,
+                min_step_magnitude=None)
+            plateaus = sf.refit_plateaus(mirrored, plateaus)
+            sf.t_test_filter(luminosities=mirrored, plateaus=plateaus,
+                             p_threshold=0.01, drop_sort=True,
+                             no_merge_start=10)
+        host_dt = ((time.perf_counter() - t0) / len(h0) +
+                   detect_dt / n_traces)
+    finally:
+        sf._welch_t = fast_welch
+    return n_traces / dt, 1.0 / host_dt, n_traces
+
+
 def make_v8_workload(T, F=12, K=5, beta=30000.0, beta_sigma=0.2, seed=0):
     """T synthetic traces at the reference's cost-warning shape
     (n_cycles=12, max_fluors=5 -> C(17, 12) = 6188 sequences/trace,
@@ -454,12 +586,19 @@ def main():
     exp_stack = np.clip(make_experiment_stack(32, 8), 0,
                         65535).astype(np.uint16)
     exp_fields_per_sec, n_rows, stages = bench_experiment_tpu(exp_stack)
-    cpu_exp_seconds = bench_experiment_cpu(exp_stack[0])
+    cpu_floor_seconds, cpu_ref_est_seconds = bench_experiment_cpu(
+        exp_stack[0])
     print(json.dumps({
         "metric": "experiment_fields_per_sec",
         "value": round(exp_fields_per_sec, 2),
         "unit": "fields/s",
-        "vs_baseline": round(exp_fields_per_sec * cpu_exp_seconds, 1),
+        # Conservative measured floor: the CPU stand-in uses OUR
+        # vectorized host tracker (50-100x the reference's walk).
+        "vs_baseline": round(exp_fields_per_sec * cpu_floor_seconds, 1),
+        # Honest true-reference estimate: same numbers, but tracking
+        # timed on the vendored reference-faithful oracle walk.
+        "vs_baseline_ref_est": round(
+            exp_fields_per_sec * cpu_ref_est_seconds, 1),
         "rows": n_rows,
         "stages_sec": stages,
     }))
@@ -475,6 +614,17 @@ def main():
         "vs_baseline": round(step_tps / step_ref_tps, 1),
         "vs_host_port": round(step_tps / step_host_tps, 1),
         "shape": "N=4096 T=100 (CK + sliding-t + refit + t-merge)",
+    }))
+
+    # Timetrace workflow: the movie front door end-to-end.
+    tt_tps, tt_host_tps, tt_n = bench_timetrace()
+    print(json.dumps({
+        "metric": "timetrace_traces_per_sec",
+        "value": round(tt_tps, 1),
+        "unit": "traces/s",
+        "vs_baseline": round(tt_tps / tt_host_tps, 1),
+        "shape": f"T=24 512x512 movie, {tt_n} traces "
+                 "(detect + LC track + photometry + step fits)",
     }))
 
     # Config 5: v8 fluor counting at the reference's cost-warning shape.

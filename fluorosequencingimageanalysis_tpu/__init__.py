@@ -36,6 +36,36 @@ Reference-compatible CLI entry points live as top-level scripts
 __version__ = "0.1.0"
 
 
+def _enable_persistent_compile_cache():
+    """Persistent XLA compile cache, on by default.
+
+    TPU compiles of the big programs (512x512 detect, chunked stepfit /
+    v8 buckets) cost 20 s - minutes on constrained backends; the disk
+    cache makes every later process hit them in milliseconds. Opt out
+    with FLUORO_TPU_NO_COMPILE_CACHE=1 or point the directory elsewhere
+    with JAX_COMPILATION_CACHE_DIR (which JAX itself also honors).
+    """
+    import os
+
+    if os.environ.get("FLUORO_TPU_NO_COMPILE_CACHE"):
+        return
+    try:
+        import jax
+
+        if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+            return  # user already configured it; JAX reads the env var
+        cache_dir = os.path.join(
+            os.path.expanduser("~"), ".cache", "fluoro_tpu_jax_cache")
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
+
+_enable_persistent_compile_cache()
+
+
 def __getattr__(name):
     # Lazy top-level exports (keep `import fluorosequencingimageanalysis_tpu`
     # free of jax initialization).

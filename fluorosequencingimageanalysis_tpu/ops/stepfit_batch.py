@@ -249,6 +249,29 @@ def stepfit_batched(photometries, mirror_start=0, chung_kennedy=0,
     masks = run_chunked(
         lambda x: sliding_t_masks(x, window_radius=window_radius,
                                   p_threshold=p_threshold), ck)
+
+    from ..native import stepchain
+    if stepchain.have_native():
+        # The per-trace post-pass (plateau assembly -> refit -> iterated
+        # drop-sort Welch-t merge) in C++: ~50x the Python loop, exact
+        # same plateau structures (differential-tested in
+        # tests/test_stepfit_batch.py and test_native.py).
+        (rf_n, rf_s, rf_e, rf_h, tf_n, tf_s, tf_e, tf_h) = \
+            stepchain.stepfit_postpass(mirrored, masks, p_threshold,
+                                       mirror_start)
+        out = []
+        for i in range(N):
+            un_ck = stepfitting.unmirror_photometries(
+                list(ck[i]), mirror_size=mirror_start)
+            un_plateaus = stepfitting.unmirror_plateaus(
+                [(int(rf_s[i, k]), int(rf_e[i, k]), float(rf_h[i, k]))
+                 for k in range(int(rf_n[i]))], mirror_size=mirror_start)
+            un_t = stepfitting.unmirror_plateaus(
+                [(int(tf_s[i, k]), int(tf_e[i, k]), float(tf_h[i, k]))
+                 for k in range(int(tf_n[i]))], mirror_size=mirror_start)
+            out.append((tuple(phot[i].tolist()), un_ck, un_plateaus, un_t))
+        return out
+
     out = []
     for i in range(N):
         plateaus = _plateaus_from_mask(ck[i], masks[i])
