@@ -431,7 +431,8 @@ def make_movie(T=24, H=512, W=512, n_spots=800, seed=0, beta=2500.0):
                 break
             h = pos[s, 0] + wander[f, 0]
             w = pos[s, 1] + wander[f, 1]
-            ih, iw = int(h) - 12, int(w) - 12
+            ih = min(max(int(h) - 12, 0), H - 25)
+            iw = min(max(int(w) - 12, 0), W - 25)
             movie[f, ih:ih + 25, iw:iw + 25] += level * beta * np.exp(
                 -(((hh - (h - ih)) ** 2) + ((ww - (w - iw)) ** 2)) /
                 (2 * 1.3 ** 2))
@@ -452,7 +453,11 @@ def bench_timetrace(T=24, n_spots=800, host_sample=12):
 
     movie = make_movie(T=T, n_spots=n_spots)
     pipe = Pipeline()
-    kw = dict(max_candidates=4096, chung_kennedy=1, p_threshold=0.01,
+    # max_candidates=2048 (plenty for ~800 spots): the single-image
+    # detect program at 512^2/4096 candidates SIGABRTs this backend's
+    # remote compiler (same class of pathology as the CK 4096-row
+    # chunk, DESIGN.md §14).
+    kw = dict(max_candidates=2048, chung_kennedy=1, p_threshold=0.01,
               mirror_start=10)
     out = pipe.run_timetrace(movie, **kw)  # compile + warm
     n_traces = out["trace_count"]

@@ -158,22 +158,23 @@ class Pipeline:
                                              meta={"stage": "run_stack"})
         return compute()
 
-    def _stack_step_overlapped(self, stack, keys, max_candidates=None,
-                               max_spots=None, stack_key=None,
-                               group_fields=8):
-        """run_stack with the host->device upload split into field groups
-        so transfer overlaps compute: device_put(group k+1) is issued
-        right after the (async) step dispatch on group k, letting the
-        runtime DMA the next group while the current one computes — on a
-        bandwidth-limited link the wall clock drops from transfer+compute
-        to ~max(transfer, compute).
+    def _stack_step_groups(self, stack, keys, max_candidates=None,
+                           max_spots=None, stack_key=None,
+                           group_fields=8):
+        """Generator form of run_stack: the host->device upload is split
+        into field groups and EVERYTHING is dispatched up front (upload
+        k+1 is in flight while the step on group k computes); groups are
+        then yielded in order as ``(out_group, device_group, lo)``,
+        fetching each group's outputs only at yield time — so the
+        caller's host work on group k overlaps the transfer/compute of
+        groups k+1..n. On a bandwidth-limited link the whole experiment
+        collapses to ~max(total transfer, total compute + host work).
 
-        Returns (out, device_stack): ``out`` exactly as run_stack (host
-        arrays, sliced to the true field count, artifact-store-cached
-        under the SAME key as run_stack); ``device_stack`` is the
-        device-resident [F_padded, C, H, W] stack (fields padded up to a
-        group multiple at the END) for downstream stages to reuse, or
-        None on a store cache hit (no upload happened).
+        out_group holds host arrays sliced to the group's true field
+        count; device_group is the device-resident (padded) [g, C, H, W]
+        slice for downstream kernels to reuse. With an artifact store
+        the concatenated outputs are cached under the SAME key as
+        run_stack (a hit yields one (full_out, None, 0) tuple).
         """
         import jax
         import jax.numpy as jnp
@@ -195,13 +196,15 @@ class Pipeline:
                               self.config.asdict(), mc, max_spots,
                               sorted(keys) if keys is not None else None)
             if self.store.exists(key):
-                return self.store.load(key), None
+                yield self.store.load(key), None, 0
+                return
 
         if isinstance(stack, jax.Array):  # already uploaded: nothing to
             out = self.run_stack(stack, max_candidates=max_candidates,  # overlap
                                  max_spots=max_spots, keys=keys,
                                  stack_key=stack_key)
-            return out, stack
+            yield out, stack, 0
+            return
 
         with self._stage("api/run_stack"):
             mesh = self.mesh
@@ -241,13 +244,18 @@ class Pipeline:
                          hi - lo))
             names = [k for k in outs[0][0]
                      if keys is None or k in keys]
-            out = {k: np.concatenate([np.asarray(o[k])[:ga]
-                                      for o, ga in outs])
-                   for k in names}
-            dev_stack = devs[0] if len(devs) == 1 else jnp.concatenate(devs)
+        parts = [] if key is not None else None
+        for gi, (o, ga) in enumerate(outs):
+            with self._stage("api/run_stack"):
+                # np.asarray blocks only on THIS group's step.
+                grp_out = {k: np.asarray(o[k])[:ga] for k in names}
+            if parts is not None:
+                parts.append(grp_out)
+            yield grp_out, devs[gi], gi * g
         if key is not None:
-            self.store.save(key, out, meta={"stage": "run_stack"})
-        return out, dev_stack
+            full = {k: np.concatenate([p[k] for p in parts])
+                    for k in names}
+            self.store.save(key, full, meta={"stage": "run_stack"})
 
     def run_experiment(self, stacks, csv_path=None, max_candidates=None,
                        max_spots=None, candidate_radius=2,
@@ -368,19 +376,47 @@ class Pipeline:
             keys = ("offsets_h", "offsets_w", "spot_h", "spot_w",
                     "spot_valid", "spot_cand_idx", "spot_overflow",
                     "photometry")
-            out, dev_stack = self._stack_step_overlapped(
-                stack, keys, max_candidates=max_candidates,
-                max_spots=max_spots, stack_key=stack_key)
-            rhs, rws, spot_values = _spot_lists(out, F, C, H, W,
-                                                with_values=True)
-            if out["spot_overflow"].any():
-                n_over = int(out["spot_overflow"].sum())
+            # sextractor measures on host (background-subtracted
+            # images) — hand it the host stack so nothing downloads.
+            host_phot = phot.method == "sextractor"
+            per_field = []
+            off_parts_h, off_parts_w = [], []
+            n_over = 0
+            spot_count = 0
+            # Pipelined: host tracking+photometry on group k runs while
+            # groups k+1.. are still uploading/computing on device.
+            for out_grp, dev_grp, lo in self._stack_step_groups(
+                    stack, keys, max_candidates=max_candidates,
+                    max_spots=max_spots, stack_key=stack_key):
+                Fg = out_grp["offsets_h"].shape[0]
+                rhs, rws, spot_values = _spot_lists(out_grp, Fg, C, H, W,
+                                                    with_values=True)
+                n_over += int(out_grp["spot_overflow"].sum())
+                off_parts_h.append(out_grp["offsets_h"])
+                off_parts_w.append(out_grp["offsets_w"])
+                spot_count += sum(len(rh) for per_c in rhs for rh in per_c)
+                with self._stage("api/run_experiment/track+photometry"):
+                    per_field += run_experiment_stack(
+                        stack[lo:lo + Fg] if host_phot or dev_grp is None
+                        else dev_grp,
+                        out_grp["offsets_h"], out_grp["offsets_w"],
+                        (rhs, rws),
+                        photometry_method=phot.method,
+                        photometry_radius=phot.radius,
+                        photometry_brim=phot.brim_size,
+                        candidate_radius=candidate_radius,
+                        spot_values=None if host_phot else spot_values,
+                        aperture_radius=phot.aperture_radius,
+                        box_size=phot.box_size,
+                        filter_size=phot.filter_size)
+            if n_over:
                 logging.getLogger(__name__).warning(
                     "run_experiment: %d (field, cycle) images overflowed "
                     "the max_spots bucket — their lowest-R^2 spots were "
                     "dropped; raise max_spots for complete tracking",
                     n_over)
-            offsets_out[channel] = (out["offsets_h"], out["offsets_w"])
+            offsets_out[channel] = (np.concatenate(off_parts_h),
+                                    np.concatenate(off_parts_w))
             # Pre-create every (channel, field) entry: the reference's
             # binary_trace_categories does (experiment.py:685 /
             # flexlibrary.py:2682-2688), so zero-trace fields still emit
@@ -388,20 +424,6 @@ class Pipeline:
             for f in range(F):
                 category_counts.setdefault(channel, {}).setdefault(f, {})
             with self._stage("api/run_experiment/track+photometry"):
-                # sextractor measures on host (background-subtracted
-                # images) — hand it the host stack so nothing downloads.
-                host_phot = phot.method == "sextractor"
-                per_field = run_experiment_stack(
-                    stack if host_phot or dev_stack is None else dev_stack,
-                    out["offsets_h"], out["offsets_w"], (rhs, rws),
-                    photometry_method=phot.method,
-                    photometry_radius=phot.radius,
-                    photometry_brim=phot.brim_size,
-                    candidate_radius=candidate_radius,
-                    spot_values=None if host_phot else spot_values,
-                    aperture_radius=phot.aperture_radius,
-                    box_size=phot.box_size,
-                    filter_size=phot.filter_size)
                 # Persistent remainders per field: all-frames-ON valid
                 # traces (count_remainders over post-discard spot_traces).
                 remainder_counts[channel] = [
@@ -438,8 +460,7 @@ class Pipeline:
                         n_traces += 1
                         n_singletons += sum(cat) == 1
                 summary[channel] = {
-                    "spot_count": int(sum(len(rh) for per_c in rhs
-                                          for rh in per_c)),
+                    "spot_count": int(spot_count),
                     "trace_count": n_traces,
                     "singleton_count": n_singletons,
                 }

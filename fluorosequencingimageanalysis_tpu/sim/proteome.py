@@ -14,10 +14,7 @@ import pickle
 def _dp(d, e, p):
     """Bernoulli probability of e delays in a gap of length d, given Edman
     success p (MCsimlib.py:42-53)."""
-    q = 1.0 - p
-    return (math.factorial(d - 1 + e) /
-            (math.factorial(e) * math.factorial(d - 1)) *
-            p ** d * q ** e)
+    return math.comb(d - 1 + e, e) * p ** d * (1.0 - p) ** e
 
 
 def load_proteome(filename, silent=True):
@@ -29,72 +26,68 @@ def load_proteome(filename, silent=True):
 def homogenize(peptides, substitute_acid, target_acids):
     """Replace target acids with a substitute (MCsimlib.py:88-119).
 
-    Parity note: the reference re-replaces from the ORIGINAL sequence each
-    target acid iteration (only the last target acid's replacement
-    survives) — reproduced exactly, bug and all.
+    Parity note: the reference's inner loop re-replaces from the ORIGINAL
+    sequence on every iteration, so only the LAST target acid's
+    replacement survives. That quirk IS the observable contract;
+    expressed here directly as a single last-acid substitution.
     """
-    return_peptides = {}
-    for protein in peptides:
-        sequence = peptides[protein]
-        homogenized_sequence = sequence
-        for acid in target_acids:
-            homogenized_sequence = sequence.replace(acid, substitute_acid)
-        return_peptides.setdefault(protein, homogenized_sequence)
-    return return_peptides
+    last = target_acids[-1] if target_acids else None
+    return {protein: (seq.replace(last, substitute_acid) if last else seq)
+            for protein, seq in peptides.items()}
 
 
 def cleave(peptides, cleave_acid, silent=True):
-    """Cleave after every cleave_acid (MCsimlib.py:121-190)."""
-    return_peptides = {}
-    for protein in peptides:
-        if not peptides[protein]:
+    """Cleave after every cleave_acid (MCsimlib.py:121-190).
+
+    Each fragment keeps its trailing cleave acid; empty fragments (and
+    proteins left with no fragments) are dropped.
+    """
+    out = {}
+    for protein, sequence in peptides.items():
+        if not sequence:
             continue
-        subsequences = peptides[protein].split(cleave_acid)
-        for index in range(len(subsequences) - 1):
-            subsequences[index] += cleave_acid
-        if subsequences[-1] == "":
-            subsequences.pop()
-        subsequences = [s for s in subsequences if s]
-        if subsequences:
-            return_peptides.setdefault(protein, tuple(subsequences))
-    return return_peptides
+        parts = sequence.split(cleave_acid)
+        fragments = tuple(part + cleave_acid for part in parts[:-1])
+        if parts[-1]:
+            fragments += (parts[-1],)
+        if fragments:
+            out[protein] = fragments
+    return out
 
 
 def attach(peptides, attach_acid, silent=True):
     """Partition peptides into (head, tail) at the first attaching acid
     (MCsimlib.py:192-263). attach_acid='cterm' attaches everything by the
-    carboxyl terminus (empty tails)."""
-    return_peptides = {}
+    carboxyl terminus (empty tails); otherwise peptides without the
+    attach acid are dropped (they cannot stick to the slide)."""
     if attach_acid == "cterm":
-        for protein in peptides:
-            for sequence in peptides[protein]:
-                return_peptides.setdefault(protein, []).append((sequence, ""))
-            return_peptides[protein] = tuple(return_peptides[protein])
-        return return_peptides
-    for protein in peptides:
-        for sequence in peptides[protein]:
-            if attach_acid in sequence:
-                attach_point = sequence.find(attach_acid)
-                return_peptides.setdefault(protein, [])
-                return_peptides[protein].append((sequence[:attach_point],
-                                                 sequence[attach_point:]))
-        if protein in return_peptides:
-            return_peptides[protein] = tuple(return_peptides[protein])
-    return return_peptides
+        return {protein: tuple((seq, "") for seq in sequences)
+                for protein, sequences in peptides.items()}
+    out = {}
+    for protein, sequences in peptides.items():
+        pairs = []
+        for seq in sequences:
+            head, sep, rest = seq.partition(attach_acid)
+            if sep:
+                pairs.append((head, sep + rest))
+        if pairs:
+            out[protein] = tuple(pairs)
+    return out
 
 
 def homogenize_attached(peptides, substitute_acid, target_acids):
-    """homogenize for attached (head, tail) pairs (MCsimlib.py:265-279)."""
-    return_peptides = {}
-    for protein, sequences in peptides.items():
-        for head, tail in sequences:
-            for acid in target_acids:
-                head = head.replace(acid, substitute_acid)
-                tail = tail.replace(acid, substitute_acid)
-            return_peptides.setdefault(protein, []).append((head, tail))
-    for protein, sequences in return_peptides.items():
-        return_peptides[protein] = tuple(sequences)
-    return return_peptides
+    """homogenize for attached (head, tail) pairs (MCsimlib.py:265-279).
+
+    Unlike :func:`homogenize`, the reference applies every target acid
+    cumulatively here (no re-replacement bug)."""
+    def _sub(s):
+        for acid in target_acids:
+            s = s.replace(acid, substitute_acid)
+        return s
+
+    return {protein: tuple((_sub(head), _sub(tail))
+                           for head, tail in sequences)
+            for protein, sequences in peptides.items()}
 
 
 def discard(peptides, label_acids, tot_range, silent=True):
@@ -120,44 +113,45 @@ def edman_failure_gaps_MP(peptides, label_acids, p, probability_threshold=0.1,
 
 
 def _split_peptides_for_mp(peptides, child_count):
-    """Partition proteins into child_count lists (MCsimlib.py:543-583)."""
-    ppcb = len(peptides) // child_count
-    ppcr = len(peptides) % child_count
-    proteins = list(peptides.keys())
-    out = [proteins[(ppcb + 1) * x:(ppcb + 1) * (x + 1)]
-           for x in range(ppcr)]
-    out += [proteins[ppcr * (ppcb + 1) + x * ppcb:
-                     ppcr * (ppcb + 1) + (x + 1) * ppcb]
-            for x in range(child_count - ppcr)]
+    """Partition proteins into child_count lists (MCsimlib.py:543-583):
+    the first (len % child_count) children get one extra protein."""
+    proteins = list(peptides)
+    base, extra = divmod(len(proteins), child_count)
+    out, at = [], 0
+    for child in range(child_count):
+        size = base + (1 if child < extra else 0)
+        out.append(proteins[at:at + size])
+        at += size
     return out
+
+
+def _exposure_positions(window):
+    """A window's exposed positions: each windowed cycle and the one
+    before it (the drop between exposures is observable)."""
+    return set(window) | {x - 1 for x in window}
 
 
 def _exposures(position, windows):
     """Exposure counts per color before a position (MCsimlib.py:634-688)."""
-    exposure_dictionary = {}
-    for acid in windows:
-        exposures = list(set(list(windows[acid]) +
-                             [x - 1 for x in windows[acid]]))
-        exposure_dictionary.setdefault(acid,
-                                       sum(x < position for x in exposures))
-    return exposure_dictionary
+    return {acid: sum(x < position for x in _exposure_positions(window))
+            for acid, window in windows.items()}
 
 
 def window_filter(signals, windows):
-    """Filter signals down to observable drops (MCsimlib.py:690-726)."""
-    windowed_signals = []
+    """Filter signals down to observable drops (MCsimlib.py:690-726): a
+    gap survives if its position AND the position before it are exposed
+    for its color; surviving gaps are deduped and re-sorted by
+    position."""
+    exposed = {acid: _exposure_positions(window)
+               for acid, window in windows.items()}
+    out = []
     for signal in signals:
-        filtered_gaps = []
-        for acid in windows:
-            exposures = set(list(windows[acid]) +
-                            [x - 1 for x in windows[acid]])
-            filtered_gaps.extend([gap for gap in signal
-                                  if (gap[1] == acid and
-                                      gap[0] in exposures and
-                                      gap[0] - 1 in exposures)])
-        filtered_gaps = sorted(set(filtered_gaps), key=lambda g: g[0])
-        windowed_signals.append(tuple(filtered_gaps))
-    return tuple(windowed_signals)
+        kept = {gap for gap in signal
+                if gap[1] in exposed
+                and gap[0] in exposed[gap[1]]
+                and gap[0] - 1 in exposed[gap[1]]}
+        out.append(tuple(sorted(kept, key=lambda g: g[0])))
+    return tuple(out)
 
 
 def perfect(signal_to_protein, b, windows, probability_threshold=0.01):

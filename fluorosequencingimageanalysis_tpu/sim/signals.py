@@ -6,6 +6,16 @@ present in its tree (its docstring admits the .c file is elsewhere,
 MCsimlib.py:1981-1982), so it cannot actually run there; our version uses
 the exact Python model and therefore works. The ``monte_carlo_dictionary``
 family is deprecated in the reference and stays deprecated.
+
+Distributional contract (tested against the batched native sampler in
+tests/test_native.py):
+- every labeled acid is independently a dud with probability u;
+- each surviving head fluor's drop is its ideal Edman position plus a
+  cumulative negative-binomial delay (gap length d, success p);
+- head fluors may instead photobleach at an earlier exposure of their
+  color (geometric in the exposure count with rate b); tail fluors can
+  ONLY photobleach (they are never cleaved off);
+- only drops bracketed by two exposures of their color are observable.
 """
 
 from __future__ import annotations
@@ -13,8 +23,44 @@ from __future__ import annotations
 import math
 import random
 
-from .proteome import _dp
-from .trie import SignalTrie
+from .proteome import _dp, _exposure_positions
+
+
+def _kill_duds(sequence, labeled, u):
+    """Each labeled acid independently becomes a dud ('x') with
+    probability u."""
+    return "".join("x" if ch in labeled and random.random() <= u else ch
+                   for ch in sequence)
+
+
+def _sample_edman_delay(d, p):
+    """Inverse-CDF draw of the number of Edman failures across a gap of
+    length d (Bernoulli-delay distribution _dp); the reference walks the
+    CDF until it passes the uniform draw or stops increasing (float
+    underflow guard for tiny p)."""
+    point = random.random()
+    cdf, prev, e = 0.0, -1.0, 0
+    while cdf - prev > 0.0:  # stop once the CDF is numerically exhausted
+        prev = cdf
+        cdf += _dp(d, e, p)
+        if cdf >= point:
+            return e
+        e += 1
+    return e
+
+
+def _sample_bleach_position(exposures, b):
+    """Inverse-CDF draw over an ordered exposure list with per-exposure
+    survival e^-b; returns the 1-based drop position, or None when the
+    fluor outlives every exposure (no bleach event)."""
+    point = random.random()
+    scale = 1.0 - math.e ** -b  # zero when b == 0: never bleaches
+    cdf = 0.0
+    for k, position in enumerate(exposures):
+        cdf += math.e ** (-b * k)
+        if cdf * scale >= point:
+            return position + 1
+    return None
 
 
 def random_signal(peptide, p=1.0, b=0.0, u=0.0, windows={}):
@@ -22,81 +68,50 @@ def random_signal(peptide, p=1.0, b=0.0, u=0.0, windows={}):
     (MCsimlib.py:863-1074): dud removal (u), Edman delays (p), head/tail
     photobleaching (b), then windowing."""
     p, b, u = float(p), float(b), float(u)
-    # Dud removal: each labeled acid dies with probability u ('x' marks a
-    # dead fluor).
+    head, tail = peptide
+    # Dud removal. The reference processes one color at a time (head
+    # occurrences, then tail); each occurrence draws independently, so
+    # per-character sampling is the same distribution.
     for acid in windows:
-        s_h = peptide[0].split(acid)
-        s_t = peptide[1].split(acid)
-        h_r = [acid if random.random() > u else "x"
-               for _ in range(len(s_h) - 1)]
-        t_r = [acid if random.random() > u else "x"
-               for _ in range(len(s_t) - 1)]
-        if len(s_h) > len(h_r):
-            h_r += [""]
-        elif len(s_h) < len(h_r):
-            s_h += [""]
-        if len(s_t) > len(t_r):
-            t_r += [""]
-        elif len(s_t) < len(t_r):
-            s_t += [""]
-        peptide = ("".join(x for pair in zip(s_h, h_r) for x in pair),
-                   "".join(x for pair in zip(s_t, t_r) for x in pair))
-    # Ideal cumulative gaps for live labeled head acids.
-    gaps = tuple((index + 1, acid) for index, acid in enumerate(peptide[0])
-                 if acid in windows)
-    # Edman delays: inverse-CDF sample of the Bernoulli-delay distribution.
-    modified_gaps = list(gaps)
-    cumulative_e = 0
-    for index, gap in enumerate(gaps):
-        d = (gaps[index][0] - gaps[index - 1][0] if index > 0
-             else gaps[index][0])
-        random_point = random.random()
-        e = 0
-        accumulator = 0.0
-        prior_accumulator = -1.0
-        while accumulator - prior_accumulator > 0.0:
-            prior_accumulator = accumulator
-            accumulator += _dp(d, e, p)
-            if accumulator >= random_point:
-                break
-            e += 1
-        cumulative_e += e
-        modified_gaps[index] = (gap[0] + cumulative_e, gap[1])
-    # Head photobleaching: exposures strictly before the (delayed) drop.
-    gaps = tuple(modified_gaps)
-    for index, gap in enumerate(gaps):
-        random_point = random.random()
-        accumulator = 0.0
-        exposures = sorted(set(
-            [x for x in windows[gap[1]] if x < gap[0] - 1] +
-            [x - 1 for x in windows[gap[1]] if x - 1 < gap[0] - 1]))
-        for survival, position in enumerate(exposures):
-            accumulator += math.e ** (-b * survival)
-            if accumulator * (1 - math.e ** -b) >= random_point:
-                modified_gaps[index] = (position + 1, gap[1])
-                break
-    # Tail photobleaching.
-    tail_acids = [acid for acid in windows
-                  for _ in range(peptide[1].count(acid))]
-    for acid in tail_acids:
-        random_point = random.random()
-        accumulator = 0.0
-        exposures = sorted(set(list(windows[acid]) +
-                               [x - 1 for x in windows[acid]]))
-        for survival, position in enumerate(exposures):
-            accumulator += math.e ** (-b * survival)
-            if accumulator * (1 - math.e ** -b) >= random_point:
-                modified_gaps.append((position + 1, acid))
-                break
-    # Windowing: keep drops bounded by two exposures of their color.
-    filtered_gaps = []
+        head = _kill_duds(head, acid, u)
+        tail = _kill_duds(tail, acid, u)
+
+    # Head fluors: ideal drop = 1-based position; Edman failures
+    # accumulate across successive gaps.
+    drops = []
+    prev_ideal = 0
+    cumulative_delay = 0
+    for index, acid in enumerate(head):
+        if acid not in windows:
+            continue
+        ideal = index + 1
+        cumulative_delay += _sample_edman_delay(ideal - prev_ideal, p)
+        prev_ideal = ideal
+        drops.append((ideal + cumulative_delay, acid))
+
+    # Head photobleaching: a fluor may instead die at an exposure of its
+    # color strictly before its Edman drop.
+    for i, (position, acid) in enumerate(drops):
+        exposures = sorted(x for x in _exposure_positions(windows[acid])
+                           if x < position - 1)
+        bleach = _sample_bleach_position(exposures, b)
+        if bleach is not None:
+            drops[i] = (bleach, acid)
+
+    # Tail fluors never leave the slide: photobleaching only.
     for acid in windows:
-        exposures = set(list(windows[acid]) +
-                        [x - 1 for x in windows[acid]])
-        filtered_gaps.extend([gap for gap in modified_gaps
-                              if (gap[1] == acid and gap[0] in exposures and
-                                  gap[0] - 1 in exposures)])
-    return tuple(sorted(set(filtered_gaps), key=lambda g: g[0]))
+        exposures = sorted(_exposure_positions(windows[acid]))
+        for _ in range(tail.count(acid)):
+            bleach = _sample_bleach_position(exposures, b)
+            if bleach is not None:
+                drops.append((bleach, acid))
+
+    # Windowing: keep drops whose position AND prior position are exposed
+    # for their color; dedupe, sort by position.
+    observable = {gap for gap in drops
+                  if gap[0] in _exposure_positions(windows[gap[1]])
+                  and gap[0] - 1 in _exposure_positions(windows[gap[1]])}
+    return tuple(sorted(observable, key=lambda g: g[0]))
 
 
 def monte_carlo_trie(peptides, p, b, u, windows, sample_size=100,
@@ -104,13 +119,12 @@ def monte_carlo_trie(peptides, p, b, u, windows, sample_size=100,
     """Sample sample_size signals per peptide into a SignalTrie
     (MCsimlib.py:1787-1849; the reference shells out to the missing
     randsiggen C extension — we run the exact Python model)."""
+    from .trie import SignalTrie
+
     return_trie = SignalTrie((None, None))
-    if random_seed is not None:
-        random.seed(random_seed)
-    else:
-        random.seed()
-    for protein in peptides:
-        for peptide in peptides[protein]:
+    random.seed(random_seed)
+    for protein, protein_peptides in peptides.items():
+        for peptide in protein_peptides:
             for _ in range(sample_size):
                 signal = random_signal(peptide, p, b, u, windows)
                 if signal:
