@@ -467,6 +467,49 @@ def test_run_experiment_empty_field():
         assert len(cat) == 3 and len(ph) == 3
 
 
+def test_run_experiment_multigroup_matches_per_field():
+    """F > group size exercises the pipelined grouped-upload generator
+    (api._stack_step_groups): group boundaries and tail padding must not
+    perturb any field's rows. Tracking is per-field independent, so the
+    10-field run must emit exactly the rows of ten 1-field runs."""
+    stacks = [make_stack(F=1, C=3, seed=20 + f, n_spots=10)
+              for f in range(10)]
+    stack = np.concatenate(stacks)
+    pipe = Pipeline()
+    rows_multi = pipe.run_experiment(stack, max_candidates=256,
+                                     max_spots=128)["rows"]
+    rows_single = []
+    for f in range(10):
+        for (ch, _, h, w, cat, ph) in pipe.run_experiment(
+                stacks[f], max_candidates=256, max_spots=128)["rows"]:
+            rows_single.append((ch, f, h, w, cat, ph))
+    assert len(rows_multi) == len(rows_single) > 50
+    for rm, rs in zip(rows_multi, rows_single):
+        assert rm[:5] == rs[:5]
+        np.testing.assert_array_equal(rm[5], rs[5])
+
+
+def test_run_experiment_store_cache_hit(tmp_path):
+    """With an ArtifactStore, the second run_experiment call must reuse
+    the cached detect step (the generator's store-hit path yields one
+    full-stack group) and reproduce the rows exactly."""
+    from fluorosequencingimageanalysis_tpu.utils.checkpoint import (
+        ArtifactStore)
+
+    stack = make_stack(F=2, C=3, seed=15, n_spots=10)
+    store = ArtifactStore(str(tmp_path / "store"), use_orbax=False)
+    pipe = Pipeline(store=store)
+    out1 = pipe.run_experiment(stack, max_candidates=256, max_spots=128)
+    n_keys = len(list(store.keys()))
+    assert n_keys > 0
+    out2 = pipe.run_experiment(stack, max_candidates=256, max_spots=128)
+    assert len(list(store.keys())) == n_keys  # hit, no new entries
+    assert len(out1["rows"]) == len(out2["rows"]) > 0
+    for r1, r2 in zip(out1["rows"], out2["rows"]):
+        assert r1[:5] == r2[:5]
+        np.testing.assert_array_equal(r1[5], r2[5])
+
+
 def test_link_field_discards_dropouts_and_survives_edge_drift():
     """Spots whose offset positions leave any frame must be discarded
     before linking (discard_dropouts semantics), for BOTH the native C++
