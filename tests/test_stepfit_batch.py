@@ -80,6 +80,53 @@ def test_stepfit_batched_matches_trace_chain():
                                        [h for _, _, h in un_t])
 
 
+def test_native_postpass_equals_python_fallback():
+    """The C++ post-pass (native/stepchain.cpp: plateau assembly -> refit
+    -> iterated drop-sort Welch-t merge) must produce EXACTLY the Python
+    fallback's plateau structures. Forced-branch differential on a random
+    battery: steps of varied magnitude/position, flat traces, short
+    traces, negative-going traces."""
+    import pytest
+
+    from fluorosequencingimageanalysis_tpu.native import stepchain
+
+    if not stepchain.have_native():
+        pytest.skip("native stepchain unavailable (no g++?)")
+
+    rng = np.random.default_rng(7)
+    batteries = [
+        _step_traces(rng, n=16, t=60, noise=1200.0),
+        rng.normal(5000.0, 400.0, (8, 25)),              # stepless
+        -_step_traces(rng, n=8, t=40, noise=600.0),      # inverted
+        np.concatenate([                                  # ragged steps
+            np.where(np.arange(48) < k, 40000.0, 9000.0)[None]
+            + rng.normal(0, 900.0, (1, 48))
+            for k in range(4, 44, 5)]),
+    ]
+    orig = stepchain.have_native
+    for phot in batteries:
+        native = stepfit_batched(phot, mirror_start=10, chung_kennedy=1,
+                                 p_threshold=0.01)
+        stepchain.have_native = lambda: False
+        try:
+            fallback = stepfit_batched(phot, mirror_start=10,
+                                       chung_kennedy=1, p_threshold=0.01)
+        finally:
+            stepchain.have_native = orig
+        for (p_n, ck_n, pl_n, t_n), (p_p, ck_p, pl_p, t_p) in zip(
+                native, fallback):
+            np.testing.assert_array_equal(p_n, p_p)
+            np.testing.assert_allclose(ck_n, ck_p, atol=1e-9)
+            assert [(a, b) for a, b, _ in pl_n] == \
+                [(a, b) for a, b, _ in pl_p]
+            np.testing.assert_allclose([h for _, _, h in pl_n],
+                                       [h for _, _, h in pl_p], rtol=1e-12)
+            assert [(a, b) for a, b, _ in t_n] == \
+                [(a, b) for a, b, _ in t_p]
+            np.testing.assert_allclose([h for _, _, h in t_n],
+                                       [h for _, _, h in t_p], rtol=1e-12)
+
+
 def test_stepfit_tracks_batched_equals_sequential():
     from fluorosequencingimageanalysis_tpu.pipeline.experiment import \
         TimetraceExperiment
