@@ -415,6 +415,7 @@ def make_movie(T=24, H=512, W=512, n_spots=800, seed=0, beta=2500.0):
     (the basic_timetrace_script workload)."""
     rng = np.random.default_rng(seed)
     movie = rng.normal(400.0, 6.0, (T, H, W)).astype(np.float32)
+    # (clipped to uint16 raw camera frames at the end)
     pos = rng.uniform(12, H - 12, (n_spots, 2))
     steps = rng.integers(1, 4, n_spots)
     hh, ww = np.indices((25, 25)).astype(np.float32)
@@ -436,7 +437,9 @@ def make_movie(T=24, H=512, W=512, n_spots=800, seed=0, beta=2500.0):
             movie[f, ih:ih + 25, iw:iw + 25] += level * beta * np.exp(
                 -(((hh - (h - ih)) ** 2) + ((ww - (w - iw)) ** 2)) /
                 (2 * 1.3 ** 2))
-    return movie
+    # Raw uint16 camera frames (the real acquisition dtype): half the
+    # host->device bytes of float32; run_timetrace casts on device.
+    return np.clip(movie, 0, 65535).astype(np.uint16)
 
 
 def bench_timetrace(T=24, n_spots=800, host_sample=12):

@@ -73,6 +73,14 @@ class Pipeline:
         import contextlib
         return contextlib.nullcontext()
 
+    def _gather_strategy(self):
+        """Concrete detect patch-gather strategy ('auto' resolves by the
+        measured-MXU probe, once per process). Resolved here — at host
+        level, outside any trace — because the probe runs a device
+        program."""
+        from .ops.candidates import resolve_gather_strategy
+        return resolve_gather_strategy(self.config.detect.gather_strategy)
+
     # -- imaging ------------------------------------------------------------
 
     def run_stack(self, stack, max_candidates=None, max_spots=None,
@@ -143,7 +151,8 @@ class Pipeline:
                         photometry_method=phot.method,
                         photometry_radius=phot.radius,
                         photometry_brim=phot.brim_size,
-                        photometry_min=phot.photometry_min)
+                        photometry_min=phot.photometry_min,
+                        gather_strategy=self._gather_strategy())
                 return {k: np.asarray(v)[:F] for k, v in out.items()
                         if keys is None or k in keys}
 
@@ -227,7 +236,8 @@ class Pipeline:
                                    "sextractor" else "sigmas"),
                 photometry_radius=phot.radius,
                 photometry_brim=phot.brim_size,
-                photometry_min=phot.photometry_min)
+                photometry_min=phot.photometry_min,
+                gather_strategy=self._gather_strategy())
             devs, outs = [], []
             with mesh:
                 for lo in range(0, F, g):
@@ -538,7 +548,7 @@ class Pipeline:
         photometries (N, T), step_fits, step_fit_intermediates,
         trace_count, csv_path.
         """
-        from .models.detect import find_peptides
+        from .models.detect import find_peptide_centers
         from .pipeline.fast_timetrace import lc_track, \
             timetrace_photometries
         from .pipeline.traces import PhotometryTrace, PlateauTrace
@@ -557,26 +567,31 @@ class Pipeline:
             raise ValueError("movie must be [frames, H, W]")
         import jax.numpy as jnp
         movie_dev = jnp.asarray(movie)
+        if movie_dev.dtype != jnp.float32:
+            # Raw camera dtypes upload as-is (half the bytes for uint16 —
+            # the upload IS the detect stage's dominant cost on remote
+            # links) and cast on device, like run_stack.
+            movie_dev = movie_dev.astype(jnp.float32)
         with self._stage("api/run_timetrace/detect"):
             det = self.config.detect
-            psfs = find_peptides(
-                np.asarray(movie[0]),
+            # Lean arrays path: the psfs-dict key semantics without the
+            # sub/fit-image materialization (one dispatch + one fetch —
+            # find_peptides costs ~3x more per image on remote links).
+            h0, w0, fits, _count = find_peptide_centers(
+                movie_dev[0],
                 median_filter_size=det.median_filter_size, c_std=det.c_std,
                 r_2_threshold=det.r_2_threshold,
                 consolidation_radius=det.consolidation_radius,
                 max_candidates=(max_candidates if max_candidates is not None
                                 else det.max_candidates),
-                num_iters=det.num_iters)
-        if not psfs:
+                num_iters=det.num_iters,
+                gather_strategy=self._gather_strategy())
+        if len(h0) == 0:
             return {"traces": {"h": [], "w": [], "present": None,
                                "rec_h": None, "rec_w": None},
                     "photometries": np.zeros((0, movie.shape[0])),
                     "step_fits": {}, "step_fit_intermediates": {},
                     "trace_count": 0, "csv_path": None}
-        keys = list(psfs.keys())
-        h0 = np.array([k[0] for k in keys])
-        w0 = np.array([k[1] for k in keys])
-        fits = [psfs[k] for k in keys]
         with self._stage("api/run_timetrace/track"):
             rec_h, rec_w, present = lc_track(
                 movie_dev, h0, w0, search_radius=search_radius,

@@ -51,19 +51,31 @@ class SpotFindResult(NamedTuple):
 @functools.partial(jax.jit, static_argnames=(
     "median_filter_size", "correlation_matrix", "c_std", "r_2_threshold",
     "consolidation_radius", "max_candidates", "num_iters", "use_pallas",
-    "theta_starts"))
+    "theta_starts", "gather_strategy"))
 def detect_and_fit_batch(images, median_filter_size=5,
                          correlation_matrix=None, c_std=2.0,
                          r_2_threshold=0.7, consolidation_radius=4.0,
                          max_candidates=4096, num_iters=60,
-                         use_pallas=False, theta_starts=1):
+                         use_pallas=False, theta_starts=1,
+                         gather_strategy="gather"):
     """Jitted batched detection + fit. images: (B, H, W) float array.
 
     All per-image candidate buckets are fused into ONE lane-major LM call
     (B*K fits) — the TPU-efficient layout — and the candidate maps come
     from the fused Pallas kernel when use_pallas is set.
+
+    gather_strategy: 'gather' (XLA advanced indexing — right when small-
+    slice gathers are cheap or the MXU is slow) or 'onehot' (MXU one-hot
+    contractions, bit-exact — right on full-speed MXU hardware). Resolve
+    'auto' with ops.candidates.resolve_gather_strategy BEFORE calling
+    (the probe runs a device program; host-level wrappers do this).
     """
-    from ..ops.candidates import HashableArray
+    from ..ops.candidates import HashableArray, gather_patches_onehot
+    if gather_strategy not in ("gather", "onehot"):
+        raise ValueError(
+            "detect_and_fit_batch needs a concrete gather_strategy "
+            "('gather'/'onehot'); resolve 'auto' on the host with "
+            "ops.candidates.resolve_gather_strategy first")
     images = jnp.asarray(images)
     B = images.shape[0]
     if correlation_matrix is None:
@@ -76,8 +88,10 @@ def detect_and_fit_batch(images, median_filter_size=5,
         c_std=float(c_std), max_candidates=max_candidates,
         use_pallas=use_pallas)
 
+    gfun = (gather_patches_onehot if gather_strategy == "onehot"
+            else gather_patches)
     patches = jax.vmap(
-        lambda img, h, w: gather_patches(img, h, w, radius=2))(images, hs, ws)
+        lambda img, h, w: gfun(img, h, w, radius=2))(images, hs, ws)
     flat = patches.reshape(B * max_candidates, 5, 5)
     params, _cost = fit_gaussians_batched(flat, num_iters=num_iters,
                                           theta_starts=theta_starts)
@@ -104,9 +118,10 @@ def detect_and_fit_batch(images, median_filter_size=5,
 
 def detect_and_fit(image, median_filter_size=5, correlation_matrix=None,
                    c_std=2.0, r_2_threshold=0.7, consolidation_radius=4.0,
-                   max_candidates=4096, num_iters=60, use_pallas=None):
+                   max_candidates=4096, num_iters=60, use_pallas=None,
+                   gather_strategy="auto"):
     """Single-field detection + fit (batch of one). Image: (H, W)."""
-    from ..ops.candidates import HashableArray
+    from ..ops.candidates import HashableArray, resolve_gather_strategy
     if use_pallas is None:
         use_pallas = jax.default_backend() in ("tpu", "axon")
     if correlation_matrix is not None and \
@@ -118,7 +133,8 @@ def detect_and_fit(image, median_filter_size=5, correlation_matrix=None,
         r_2_threshold=float(r_2_threshold),
         consolidation_radius=float(consolidation_radius),
         max_candidates=max_candidates, num_iters=num_iters,
-        use_pallas=bool(use_pallas))
+        use_pallas=bool(use_pallas),
+        gather_strategy=resolve_gather_strategy(gather_strategy))
     return SpotFindResult(*(x[0] for x in res))
 
 
@@ -198,6 +214,67 @@ def _fit_images_jit(params):
     return gauss2d_image(params, (5, 5), dtype=params.dtype)
 
 
+@jax.jit
+def _lean_pack(keep, center_h, center_w, params, cand_count):
+    """Pack the detect outputs a tracker needs into ONE [K, 11] array so
+    a single device->host transfer suffices (each fetch is a full round
+    trip; on high-latency links the 9-array fetch costs ~10x the step).
+
+    Columns: center_h, center_w, keep, cand_count (broadcast; counts are
+    exact in f32 up to 2^24), then the 7 fit params.
+    """
+    K = keep.shape[0]
+    cols = [center_h, center_w, keep.astype(jnp.float32),
+            jnp.full((K,), cand_count, jnp.float32)]
+    cols += [params[:, i] for i in range(7)]
+    return jnp.stack(cols, axis=1)
+
+
+def find_peptide_centers(image, median_filter_size=5, c_std=2.0,
+                         r_2_threshold=0.7, consolidation_radius=4.0,
+                         max_candidates=4096, num_iters=60,
+                         gather_strategy="auto"):
+    """Lean find_peptides: the psfs-dict KEY semantics (Py2-rounded
+    first-occurrence dedup in kept-candidate order, pflib.py:513-519)
+    without materializing sub/fit images — one device dispatch + one
+    fetch. Returns (h0, w0, fits, count): float centers and 7-tuple fits
+    (h_0, w_0, H, A, sigma_h, sigma_w, theta — indices 0-6 of the psfs
+    tuple) per unique rounded key, plus the true candidate count."""
+    image = jnp.asarray(image)
+    if image.dtype != jnp.float32:
+        image = image.astype(jnp.float32)  # raw camera dtypes cast on device
+    res = detect_and_fit(
+        image, median_filter_size=median_filter_size,
+        c_std=float(c_std), r_2_threshold=float(r_2_threshold),
+        consolidation_radius=float(consolidation_radius),
+        max_candidates=max_candidates, num_iters=num_iters,
+        gather_strategy=gather_strategy)
+    packed = np.asarray(_lean_pack(res.keep, res.center_h, res.center_w,
+                                   res.params, res.cand_count))
+    count = int(packed[0, 3]) if packed.shape[0] else 0
+    if count > max_candidates:
+        import logging
+        logging.getLogger(__name__).warning(
+            "find_peptides: %d candidates exceed max_candidates=%d; the "
+            "weakest-correlation candidates were dropped. Re-run with a "
+            "larger max_candidates for exhaustive coverage.",
+            count, max_candidates)
+    seen = set()
+    h0, w0, fits = [], [], []
+    for i in np.nonzero(packed[:, 2] > 0)[0]:
+        ch, cw = float(packed[i, 0]), float(packed[i, 1])
+        key = (py2_round(ch), py2_round(cw))
+        if key in seen:
+            continue
+        seen.add(key)
+        h0.append(key[0])
+        w0.append(key[1])
+        p = packed[i, 4:11]
+        fits.append((ch, cw, float(p[0]), float(p[1]), float(p[4]),
+                     float(p[5]), float(p[6])))
+    return np.asarray(h0), np.asarray(w0), fits, count
+
+
 def _psfs_from_arrays(image, idx, params, center_h, center_w, rm, r2, sn,
                       cand_h, cand_w, fit_type="gauss"):
     """Kept-fit arrays -> the reference psfs dict (pflib.py:395-428)."""
@@ -245,7 +322,7 @@ def _psfs_from_arrays(image, idx, params, center_h, center_w, rm, r2, sn,
 def find_peptides_batch(images, median_filter_size=5, correlation_matrix=None,
                         c_std=2, r_2_threshold=0.7, consolidation_radius=4,
                         max_candidates=4096, num_iters=60, dtype=np.float32,
-                        use_pallas=None):
+                        use_pallas=None, gather_strategy="auto"):
     """find_peptides over a same-shape image stack in ONE device program.
 
     The reference's parallel_image_batch exists to spread its per-image
@@ -255,6 +332,7 @@ def find_peptides_batch(images, median_filter_size=5, correlation_matrix=None,
     find_peptides (fit_type='gauss').
     """
     import jax
+    from ..ops.candidates import resolve_gather_strategy
     images = np.asarray(images)
     if use_pallas is None:
         use_pallas = jax.default_backend() in ("tpu", "axon")
@@ -265,7 +343,8 @@ def find_peptides_batch(images, median_filter_size=5, correlation_matrix=None,
         r_2_threshold=float(r_2_threshold),
         consolidation_radius=float(consolidation_radius),
         max_candidates=max_candidates, num_iters=num_iters,
-        use_pallas=bool(use_pallas))
+        use_pallas=bool(use_pallas),
+        gather_strategy=resolve_gather_strategy(gather_strategy))
     counts = np.asarray(res.cand_count)
     if (counts > max_candidates).any():
         import logging

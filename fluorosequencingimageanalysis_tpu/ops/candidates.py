@@ -246,6 +246,80 @@ def gather_patches_dynslice(image, hs, ws, radius):
     return jax.vmap(one)(hs, ws)
 
 
+_MXU_TFLOPS: dict = {}
+
+# Measured-throughput crossover for preferring the one-hot MXU gather.
+# Derivation (DESIGN.md section 14): the XLA small-slice gather floor is
+# ~45 ms per 65k 5x5 patches (per-index latency-bound, hardware-
+# independent to first order); the one-hot contraction costs ~5 GFLOP per
+# 2048-candidate 512x512 image, ~160 GFLOP for a 32-image batch — under
+# 45 ms whenever the measured f32/HIGHEST matmul rate exceeds ~4 TFLOP/s.
+# 5.0 adds margin. Real MXU hardware measures 30-45 TFLOP/s at HIGHEST
+# (bf16 peak / 6 passes); the tunnel bench chip ~0.3 — the two regimes
+# are three orders of magnitude apart, so the threshold is not delicate.
+ONEHOT_MIN_TFLOPS = 5.0
+
+
+def measured_mxu_tflops(repeats: int = 3) -> float:
+    """Measured dense-matmul throughput (f32, precision=HIGHEST) of the
+    default backend, memoized per process.
+
+    One jitted 2048x2048 matmul reduced to a scalar on device (the sum
+    forces the full product; the 4-byte fetch is the completion barrier
+    — block_until_ready is unreliable over tunneled transports)."""
+    import time
+
+    backend = jax.default_backend()
+    if backend in _MXU_TFLOPS:
+        return _MXU_TFLOPS[backend]
+    n = 2048
+    x = jnp.asarray(np.random.default_rng(0)
+                    .normal(size=(n, n)).astype(np.float32))
+
+    @jax.jit
+    def probe(a):
+        return jnp.sum(lax.dot(a, a, precision=lax.Precision.HIGHEST))
+
+    float(probe(x))  # compile + warm
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        float(probe(x))
+        best = min(best, time.perf_counter() - t0)
+    tflops = 2.0 * n ** 3 / best / 1e12
+    _MXU_TFLOPS[backend] = tflops
+    import logging
+    logging.getLogger(__name__).info(
+        "measured_mxu_tflops[%s] = %.3f TFLOP/s (f32 HIGHEST)",
+        backend, tflops)
+    return tflops
+
+
+def resolve_gather_strategy(strategy: str = "auto") -> str:
+    """Concrete patch-gather strategy for the detect path.
+
+    'auto' picks 'onehot' (MXU contractions, gather_patches_onehot) when
+    the measured matmul throughput clears ONEHOT_MIN_TFLOPS, else
+    'gather' (XLA advanced indexing) — the two are bit-exact, so this is
+    purely a performance dispatch. The FSIA_GATHER environment variable
+    overrides 'auto'. Call OUTSIDE jit (the probe runs a device program).
+    """
+    if strategy in ("gather", "onehot"):
+        return strategy
+    if strategy != "auto":
+        raise ValueError("gather_strategy must be 'auto', 'gather' or "
+                         "'onehot': " + repr(strategy))
+    import os
+    env = os.environ.get("FSIA_GATHER", "").strip().lower()
+    if env:
+        if env not in ("gather", "onehot"):
+            raise ValueError("FSIA_GATHER must be 'gather' or 'onehot': " +
+                             repr(env))
+        return env
+    return ("onehot" if measured_mxu_tflops() >= ONEHOT_MIN_TFLOPS
+            else "gather")
+
+
 def gather_patches_onehot(image, hs, ws, radius=2):
     """Patch gather as one-hot contractions (exact, MXU-targeted).
 

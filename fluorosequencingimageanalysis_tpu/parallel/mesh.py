@@ -61,7 +61,7 @@ def shard_fields(stack, mesh):
                      "num_iters", "theta_starts", "use_pallas",
                      "upsample_factor", "photometry_method",
                      "photometry_radius", "photometry_brim",
-                     "photometry_min"))
+                     "photometry_min", "gather_strategy"))
 def experiment_step_sharded(stack, mesh, median_filter_size=5, c_std=2.0,
                             r_2_threshold=0.7, consolidation_radius=4.0,
                             max_candidates=256, max_spots=None,
@@ -69,7 +69,7 @@ def experiment_step_sharded(stack, mesh, median_filter_size=5, c_std=2.0,
                             upsample_factor=10,
                             photometry_method="mexican_hat",
                             photometry_radius=9, photometry_brim=6,
-                            photometry_min=None):
+                            photometry_min=None, gather_strategy="gather"):
     """One full experiment step over a [fields, cycles, H, W] stack.
 
     Stages (all inside one jitted program, partitioned over the mesh):
@@ -132,7 +132,8 @@ def experiment_step_sharded(stack, mesh, median_filter_size=5, c_std=2.0,
             r_2_threshold=r_2_threshold,
             consolidation_radius=consolidation_radius,
             max_candidates=max_candidates, num_iters=num_iters,
-            use_pallas=use_pallas, theta_starts=theta_starts)
+            use_pallas=use_pallas, theta_starts=theta_starts,
+            gather_strategy=gather_strategy)
 
     if n_data > 1:
         import inspect

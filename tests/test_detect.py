@@ -1,6 +1,7 @@
 """Tests for candidate detection + whole-field spot finding."""
 
 import numpy as np
+import pytest
 from scipy.ndimage import median_filter as scipy_median_filter
 from scipy.signal import correlate as scipy_correlate
 
@@ -204,6 +205,52 @@ def test_gather_patches_onehot_exact():
     a = jax.jit(gather_patches)(img, hs, ws)
     b = jax.jit(gather_patches_onehot)(img, hs, ws)
     assert bool(jnp.all(a == b))
+
+
+def test_gather_strategy_resolution_and_equality(monkeypatch):
+    """'auto' resolves by measured matmul throughput (env-overridable);
+    both strategies give identical detect results end-to-end."""
+    import jax.numpy as jnp
+    from fluorosequencingimageanalysis_tpu.ops import candidates as cand
+    from fluorosequencingimageanalysis_tpu.models.detect import (
+        detect_and_fit)
+
+    # Resolution: concrete passes through, auto consults the probe,
+    # env var overrides, junk rejected.
+    assert cand.resolve_gather_strategy("gather") == "gather"
+    assert cand.resolve_gather_strategy("onehot") == "onehot"
+    monkeypatch.setitem(cand._MXU_TFLOPS, "fake", 50.0)
+    monkeypatch.setattr(cand.jax, "default_backend", lambda: "fake")
+    assert cand.resolve_gather_strategy("auto") == "onehot"
+    cand._MXU_TFLOPS["fake"] = 0.5
+    assert cand.resolve_gather_strategy("auto") == "gather"
+    monkeypatch.setenv("FSIA_GATHER", "onehot")
+    assert cand.resolve_gather_strategy("auto") == "onehot"
+    monkeypatch.setenv("FSIA_GATHER", "bogus")
+    with pytest.raises(ValueError):
+        cand.resolve_gather_strategy("auto")
+    monkeypatch.delenv("FSIA_GATHER")
+    with pytest.raises(ValueError):
+        cand.resolve_gather_strategy("sideways")
+
+    # The real probe runs and returns something positive (memoized).
+    monkeypatch.undo()
+    assert cand.measured_mxu_tflops() > 0
+
+    # End-to-end equality of the two strategies on a planted field.
+    rng = np.random.default_rng(9)
+    img = rng.normal(400, 8, (64, 64)).astype(np.float32)
+    hh, ww = np.mgrid[0:64, 0:64].astype(np.float32)
+    for (h, w) in [(20.3, 30.6), (40.7, 50.2), (12.2, 52.8)]:
+        img += 3000.0 * np.exp(
+            -(((hh - h) ** 2) + ((ww - w) ** 2)) / (2 * 1.3 ** 2))
+    a = detect_and_fit(jnp.asarray(img), max_candidates=64,
+                       gather_strategy="gather")
+    b = detect_and_fit(jnp.asarray(img), max_candidates=64,
+                       gather_strategy="onehot")
+    np.testing.assert_array_equal(np.asarray(a.keep), np.asarray(b.keep))
+    np.testing.assert_array_equal(np.asarray(a.params),
+                                  np.asarray(b.params))
 
 
 def test_find_peptides_batch_matches_single():

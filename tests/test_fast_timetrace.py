@@ -155,6 +155,22 @@ def test_run_timetrace_photometry_methods(tmp_path):
     assert out["trace_count"] > 2
 
 
+def test_run_timetrace_uint16_equals_float32(tmp_path):
+    """Raw uint16 movies must give identical CSVs to the same data
+    pre-cast to float32 (upload-as-is + on-device cast)."""
+    movie_f = np.clip(make_movie(seed=2, T=12, n_spots=8), 0, 65535)
+    movie_u = movie_f.astype(np.uint16)
+    out_u = Pipeline().run_timetrace(movie_u,
+                                     csv_path=str(tmp_path / "u.csv"),
+                                     max_candidates=256, chung_kennedy=1)
+    out_f = Pipeline().run_timetrace(movie_u.astype(np.float32),
+                                     csv_path=str(tmp_path / "f.csv"),
+                                     max_candidates=256, chung_kennedy=1)
+    assert out_u["trace_count"] == out_f["trace_count"] > 3
+    assert (tmp_path / "u.csv").read_text() == \
+        (tmp_path / "f.csv").read_text()
+
+
 def test_run_timetrace_empty_movie():
     rng = np.random.default_rng(0)
     movie = rng.normal(400.0, 6.0, (6, 64, 64)).astype(np.float32)
