@@ -178,6 +178,132 @@ def _cmd_simulate(args):
     return 0
 
 
+def _cmd_stepfit(args):
+    """Batched step fitting over traces from a track CSV or an .npy
+    matrix; emits the reference's per-frame step-fit CSV schema
+    (flexlibrary.py:3550-3709 columns, plus Channel/Field provenance
+    when the input is a track CSV)."""
+    import csv as csv_module
+
+    from .api import Pipeline
+    from .config import PipelineConfig, StepfitConfig
+    from .pipeline.traces import PhotometryTrace, PlateauTrace, Trace
+
+    if (args.tracks_csv is None) == (args.npy is None):
+        raise SystemExit("give exactly one of TRACKS_CSV or --npy")
+    if args.npy:
+        phot = np.load(args.npy)
+        if phot.ndim != 2:
+            raise SystemExit("--npy must hold an (N, T) photometry matrix")
+        meta = [("", "", i, "") for i in range(phot.shape[0])]
+    else:
+        from .inference.photometries import read_track_photometries_csv
+        _, d2 = read_track_photometries_csv(
+            args.tracks_csv,
+            channels=[args.channel] if args.channel else None)
+        rows = [d2[r] for r in sorted(d2)]
+        if not rows:
+            raise SystemExit("no traces in " + args.tracks_csv)
+        phot = np.asarray([row[5] for row in rows], np.float64)
+        meta = [(row[0], row[1], row[2], row[3]) for row in rows]
+
+    pipe = Pipeline(PipelineConfig(stepfit=StepfitConfig(
+        mirror_start=args.mirror_start, chung_kennedy=args.chung_kennedy,
+        p_threshold=args.p_threshold)), profile=args.profile)
+    results = pipe.stepfit(phot)
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    csv_path = os.path.join(args.output_dir, args.csv)
+    n_steps = 0
+    with open(csv_path, "w", newline="") as fh:
+        writer = csv_module.writer(fh)
+        writer.writerow(["Trace #", "Channel", "Field", "Hcoord", "Wcoord",
+                         "Frame #", "Photometry", "Step #",
+                         "Plateau Height", "Step Size", "Plateau Length",
+                         "Overall Fit R^2"])
+        for t, ((channel, field, h, w), (phots, _ck, _pl, t_filtered)) in \
+                enumerate(zip(meta, results)):
+            sf = PlateauTrace(t_filtered, h, w)
+            ptrace = PhotometryTrace(tuple(phots), h, w)
+            r_2 = Trace.coefficient_of_determination(ptrace, sf)
+            sf_starts = sf.plateau_starts()
+            ls_num, ls_pos, ls_mag = sf.last_step_info(0)
+            (pa, po, ph), _pi = sf.frame_plateau(0)
+            plateau_length = po - pa + 1
+            n_steps += max(len(t_filtered) - 1, 0)
+            for f in range(len(phots)):
+                if f in sf_starts:
+                    ls_num, ls_pos, ls_mag = sf.last_step_info(f)
+                    (pa, po, ph), _pi = sf.frame_plateau(f)
+                    plateau_length = po - pa + 1
+                writer.writerow([t, channel, field, h, w, f, phots[f],
+                                 ls_num, ph, ls_mag, plateau_length, r_2])
+    print(json.dumps({"traces": len(results), "steps": n_steps,
+                      "csv": csv_path}))
+    return 0
+
+
+def _cmd_background(args):
+    """Iterative background correction of a SIGNALS.pkl against control
+    experiments (the iterative_background_v2 flow with direct pkl paths
+    instead of the index-CSV indirection)."""
+    from .inference.background import (average_signals, counts_to_percent,
+                                       discard_late_signals, head_truncate,
+                                       iterative_peak_finding_v3,
+                                       signals_std)
+
+    def _load(path, head, total):
+        with open(path, "rb") as fh:
+            signals = pickle.load(fh)
+        signals = {k: c for k, c in signals.items() if k[1]}  # zeros only
+        if head > 0:
+            signals = head_truncate(signals=signals, num_cycles=head)
+        if total is not None:
+            signals = discard_late_signals(signals=signals, max_cycle=total)
+        return signals
+
+    boc = _load(args.signals_pkl, args.head, args.total)
+    if args.omit_multidrop:
+        boc = {k: c for k, c in boc.items() if len(k[0]) == len(set(k[0]))}
+    controls = [_load(p, args.control_head, args.control_total)
+                for p in args.control_pkls]
+
+    include_multidrop = not args.omit_multidrop
+    averaged_ac = average_signals(experiments=controls,
+                                  include_remainders=False,
+                                  include_multidrop=include_multidrop,
+                                  max_cycle=None)
+    ac_stds = signals_std(experiments=controls, include_remainders=False,
+                          include_multidrop=include_multidrop,
+                          max_cycle=None)
+    boc_percent = counts_to_percent(signals=boc, include_remainders=False,
+                                    include_multidrop=include_multidrop,
+                                    max_cycle=None)
+    peak_list, undefined_peaks, updated_boc_raw, updated_boc_percent = \
+        iterative_peak_finding_v3(
+            boc_raw=boc, boc_percent=boc_percent, ac_average=averaged_ac,
+            ac_std=ac_stds, num_cycles=args.num_cycles,
+            sigma_threshold=args.sigma,
+            include_multidrop=include_multidrop)
+    corrected = {k: max(boc[k] - background_count, 0)
+                 for k, background_count in updated_boc_raw.items()}
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    out_path = os.path.join(args.output_dir, args.output)
+    with open(out_path, "wb") as fh:
+        pickle.dump(corrected, fh)
+    if args.background_pkl:
+        with open(os.path.join(args.output_dir, args.background_pkl),
+                  "wb") as fh:
+            pickle.dump(updated_boc_raw, fh)
+    print(json.dumps({
+        "signals_in": len(boc), "signals_out": len(corrected),
+        "counts_in": int(sum(boc.values())),
+        "counts_out": int(sum(corrected.values())),
+        "undefined_peaks": len(undefined_peaks), "output": out_path}))
+    return 0
+
+
 def build_parser():
     parser = argparse.ArgumentParser(
         prog="python -m fluorosequencingimageanalysis_tpu",
@@ -307,6 +433,49 @@ def build_parser():
     sim.add_argument("--results-pkl", default=None,
                      help="dump the per-molecule FluorEvent results pkl")
     sim.set_defaults(func=_cmd_simulate)
+
+    sf = sub.add_parser(
+        "stepfit",
+        help="batched step fitting over traces from a track CSV or .npy")
+    sf.add_argument("tracks_csv", nargs="?", default=None,
+                    help="track-photometries CSV (run-experiment output)")
+    sf.add_argument("--npy", default=None,
+                    help="(N, T) photometry matrix .npy instead of a CSV")
+    sf.add_argument("--channel", default=None,
+                    help="restrict the CSV to this channel")
+    sf.add_argument("--output-dir", default=".")
+    sf.add_argument("--csv", default="step_fits.csv",
+                    help="per-frame step-fit CSV filename")
+    sf.add_argument("--mirror-start", type=int, default=0,
+                    help="mirror this many frames before fitting")
+    sf.add_argument("--chung-kennedy", type=int, default=0,
+                    help="number of Chung-Kennedy filter passes")
+    sf.add_argument("--p-threshold", type=float, default=0.01)
+    sf.add_argument("--profile", action="store_true")
+    sf.set_defaults(func=_cmd_stepfit)
+
+    bg = sub.add_parser(
+        "background-correct",
+        help="iterative background correction of a SIGNALS.pkl against "
+             "control experiments")
+    bg.add_argument("signals_pkl", help="experiment SIGNALS.pkl")
+    bg.add_argument("--control-pkls", nargs="+", required=True,
+                    help="control-experiment SIGNALS.pkl files")
+    bg.add_argument("--num-cycles", type=int, required=True)
+    bg.add_argument("--sigma", type=float, default=2.0,
+                    help="outlier sigma threshold")
+    bg.add_argument("--head", type=int, default=0,
+                    help="head-truncate the experiment by this many cycles")
+    bg.add_argument("--total", type=int, default=None,
+                    help="discard experiment signals beyond this cycle")
+    bg.add_argument("--control-head", type=int, default=0)
+    bg.add_argument("--control-total", type=int, default=None)
+    bg.add_argument("--omit-multidrop", action="store_true")
+    bg.add_argument("--output-dir", default=".")
+    bg.add_argument("--output", default="corrected_signals.pkl")
+    bg.add_argument("--background-pkl", default=None,
+                    help="also dump the per-signal background counts")
+    bg.set_defaults(func=_cmd_background)
     return parser
 
 

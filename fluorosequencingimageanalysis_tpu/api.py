@@ -169,7 +169,7 @@ class Pipeline:
 
     def _stack_step_groups(self, stack, keys, max_candidates=None,
                            max_spots=None, stack_key=None,
-                           group_fields=8):
+                           group_fields=8, dispatch="window"):
         """Generator form of run_stack: the host->device upload is split
         into field groups and EVERYTHING is dispatched up front (upload
         k+1 is in flight while the step on group k computes); groups are
@@ -238,30 +238,44 @@ class Pipeline:
                 photometry_brim=phot.brim_size,
                 photometry_min=phot.photometry_min,
                 gather_strategy=self._gather_strategy())
-            devs, outs = [], []
-            with mesh:
-                for lo in range(0, F, g):
-                    hi = min(lo + g, F)
-                    grp = stack[lo:hi]
-                    if hi - lo < g:  # pad the tail group (sliced off below)
-                        grp = np.concatenate(
-                            [grp, np.repeat(grp[-1:], g - (hi - lo),
-                                            axis=0)])
+            lows = list(range(0, F, g))
+
+            def _dispatch(lo):
+                hi = min(lo + g, F)
+                grp = stack[lo:hi]
+                if hi - lo < g:  # pad the tail group (sliced off below)
+                    grp = np.concatenate(
+                        [grp, np.repeat(grp[-1:], g - (hi - lo), axis=0)])
+                with mesh:
                     x = shard_fields(grp, mesh)
-                    devs.append(x)
-                    outs.append(
-                        (experiment_step_sharded(x, mesh, **step_kwargs),
-                         hi - lo))
-            names = [k for k in outs[0][0]
+                    return (experiment_step_sharded(x, mesh, **step_kwargs),
+                            hi - lo, x)
+            # dispatch='window': sliding window of 2, NOT all-up-front —
+            # on a FIFO transfer link, fetching group k's outputs queues
+            # behind every already-enqueued upload, so with all groups
+            # dispatched first the first fetch waits for the WHOLE stack
+            # upload. Depth 2 keeps upload k+1 in flight while group k
+            # computes and lets each output download slot in between
+            # uploads. dispatch='eager' enqueues everything up front —
+            # right when the CALLER does per-group device work after the
+            # yield (its round trips would otherwise queue behind the
+            # prefetched upload).
+            n_prime = 2 if dispatch == "window" else len(lows)
+            pending = [_dispatch(lo) for lo in lows[:n_prime]]
+            names = [k for k in pending[0][0]
                      if keys is None or k in keys]
         parts = [] if key is not None else None
-        for gi, (o, ga) in enumerate(outs):
+        for gi, lo in enumerate(lows):
+            o, ga, dev = pending[gi]
             with self._stage("api/run_stack"):
                 # np.asarray blocks only on THIS group's step.
                 grp_out = {k: np.asarray(o[k])[:ga] for k in names}
+                if gi + n_prime < len(lows):
+                    pending.append(_dispatch(lows[gi + n_prime]))
             if parts is not None:
                 parts.append(grp_out)
-            yield grp_out, devs[gi], gi * g
+            pending[gi] = None  # release the step outputs
+            yield grp_out, dev, lo
         if key is not None:
             full = {k: np.concatenate([p[k] for p in parts])
                     for k in names}

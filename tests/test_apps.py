@@ -489,3 +489,125 @@ def test_module_cli_fluor_counts_auto_calibrate(tmp_path):
     with open(tmp_path / "SIGNALS.pkl", "rb") as f:
         signals = pickle.load(f)
     assert sum(signals.values()) > 100
+
+
+def test_module_cli_stepfit(tmp_path):
+    """`stepfit` subcommand: .npy photometry matrix and track-CSV inputs
+    both emit the reference per-frame step-fit schema, with step columns
+    equal to the batched fitter's plateaus."""
+    import contextlib
+    import io
+    import json as json_module
+
+    from fluorosequencingimageanalysis_tpu.__main__ import main as cli_main
+    from fluorosequencingimageanalysis_tpu.ops.stepfit_batch import (
+        stepfit_batched)
+
+    rng = np.random.default_rng(4)
+    T = 40
+    levels = np.where(np.arange(T) < 16, 60000.0,
+                      np.where(np.arange(T) < 30, 30000.0, 1000.0))
+    phot = levels[None] + rng.normal(0, 700.0, (6, T))
+    np.save(tmp_path / "traces.npy", phot)
+
+    outdir = tmp_path / "out"
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = cli_main(["stepfit", "--npy", str(tmp_path / "traces.npy"),
+                       "--output-dir", str(outdir),
+                       "--mirror-start", "10", "--chung-kennedy", "1"])
+    assert rc == 0
+    info = json_module.loads(buf.getvalue())
+    assert info["traces"] == 6 and info["steps"] >= 6
+    with open(outdir / "step_fits.csv") as fh:
+        rows = list(csv.reader(fh))
+    assert rows[0][:8] == ["Trace #", "Channel", "Field", "Hcoord",
+                           "Wcoord", "Frame #", "Photometry", "Step #"]
+    assert len(rows) - 1 == 6 * T
+    # Step columns must reflect the batched fitter's t-filtered plateaus.
+    ref = stepfit_batched(phot, mirror_start=10, chung_kennedy=1,
+                          p_threshold=0.01)
+    for t in range(6):
+        # Row columns update only AT plateau starts (the reference's
+        # per-frame semantics) — the last frame carries the values of
+        # the LAST plateau.
+        last = rows[1 + t * T + (T - 1)]
+        start, end, height = ref[t][3][-1]
+        np.testing.assert_allclose(float(last[8]), height)  # Plateau Height
+        assert int(last[10]) == end - start + 1             # Plateau Length
+        assert len(ref[t][3]) >= 3  # the scenario: >= two steps
+
+    # Track-CSV input path: carries channel/field/coords through.
+    csv_in = tmp_path / "tracks.csv"
+    with open(csv_in, "w", newline="") as fh:
+        w = csv.writer(fh)
+        w.writerow(["CHANNEL", "FIELD", "H", "W", "CATEGORY"] +
+                   [f"FRAME {i}" for i in range(T)])
+        for t in range(3):
+            w.writerow(["ch1", 0, 10 + t, 20 + t,
+                        "[" + " ".join(["True,"] * (T - 1)) + " True]"] +
+                       [f"{x:.1f}" for x in phot[t]])
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = cli_main(["stepfit", str(csv_in), "--output-dir",
+                       str(outdir), "--csv", "from_csv.csv",
+                       "--mirror-start", "10", "--chung-kennedy", "1"])
+    assert rc == 0
+    with open(outdir / "from_csv.csv") as fh:
+        rows = list(csv.reader(fh))
+    assert len(rows) - 1 == 3 * T
+    assert rows[1][1] == "ch1" and rows[1][3] == "10"
+
+
+def test_module_cli_background_correct_matches_legacy_app(tmp_path,
+                                                          monkeypatch):
+    """`background-correct` must reproduce iterative_background_v2's
+    corrected counts on identical inputs (pkl paths instead of the
+    index-CSV indirection)."""
+    import contextlib
+    import io
+    import json as json_module
+
+    from fluorosequencingimageanalysis_tpu.__main__ import main as cli_main
+    import iterative_background_v2
+
+    keys = [((("A", i),), True, 1) for i in range(1, 7)]
+    rng = np.random.default_rng(3)
+    ac_paths = []
+    for i in range(3):
+        signals = {k: 100 + int(rng.integers(-10, 10)) for k in keys}
+        p = tmp_path / f"ac_{i}.pkl"
+        with open(p, "wb") as f:
+            pickle.dump(signals, f)
+        ac_paths.append(str(p))
+    boc = {k: 100 for k in keys}
+    boc[((("A", 3),), True, 1)] = 1000
+    boc_path = tmp_path / "boc.pkl"
+    with open(boc_path, "wb") as f:
+        pickle.dump(boc, f)
+
+    ac_csv = tmp_path / "ac.csv"
+    with open(ac_csv, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["index", "filepath"])
+        for i, p in enumerate(ac_paths):
+            w.writerow([i, p])
+    monkeypatch.chdir(tmp_path)
+    legacy = iterative_background_v2.main([
+        "--boc_file", str(boc_path), "--ac_file", str(ac_csv),
+        "--num_cycles", "6", "--output_directory", str(tmp_path / "leg")])
+
+    outdir = tmp_path / "out"
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = cli_main(["background-correct", str(boc_path),
+                       "--control-pkls", *ac_paths, "--num-cycles", "6",
+                       "--output-dir", str(outdir),
+                       "--background-pkl", "background.pkl"])
+    assert rc == 0
+    info = json_module.loads(buf.getvalue())
+    with open(outdir / "corrected_signals.pkl", "rb") as f:
+        corrected = pickle.load(f)
+    assert corrected == legacy
+    assert info["counts_out"] == sum(legacy.values())
+    assert (outdir / "background.pkl").exists()
