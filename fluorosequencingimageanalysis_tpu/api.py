@@ -169,7 +169,7 @@ class Pipeline:
 
     def _stack_step_groups(self, stack, keys, max_candidates=None,
                            max_spots=None, stack_key=None,
-                           group_fields=8, dispatch="window"):
+                           group_fields=8, dispatch="eager"):
         """Generator form of run_stack: the host->device upload is split
         into field groups and EVERYTHING is dispatched up front (upload
         k+1 is in flight while the step on group k computes); groups are
@@ -250,16 +250,17 @@ class Pipeline:
                     x = shard_fields(grp, mesh)
                     return (experiment_step_sharded(x, mesh, **step_kwargs),
                             hi - lo, x)
-            # dispatch='window': sliding window of 2, NOT all-up-front —
-            # on a FIFO transfer link, fetching group k's outputs queues
-            # behind every already-enqueued upload, so with all groups
-            # dispatched first the first fetch waits for the WHOLE stack
-            # upload. Depth 2 keeps upload k+1 in flight while group k
-            # computes and lets each output download slot in between
-            # uploads. dispatch='eager' enqueues everything up front —
-            # right when the CALLER does per-group device work after the
-            # yield (its round trips would otherwise queue behind the
-            # prefetched upload).
+            # dispatch='eager' (default) enqueues every group's upload +
+            # step up front; 'window' keeps a sliding window of 2 in
+            # flight and defers the rest. Measured A/B on the bench chip
+            # (32x8x512x512 uint16, 2 runs each): eager 5.32/5.39
+            # fields/s vs window 3.70/4.38. Window's deferred uploads
+            # land in the middle of the caller's per-group photometry
+            # round trips (track+photometry 3.9-4.1 s vs eager's
+            # 1.6-1.8 s), which costs far more than eager's
+            # first-fetch-waits-longer effect saves. Keep 'window' only
+            # for callers with no per-group device work and severe HBM
+            # pressure.
             n_prime = 2 if dispatch == "window" else len(lows)
             pending = [_dispatch(lo) for lo in lows[:n_prime]]
             names = [k for k in pending[0][0]
