@@ -286,7 +286,8 @@ class Pipeline:
                        max_spots=None, candidate_radius=2,
                        category_csv_path=None, category_csv_filtered=True,
                        category_csv_collate_fields=False, mdma=False,
-                       remainder_threshold=None, remainder_channels=None):
+                       remainder_threshold=None, remainder_channels=None,
+                       dispatch="window"):
         """The flagship workflow, one call: align + detect/fit + track +
         interpolate + categorize + track-photometries CSV.
 
@@ -354,7 +355,7 @@ class Pipeline:
         import logging
 
         from .pipeline.fast_experiment import _spot_lists, \
-            run_experiment_stack
+            flush_hole_queue, run_experiment_stack
 
         if not isinstance(stacks, dict):
             stacks = {"ch1": stacks}
@@ -409,10 +410,19 @@ class Pipeline:
             n_over = 0
             spot_count = 0
             # Pipelined: host tracking+photometry on group k runs while
-            # groups k+1.. are still uploading/computing on device.
+            # groups k+1.. are still uploading/computing on device. The
+            # interpolated-hole patch gathers are DEFERRED to one flush
+            # after the loop (hole_queue): they are the only per-group
+            # device round trips, and on a serial transfer link they
+            # would otherwise queue behind the in-flight uploads of
+            # later groups, stalling the host for a full group upload
+            # per fetch (the measured failure mode of the round-3
+            # windowed-dispatch A/B).
+            hole_queue = [] if not host_phot else None
             for out_grp, dev_grp, lo in self._stack_step_groups(
                     stack, keys, max_candidates=max_candidates,
-                    max_spots=max_spots, stack_key=stack_key):
+                    max_spots=max_spots, stack_key=stack_key,
+                    dispatch=dispatch):
                 Fg = out_grp["offsets_h"].shape[0]
                 rhs, rws, spot_values = _spot_lists(out_grp, Fg, C, H, W,
                                                     with_values=True)
@@ -433,7 +443,11 @@ class Pipeline:
                         spot_values=None if host_phot else spot_values,
                         aperture_radius=phot.aperture_radius,
                         box_size=phot.box_size,
-                        filter_size=phot.filter_size)
+                        filter_size=phot.filter_size,
+                        hole_queue=hole_queue)
+            if hole_queue:
+                with self._stage("api/run_experiment/track+photometry"):
+                    flush_hole_queue(hole_queue)
             if n_over:
                 logging.getLogger(__name__).warning(
                     "run_experiment: %d (field, cycle) images overflowed "

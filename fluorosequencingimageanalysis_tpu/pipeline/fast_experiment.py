@@ -399,7 +399,7 @@ def run_experiment_stack(stack, offsets_h, offsets_w, spot_arrays,
                          photometry_top=1,
                          candidate_radius=2, chunk=65536,
                          spot_values=None, aperture_radius=3,
-                         box_size=10, filter_size=10):
+                         box_size=10, filter_size=10, hole_queue=None):
     """All fields: tracking -> fill-in -> validity -> batched photometry.
 
     stack: (F, C, H, W) numpy array OR device-resident jax.Array (the
@@ -412,6 +412,12 @@ def run_experiment_stack(stack, offsets_h, offsets_w, spot_arrays,
     is the device step's already-measured photometry at each detected
     spot, reused for present frames so only interpolated holes dispatch
     patch gathers (without it, every position is gathered).
+    hole_queue: if a list is given (spot_values image-metric path only),
+    the interpolated-hole gathers are NOT dispatched here — a request is
+    appended for a later flush_hole_queue(), and the returned rows carry
+    NaN at hole positions until then. This keeps the per-group call free
+    of device round trips so the caller can overlap host tracking with
+    in-flight stack uploads on a serial transfer link.
     Returns a list of per-field row lists, each row (category, h0, w0,
     photometries (C,)) in reference order.
     """
@@ -505,9 +511,15 @@ def run_experiment_stack(stack, offsets_h, offsets_w, spot_arrays,
             img_id = field_of[hole_t] * C + hole_c
             hs = pos[hole_t, hole_c, 0]
             ws = pos[hole_t, hole_c, 1]
-            phot[hole_t, hole_c] = _dispatch_photometry(
-                stack, img_id, hs, ws, photometry_method, window_radius,
-                photometry_brim, photometry_top, chunk)
+            if hole_queue is not None:
+                hole_queue.append((stack, img_id, hs, ws, phot, hole_t,
+                                   hole_c, photometry_method,
+                                   window_radius, photometry_brim,
+                                   photometry_top, chunk))
+            else:
+                phot[hole_t, hole_c] = _dispatch_photometry(
+                    stack, img_id, hs, ws, photometry_method,
+                    window_radius, photometry_brim, photometry_top, chunk)
         return _rows_by_field(pos, cats, phot, field_sizes, F)
 
     # No per-spot bucket provided: one chunked device kernel over every
@@ -521,10 +533,12 @@ def run_experiment_stack(stack, offsets_h, offsets_w, spot_arrays,
     return _rows_by_field(pos, cats, phot, field_sizes, F)
 
 
-def _dispatch_photometry(stack, img_id, hs, ws, method, window_radius,
-                         brim, top, chunk):
-    """Chunked device photometry at (img_id, hs, ws) positions over the
-    [F, C, H, W] stack (device-resident or host). Returns (B,) float64."""
+def _queue_photometry(stack, img_id, hs, ws, method, window_radius,
+                      brim, top, chunk):
+    """Enqueue chunked device photometry kernels at (img_id, hs, ws)
+    positions over the [F, C, H, W] stack (device-resident or host).
+    Returns a pending list for _resolve_photometry — dispatch is async,
+    so nothing blocks here."""
     import jax.numpy as jnp
 
     # jnp.asarray is a no-op for an already-device stack.
@@ -532,9 +546,6 @@ def _dispatch_photometry(stack, img_id, hs, ws, method, window_radius,
     imgs = jnp.asarray(stack).reshape(Fp * C, H, W)
     kern = _get_photometry_kernel(method, window_radius, brim, top)
     B = hs.shape[0]
-    phot = np.empty(B, np.float64)
-    # Queue every chunk before fetching any result: JAX dispatch is async,
-    # so the device pipelines the kernels and the host only blocks once.
     pending = []
     from ..utils.dispatch import pow2_bucket
     for lo in range(0, B, chunk):
@@ -551,9 +562,49 @@ def _dispatch_photometry(stack, img_id, hs, ws, method, window_radius,
         pending.append((lo, hi, kern(
             imgs, jnp.asarray(ii, jnp.int32),
             jnp.asarray(hh, jnp.int32), jnp.asarray(ww, jnp.int32))))
+    return pending
+
+
+def _resolve_photometry(pending, out):
+    """Fetch queued photometry chunks into the 1-D ``out`` array."""
     for lo, hi, dev in pending:
-        phot[lo:hi] = np.asarray(dev)[:hi - lo]
+        out[lo:hi] = np.asarray(dev)[:hi - lo]
+
+
+def _dispatch_photometry(stack, img_id, hs, ws, method, window_radius,
+                         brim, top, chunk):
+    """Chunked device photometry at (img_id, hs, ws) positions over the
+    [F, C, H, W] stack (device-resident or host). Returns (B,) float64."""
+    phot = np.empty(hs.shape[0], np.float64)
+    _resolve_photometry(
+        _queue_photometry(stack, img_id, hs, ws, method, window_radius,
+                          brim, top, chunk), phot)
     return phot
+
+
+def flush_hole_queue(queue):
+    """Dispatch and resolve every deferred hole-gather request.
+
+    Each entry is ``(stack, img_id, hs, ws, phot, hole_t, hole_c,
+    method, window_radius, brim, top, chunk)`` appended by
+    run_experiment_stack(hole_queue=...). All entries' kernels are
+    enqueued before any result is fetched, and the (Ttot, C) ``phot``
+    buffers are filled IN PLACE — the row tuples run_experiment_stack
+    already returned alias rows of those buffers, so the NaN holes they
+    carried become real values. Callers must flush before reading any
+    hole photometry.
+    """
+    staged = []
+    for (stack, img_id, hs, ws, phot, hole_t, hole_c, method,
+         window_radius, brim, top, chunk) in queue:
+        staged.append((_queue_photometry(stack, img_id, hs, ws, method,
+                                         window_radius, brim, top, chunk),
+                       phot, hole_t, hole_c))
+    for pending, phot, hole_t, hole_c in staged:
+        vals = np.empty(hole_t.shape[0], np.float64)
+        _resolve_photometry(pending, vals)
+        phot[hole_t, hole_c] = vals
+    queue.clear()
 
 
 def _rows_by_field(pos, cats, phot, field_sizes, F):

@@ -589,3 +589,24 @@ def test_run_experiment_matches_class_path_with_dropouts():
         np.testing.assert_allclose(
             ph, [float(x) for x in ref[5:]], rtol=1e-5, atol=1e-2,
             err_msg=f"row {i}")
+
+
+def test_run_experiment_dispatch_modes_and_deferred_holes_equal():
+    """The grouped-upload dispatch mode (window vs eager) and the
+    deferred hole-gather queue are pure scheduling choices — rows must
+    be bit-identical across them, including at interpolated holes
+    (which carry NaN until flush_hole_queue fills them in place)."""
+    stack = make_stack(F=6, C=4, seed=31, n_spots=12)
+    pipe = Pipeline()
+    base = pipe.run_experiment(stack, max_candidates=256, max_spots=128,
+                               dispatch="eager")["rows"]
+    alt = pipe.run_experiment(stack, max_candidates=256, max_spots=128,
+                              dispatch="window")["rows"]
+    assert len(base) == len(alt) > 20
+    n_holes = 0
+    for rb, ra in zip(base, alt):
+        assert rb[:5] == ra[:5]
+        np.testing.assert_array_equal(rb[5], ra[5])
+        assert not np.isnan(ra[5]).any()  # every hole was flushed
+        n_holes += (~np.asarray(rb[4])).sum()
+    assert n_holes > 0  # the scenario must actually have holes
