@@ -58,55 +58,63 @@ def _spot_lists(out, F, C, H, W, spot_size=5, with_values=False):
     """
     values = out.get("photometry") if with_values else None
     r = (spot_size - 1) // 2
-    spot_valid = out["spot_valid"]
-    spot_h = out["spot_h"]
-    spot_w = out["spot_w"]
-    cand_idx = out["spot_cand_idx"]
-    rhs = [[None] * C for _ in range(F)]
-    rws = [[None] * C for _ in range(F)]
-    vals = [[None] * C for _ in range(F)] if values is not None else None
-    for f in range(F):
-        for c in range(C):
-            v = spot_valid[f, c]
-            if not v.any():
-                rhs[f][c] = np.zeros(0, np.int64)
-                rws[f][c] = np.zeros(0, np.int64)
-                if vals is not None:
-                    vals[f][c] = np.zeros(0, np.float64)
-                continue
-            h0 = spot_h[f, c][v]
-            w0 = spot_w[f, c][v]
-            order = np.argsort(cand_idx[f, c][v], kind="stable")
-            h0, w0 = h0[order], w0[order]
-            val = (np.asarray(values[f, c][v], np.float64)[order]
-                   if values is not None else None)
-            rh = _py2_round_arr(h0)
-            rw = _py2_round_arr(w0)
-            # psfs-dict setdefault FIRST: the first candidate wins a
-            # shared (rh, rw) key — and keys are pairs, never flattened
-            # (a flat rh*W+rw key aliases when a quirk-kept spot's rw
-            # falls outside [0, W)).
-            _, first = np.unique(np.stack([rh, rw], axis=1), axis=0,
-                                 return_index=True)
-            first.sort()
-            rh, rw = rh[first], rw[first]
-            h0, w0 = h0[first], w0[first]
-            if val is not None:
-                val = val[first]
-            # THEN Spot.__init__ validity on the dict winners (the class
-            # path builds the psfs dict before constructing Spots, so an
-            # invalid winner shadows a valid loser at the same key):
-            # plain 5x5 fit, or the reference's buggy fallback that lets an
-            # out-of-box spot through unless (h_0 outside AND w_0 inside).
-            ok_plain = ((rh >= r) & (rh + r < H) & (rw >= r) & (rw + r < W))
-            in_h = (h0 >= r) & (h0 < H - r)
-            in_w = (w0 >= r) & (w0 < W - r)
-            keep = ok_plain | ~(~in_h & in_w)
-            rhs[f][c] = rh[keep]
-            rws[f][c] = rw[keep]
-            if vals is not None:
-                vals[f][c] = val[keep]
+    spot_valid = np.asarray(out["spot_valid"])
+    # ONE vectorized pass over all (field, cycle) images (a per-image
+    # Python loop is O(F*C) host dispatches — ~0.5 s of the config-4
+    # critical path at 256 images).
+    fi, ci, si = np.nonzero(spot_valid)
+    h0 = np.asarray(out["spot_h"])[fi, ci, si]
+    w0 = np.asarray(out["spot_w"])[fi, ci, si]
+    cand = np.asarray(out["spot_cand_idx"])[fi, ci, si]
+    val = (np.asarray(values, np.float64)[fi, ci, si]
+           if values is not None else None)
+    img = fi.astype(np.int64) * C + ci
+    # Global (image, cand_idx) order == per-image candidate order.
+    order = np.lexsort((cand, img))
+    img, h0, w0 = img[order], h0[order], w0[order]
+    if val is not None:
+        val = val[order]
+    rh = _py2_round_arr(h0)
+    rw = _py2_round_arr(w0)
+    # psfs-dict setdefault FIRST: the first candidate wins a shared
+    # (rh, rw) key within its image — and keys are (rh, rw) pairs, never
+    # flattened mod W (a flat rh*W+rw key aliases when a quirk-kept
+    # spot's rw falls outside [0, W)). The composite below is exact:
+    # |rh|, |rw| < 2^20 (SHIFT keeps them positive) and img*M*M < 2^63.
+    SHIFT = np.int64(1 << 20)
+    M = np.int64(1 << 21)
+    key = (img * M + (rh + SHIFT)) * M + (rw + SHIFT)
+    # np.unique(return_index) yields each key's FIRST occurrence in
+    # array order == first in candidate order within its image.
+    _, first = np.unique(key, return_index=True)
+    first.sort()
+    img, rh, rw, h0, w0 = (img[first], rh[first], rw[first], h0[first],
+                           w0[first])
+    if val is not None:
+        val = val[first]
+    # THEN Spot.__init__ validity on the dict winners (the class path
+    # builds the psfs dict before constructing Spots, so an invalid
+    # winner shadows a valid loser at the same key): plain 5x5 fit, or
+    # the reference's buggy fallback that lets an out-of-box spot
+    # through unless (h_0 outside AND w_0 inside).
+    ok_plain = ((rh >= r) & (rh + r < H) & (rw >= r) & (rw + r < W))
+    in_h = (h0 >= r) & (h0 < H - r)
+    in_w = (w0 >= r) & (w0 < W - r)
+    keep = ok_plain | ~(~in_h & in_w)
+    img, rh, rw = img[keep], rh[keep], rw[keep]
+    if val is not None:
+        val = val[keep]
+    # Split back into per-(field, cycle) arrays (img is sorted).
+    bounds = np.searchsorted(img, np.arange(F * C + 1))
+    rhs = [[rh[bounds[f * C + c]:bounds[f * C + c + 1]]
+            for c in range(C)] for f in range(F)]
+    rws = [[rw[bounds[f * C + c]:bounds[f * C + c + 1]]
+            for c in range(C)] for f in range(F)]
     if with_values:
+        if val is None:  # bucket fetched without "photometry"
+            return rhs, rws, None
+        vals = [[val[bounds[f * C + c]:bounds[f * C + c + 1]]
+                 for c in range(C)] for f in range(F)]
         return rhs, rws, vals
     return rhs, rws
 
