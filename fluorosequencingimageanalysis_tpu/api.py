@@ -169,7 +169,7 @@ class Pipeline:
 
     def _stack_step_groups(self, stack, keys, max_candidates=None,
                            max_spots=None, stack_key=None,
-                           group_fields=8, dispatch="eager"):
+                           group_fields=8, dispatch="eager", pack=False):
         """Generator form of run_stack: the host->device upload is split
         into field groups and EVERYTHING is dispatched up front (upload
         k+1 is in flight while the step on group k computes); groups are
@@ -240,6 +240,8 @@ class Pipeline:
                 gather_strategy=self._gather_strategy())
             lows = list(range(0, F, g))
 
+            pack = pack and keys is not None
+
             def _dispatch(lo):
                 hi = min(lo + g, F)
                 grp = stack[lo:hi]
@@ -248,8 +250,19 @@ class Pipeline:
                         [grp, np.repeat(grp[-1:], g - (hi - lo), axis=0)])
                 with mesh:
                     x = shard_fields(grp, mesh)
-                    return (experiment_step_sharded(x, mesh, **step_kwargs),
-                            hi - lo, x)
+                    o = experiment_step_sharded(x, mesh, **step_kwargs)
+                    if pack:
+                        # Start the device->host copies NOW (they queue
+                        # right behind this group's step, ahead of later
+                        # uploads): the link charges ~30 ms latency per
+                        # fetch, so eight lazily-blocking per-key
+                        # np.asarray calls would serialize ~0.25 s of
+                        # pure latency per group. The async copies land
+                        # in the arrays' host cache; np.asarray below
+                        # just waits for its own copy.
+                        for k in keys:
+                            o[k].copy_to_host_async()
+                    return o, hi - lo, x
             # dispatch='eager' (default) enqueues every group's upload +
             # step up front; 'window' keeps a sliding window of 2 in
             # flight and defers the rest. Measured A/B on the bench chip
@@ -399,8 +412,12 @@ class Pipeline:
             # image kernel at all, and the image metrics reuse the
             # bucket for detected frames so only interpolated holes
             # dispatch patch gathers.
-            keys = ("offsets_h", "offsets_w", "spot_h", "spot_w",
-                    "spot_valid", "spot_cand_idx", "spot_overflow",
+            # The compact bucket encodings (int16 rounded centers +
+            # int8 tri-state + int16 candidate order) instead of the
+            # float32 centers: device->host bytes are the config-4
+            # critical path, and tracking only needs integer identity.
+            keys = ("offsets_h", "offsets_w", "spot_rh", "spot_rw",
+                    "spot_state", "spot_cand_c", "spot_overflow",
                     "photometry")
             # sextractor measures on host (background-subtracted
             # images) — hand it the host stack so nothing downloads.
@@ -422,7 +439,7 @@ class Pipeline:
             for out_grp, dev_grp, lo in self._stack_step_groups(
                     stack, keys, max_candidates=max_candidates,
                     max_spots=max_spots, stack_key=stack_key,
-                    dispatch=dispatch):
+                    dispatch=dispatch, pack=True):
                 Fg = out_grp["offsets_h"].shape[0]
                 rhs, rws, spot_values = _spot_lists(out_grp, Fg, C, H, W,
                                                     with_values=True)

@@ -176,6 +176,38 @@ def experiment_step_sharded(stack, mesh, median_filter_size=5, c_std=2.0,
     sh = jnp.take_along_axis(ch_flat, top_idx, axis=-1)
     sw = jnp.take_along_axis(cw_flat, top_idx, axis=-1)
 
+    # Transfer-lean bucket encodings, computed on device so the host
+    # tracking layer can skip the float32 center downloads entirely
+    # (device->host bytes are the config-4 critical path on serial
+    # links): Py2-rounded int16 centers, int16 candidate indices, and a
+    # tri-state validity that folds in the Spot.__init__ box quirk.
+    # Rounding is half-AWAY-FROM-ZERO via |x|: for |x| < 2^23,
+    # |x| - floor(|x|) is exact in f32 (Sterbenz for |x| >= 1, identity
+    # below 1), so the >= 0.5 comparison reproduces the host's float64
+    # py2_round of the same float32 value bit-for-bit — including
+    # negative quirk-kept centers, where a naive floor(x + 0.5) would
+    # round half-cases toward +inf instead.
+    s_abs_h, s_abs_w = jnp.abs(sh), jnp.abs(sw)
+    f_ah, f_aw = jnp.floor(s_abs_h), jnp.floor(s_abs_w)
+    r_ah = f_ah + (s_abs_h - f_ah >= 0.5)
+    r_aw = f_aw + (s_abs_w - f_aw >= 0.5)
+    rh_i = jnp.where(sh < 0, -r_ah, r_ah).astype(jnp.int32)
+    rw_i = jnp.where(sw < 0, -r_aw, r_aw).astype(jnp.int32)
+    # Spot.__init__ validity (fast_experiment._spot_lists semantics):
+    # plain 5x5 box on the ROUNDED center, or the reference's buggy
+    # fallback that admits an out-of-box spot unless (h_0 outside AND
+    # w_0 inside) — evaluated on the FLOAT centers, f32-exact.
+    r_box = 2
+    ok_plain = ((rh_i >= r_box) & (rh_i + r_box < H) &
+                (rw_i >= r_box) & (rw_i + r_box < W))
+    in_h = (sh >= r_box) & (sh < H - r_box)
+    in_w = (sw >= r_box) & (sw < W - r_box)
+    quirk_keep = ok_plain | ~(~in_h & in_w)
+    # 0 = empty bucket slot, 1 = valid but Spot-rejected, 2 = tracked.
+    spot_state = (spot_valid.astype(jnp.int8) *
+                  (1 + quirk_keep.astype(jnp.int8)))
+    cand_dtype = jnp.int16 if max_candidates <= 0x7FFF else jnp.int32
+
     # 4. Photometry at the (rounded) kept-spot centers.
     if photometry_method not in ("mexican_hat", "simple", "maximum",
                                  "gaussian_volume", "sigmas"):
@@ -193,19 +225,14 @@ def experiment_step_sharded(stack, mesh, median_filter_size=5, c_std=2.0,
     else:
         r = {"mexican_hat": photometry_radius, "simple": 2,
              "maximum": 5}[photometry_method]
-        # Py2 rounding (half away from zero), exact in float32: frac =
-        # x - floor(x) is computed exactly (Sterbenz), so the >= 0.5
-        # comparison matches the host's float64 py2_round of the same
-        # float32 center bit-for-bit. This keeps the bucket photometry
-        # measured at the SAME integer pixel the tracking layer assigns
-        # the spot (utils.rounding.py2_round of spot_h/spot_w), letting
-        # run_experiment reuse these values for detected frames instead
-        # of re-gathering patches (flexlibrary.py:90-101 spot identity).
-        fh, fw = jnp.floor(sh), jnp.floor(sw)
-        rh_f = fh + (sh - fh >= 0.5)
-        rw_f = fw + (sw - fw >= 0.5)
-        rch = jnp.clip(rh_f.astype(jnp.int32), r, H - r - 1)
-        rcw = jnp.clip(rw_f.astype(jnp.int32), r, W - r - 1)
+        # The exact Py2-rounded centers (rh_i/rw_i above) keep the
+        # bucket photometry measured at the SAME integer pixel the
+        # tracking layer assigns the spot (utils.rounding.py2_round of
+        # spot_h/spot_w), letting run_experiment reuse these values for
+        # detected frames instead of re-gathering patches
+        # (flexlibrary.py:90-101 spot identity).
+        rch = jnp.clip(rh_i, r, H - r - 1)
+        rcw = jnp.clip(rw_i, r, W - r - 1)
 
         if photometry_method == "mexican_hat":
             def phot_one(img, hs, ws):
@@ -232,6 +259,10 @@ def experiment_step_sharded(stack, mesh, median_filter_size=5, c_std=2.0,
         "spot_w": sw.reshape(F, C, max_spots),
         "spot_cand_idx": top_idx.reshape(F, C, max_spots),
         "spot_valid": spot_valid.reshape(F, C, max_spots),
+        "spot_rh": rh_i.astype(jnp.int16).reshape(F, C, max_spots),
+        "spot_rw": rw_i.astype(jnp.int16).reshape(F, C, max_spots),
+        "spot_state": spot_state.reshape(F, C, max_spots),
+        "spot_cand_c": top_idx.astype(cand_dtype).reshape(F, C, max_spots),
         "spot_count": spot_count.reshape(F, C),
         "spot_overflow": (spot_count > max_spots).reshape(F, C),
         "photometry": phot,

@@ -58,24 +58,43 @@ def _spot_lists(out, F, C, H, W, spot_size=5, with_values=False):
     """
     values = out.get("photometry") if with_values else None
     r = (spot_size - 1) // 2
-    spot_valid = np.asarray(out["spot_valid"])
     # ONE vectorized pass over all (field, cycle) images (a per-image
     # Python loop is O(F*C) host dispatches — ~0.5 s of the config-4
     # critical path at 256 images).
-    fi, ci, si = np.nonzero(spot_valid)
-    h0 = np.asarray(out["spot_h"])[fi, ci, si]
-    w0 = np.asarray(out["spot_w"])[fi, ci, si]
-    cand = np.asarray(out["spot_cand_idx"])[fi, ci, si]
+    if "spot_rh" in out:
+        # Transfer-lean layout: the device step already Py2-rounded the
+        # centers (bit-exactly, mesh.py) and folded the Spot.__init__
+        # quirk into spot_state (0 empty, 1 valid-but-rejected,
+        # 2 tracked) — int16/int8 downloads instead of float32.
+        state = np.asarray(out["spot_state"])
+        fi, ci, si = np.nonzero(state)
+        rh = np.asarray(out["spot_rh"])[fi, ci, si].astype(np.int64)
+        rw = np.asarray(out["spot_rw"])[fi, ci, si].astype(np.int64)
+        cand = np.asarray(out["spot_cand_c"])[fi, ci, si]
+        kept = state[fi, ci, si] == 2
+    else:
+        spot_valid = np.asarray(out["spot_valid"])
+        fi, ci, si = np.nonzero(spot_valid)
+        h0 = np.asarray(out["spot_h"])[fi, ci, si]
+        w0 = np.asarray(out["spot_w"])[fi, ci, si]
+        cand = np.asarray(out["spot_cand_idx"])[fi, ci, si]
+        rh = _py2_round_arr(h0)
+        rw = _py2_round_arr(w0)
+        # Spot.__init__ validity: plain 5x5 fit on the rounded center,
+        # or the reference's buggy fallback that lets an out-of-box spot
+        # through unless (h_0 outside AND w_0 inside).
+        ok_plain = ((rh >= r) & (rh + r < H) & (rw >= r) & (rw + r < W))
+        in_h = (h0 >= r) & (h0 < H - r)
+        in_w = (w0 >= r) & (w0 < W - r)
+        kept = ok_plain | ~(~in_h & in_w)
     val = (np.asarray(values, np.float64)[fi, ci, si]
            if values is not None else None)
     img = fi.astype(np.int64) * C + ci
     # Global (image, cand_idx) order == per-image candidate order.
     order = np.lexsort((cand, img))
-    img, h0, w0 = img[order], h0[order], w0[order]
+    img, rh, rw, kept = img[order], rh[order], rw[order], kept[order]
     if val is not None:
         val = val[order]
-    rh = _py2_round_arr(h0)
-    rw = _py2_round_arr(w0)
     # psfs-dict setdefault FIRST: the first candidate wins a shared
     # (rh, rw) key within its image — and keys are (rh, rw) pairs, never
     # flattened mod W (a flat rh*W+rw key aliases when a quirk-kept
@@ -88,22 +107,13 @@ def _spot_lists(out, F, C, H, W, spot_size=5, with_values=False):
     # array order == first in candidate order within its image.
     _, first = np.unique(key, return_index=True)
     first.sort()
-    img, rh, rw, h0, w0 = (img[first], rh[first], rw[first], h0[first],
-                           w0[first])
+    # Validity applies to the dict WINNERS only (the class path builds
+    # the psfs dict before constructing Spots, so an invalid winner
+    # shadows a valid loser at the same key).
+    first = first[kept[first]]
+    img, rh, rw = img[first], rh[first], rw[first]
     if val is not None:
         val = val[first]
-    # THEN Spot.__init__ validity on the dict winners (the class path
-    # builds the psfs dict before constructing Spots, so an invalid
-    # winner shadows a valid loser at the same key): plain 5x5 fit, or
-    # the reference's buggy fallback that lets an out-of-box spot
-    # through unless (h_0 outside AND w_0 inside).
-    ok_plain = ((rh >= r) & (rh + r < H) & (rw >= r) & (rw + r < W))
-    in_h = (h0 >= r) & (h0 < H - r)
-    in_w = (w0 >= r) & (w0 < W - r)
-    keep = ok_plain | ~(~in_h & in_w)
-    img, rh, rw = img[keep], rh[keep], rw[keep]
-    if val is not None:
-        val = val[keep]
     # Split back into per-(field, cycle) arrays (img is sorted).
     bounds = np.searchsorted(img, np.arange(F * C + 1))
     rhs = [[rh[bounds[f * C + c]:bounds[f * C + c + 1]]
