@@ -530,10 +530,14 @@ def run_experiment_stack(stack, offsets_h, offsets_w, spot_arrays,
             hs = pos[hole_t, hole_c, 0]
             ws = pos[hole_t, hole_c, 1]
             if hole_queue is not None:
-                hole_queue.append((stack, img_id, hs, ws, phot, hole_t,
-                                   hole_c, photometry_method,
-                                   window_radius, photometry_brim,
-                                   photometry_top, chunk))
+                # Enqueue the gather kernels NOW (async — they run in
+                # upload gaps), defer only the fetch to the flush.
+                hole_queue.append((
+                    _queue_photometry(stack, img_id, hs, ws,
+                                      photometry_method, window_radius,
+                                      photometry_brim, photometry_top,
+                                      chunk),
+                    phot, hole_t, hole_c))
             else:
                 phot[hole_t, hole_c] = _dispatch_photometry(
                     stack, img_id, hs, ws, photometry_method,
@@ -601,24 +605,19 @@ def _dispatch_photometry(stack, img_id, hs, ws, method, window_radius,
 
 
 def flush_hole_queue(queue):
-    """Dispatch and resolve every deferred hole-gather request.
+    """Resolve every deferred hole-gather request.
 
-    Each entry is ``(stack, img_id, hs, ws, phot, hole_t, hole_c,
-    method, window_radius, brim, top, chunk)`` appended by
-    run_experiment_stack(hole_queue=...). All entries' kernels are
-    enqueued before any result is fetched, and the (Ttot, C) ``phot``
-    buffers are filled IN PLACE — the row tuples run_experiment_stack
-    already returned alias rows of those buffers, so the NaN holes they
-    carried become real values. Callers must flush before reading any
-    hole photometry.
+    Each entry is ``(pending, phot, hole_t, hole_c)`` appended by
+    run_experiment_stack(hole_queue=...): the gather kernels were
+    already enqueued (async) at group time — they execute in the
+    device-queue gaps between later groups' uploads — and only the
+    result FETCH is deferred here. The (Ttot, C) ``phot`` buffers are
+    filled IN PLACE: the row tuples run_experiment_stack already
+    returned alias rows of those buffers, so the NaN holes they carried
+    become real values. Callers must flush before reading any hole
+    photometry.
     """
-    staged = []
-    for (stack, img_id, hs, ws, phot, hole_t, hole_c, method,
-         window_radius, brim, top, chunk) in queue:
-        staged.append((_queue_photometry(stack, img_id, hs, ws, method,
-                                         window_radius, brim, top, chunk),
-                       phot, hole_t, hole_c))
-    for pending, phot, hole_t, hole_c in staged:
+    for pending, phot, hole_t, hole_c in queue:
         vals = np.empty(hole_t.shape[0], np.float64)
         _resolve_photometry(pending, vals)
         phot[hole_t, hole_c] = vals
