@@ -626,19 +626,30 @@ def flush_hole_queue(queue):
 
 def _rows_by_field(pos, cats, phot, field_sizes, F):
     """Rows per field: categories in first-appearance order, then trace
-    order (binary_trace_categories -> btc_photometries iteration)."""
+    order (binary_trace_categories -> btc_photometries iteration).
+
+    The grouping is pure index arithmetic — categories pack into uint64
+    bitmasks, one np.unique per field recovers the groups, and a stable
+    argsort on first-appearance rank reproduces the reference's
+    dict-insertion iteration order without any per-row Python work."""
+    C = cats.shape[1] if cats.size else 0
+    codes_all = cats.astype(np.uint64) @ (
+        np.uint64(1) << np.arange(C, dtype=np.uint64))
+    h0_all, w0_all = pos[:, 0, 0], pos[:, 0, 1]
     out = []
     start = 0
     for f in range(F):
         stop = start + field_sizes[f]
-        by_cat = {}
-        for t in range(start, stop):
-            by_cat.setdefault(tuple(bool(x) for x in cats[t]), []).append(t)
-        rows = []
-        for cat, idxs in by_cat.items():
-            for t in idxs:
-                rows.append((cat, int(pos[t, 0, 0]), int(pos[t, 0, 1]),
-                             phot[t]))
+        codes = codes_all[start:stop]
+        uniq, first_idx, inv = np.unique(codes, return_index=True,
+                                         return_inverse=True)
+        rank = np.empty(uniq.size, np.int64)
+        rank[np.argsort(first_idx, kind="stable")] = np.arange(uniq.size)
+        order = np.argsort(rank[inv], kind="stable")
+        cat_tuples = [tuple(bool(x) for x in cats[start + i])
+                      for i in first_idx]
+        rows = [(cat_tuples[inv[j]], int(h0_all[start + j]),
+                 int(w0_all[start + j]), phot[start + j]) for j in order]
         out.append(rows)
         start = stop
     return out
