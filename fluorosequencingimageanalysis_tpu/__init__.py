@@ -44,21 +44,32 @@ def _enable_persistent_compile_cache():
     cache makes every later process hit them in milliseconds. Opt out
     with FLUORO_TPU_NO_COMPILE_CACHE=1 or point the directory elsewhere
     with JAX_COMPILATION_CACHE_DIR (which JAX itself also honors).
+
+    Importing this package must stay jax-free (CLI --help, sim-only
+    consumers), so when jax is not yet loaded the cache is configured
+    through the JAX_* env vars jax reads at its own import time; only
+    an already-imported jax is configured directly.
     """
     import os
+    import sys
 
     if os.environ.get("FLUORO_TPU_NO_COMPILE_CACHE"):
         return
     try:
-        import jax
-
         if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
             return  # user already configured it; JAX reads the env var
         cache_dir = os.path.join(
             os.path.expanduser("~"), ".cache", "fluoro_tpu_jax_cache")
         os.makedirs(cache_dir, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        if "jax" in sys.modules:
+            jax = sys.modules["jax"]
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 0.5)
+        else:
+            os.environ["JAX_COMPILATION_CACHE_DIR"] = cache_dir
+            os.environ.setdefault(
+                "JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
     except Exception:  # pragma: no cover - cache is best-effort
         pass
 

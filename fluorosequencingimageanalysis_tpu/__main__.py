@@ -152,11 +152,17 @@ def _cmd_simulate(args):
 
     from .sim.dye_sim import peptide_simulation_batched
 
+    # simulate_photometries_batched wants a per-dye-count quench array;
+    # expand the scalar CLI flag the same way fluor_counts_calibrated
+    # does: no quench for a single dye, ddif for every higher count.
+    n_labeled = sum(aa in args.labels for aa in args.sequence)
+    ddif = None if args.ddif is None else tuple(
+        [0.0] + [args.ddif] * max(n_labeled, 1))
     results = peptide_simulation_batched(
         args.sequence, args.labels, num_mocks=args.num_mocks,
         num_edmans=args.num_edmans, num_simulations=args.num_sims,
         seed=args.seed, beta=args.fluor_intensity,
-        beta_sigma=args.beta_sigma, ddif=args.ddif,
+        beta_sigma=args.beta_sigma, ddif=ddif,
         p=args.edman_efficiency,
         b=-math.log(1.0 - args.dye_destruction),
         u=args.dud_dyes,

@@ -148,7 +148,13 @@ class Pipeline:
                         theta_starts=det.theta_starts,
                         use_pallas=det.use_pallas,
                         upsample_factor=reg.upsample_factor,
-                        photometry_method=phot.method,
+                        # sextractor photometry happens host-side on
+                        # background-subtracted images; fill the device
+                        # bucket with the (free) sigmas fit product
+                        # instead of raising (same substitution as
+                        # _stack_step_groups).
+                        photometry_method=(phot.method if phot.method !=
+                                           "sextractor" else "sigmas"),
                         photometry_radius=phot.radius,
                         photometry_brim=phot.brim_size,
                         photometry_min=phot.photometry_min,
@@ -420,8 +426,13 @@ class Pipeline:
                     "spot_state", "spot_cand_c", "spot_overflow",
                     "photometry")
             # sextractor measures on host (background-subtracted
-            # images) — hand it the host stack so nothing downloads.
+            # images) — hand it the host stack so nothing downloads,
+            # and skip fetching the device photometry bucket it would
+            # discard (float32 x max_spots: more link bytes than all
+            # the compact spot arrays combined).
             host_phot = phot.method == "sextractor"
+            if host_phot:
+                keys = keys[:-1]
             per_field = []
             off_parts_h, off_parts_w = [], []
             n_over = 0
@@ -633,11 +644,25 @@ class Pipeline:
                 num_iters=det.num_iters,
                 gather_strategy=self._gather_strategy())
         if len(h0) == 0:
+            if csv_path is not None:
+                # The class path still writes a header-only CSV for an
+                # empty experiment; a promised file must exist.
+                from .pipeline.experiment import TimetraceExperiment
+                TimetraceExperiment(
+                    frames=[None] * movie.shape[0], spot_traces=[],
+                    step_fits={}, step_fit_intermediates={}
+                ).save_experiment_as_csv(
+                    csv_path, include_step_fits=include_step_fits,
+                    # intermediate columns are keyed off the first
+                    # trace's dict (reference flexlibrary.py:3544
+                    # popitem) — with zero traces there are none.
+                    include_intermediates=None,
+                    photometry_method=phot.method)
             return {"traces": {"h": [], "w": [], "present": None,
                                "rec_h": None, "rec_w": None},
                     "photometries": np.zeros((0, movie.shape[0])),
                     "step_fits": {}, "step_fit_intermediates": {},
-                    "trace_count": 0, "csv_path": None}
+                    "trace_count": 0, "csv_path": csv_path}
         with self._stage("api/run_timetrace/track"):
             rec_h, rec_w, present = lc_track(
                 movie_dev, h0, w0, search_radius=search_radius,
@@ -815,7 +840,11 @@ class Pipeline:
                 allow_multidrop=allow_multidrop, max_deviation=3,
                 quench_factors=quench, mesh=self.mesh)
             on_offs = jd.grab_ON_OFFS(first[3], alpha_adjust=0)
-            if adjustment and on_offs:
+            if adjustment:
+                # Unconditional like the reference
+                # (lognormal_fitter_v2.py:186-191): with empty ON_OFFS
+                # the adjuster's per-cycle dict never matches, so the
+                # RAW intensities feed the final beta estimate + fit.
                 adj_photometries = jd.ON_OFF_adjust_photometries(
                     photometries=photometries, ON_OFFS=on_offs, alpha=alpha)
             else:

@@ -285,9 +285,11 @@ bool tfilter_singlepass(const double* raw, std::vector<Plateau>& pl,
         pvals[r] = welch_p(raw + a.start, a.stop - a.start + 1,
                            raw + b.start, b.stop - b.start + 1);
     }
-    // sorted(key=p, reverse=True) is stable: descending p, ties (and
-    // nans, whose ordering provably cannot affect the outcome — they
-    // are never accepted and never veto) by ascending pair index.
+    // Stable descending p, ties by ascending pair index; NaN p-values
+    // (zero-variance equal-mean pairs) deterministically LAST — the
+    // same -inf key the Python chain uses (stepfitting.py
+    // _t_test_filter_singlepass), since CPython sorted() with NaN keys
+    // is implementation-defined.
     std::vector<int32_t> order(npairs);
     for (size_t i = 0; i < npairs; i++) order[i] = static_cast<int32_t>(i);
     std::stable_sort(order.begin(), order.end(),

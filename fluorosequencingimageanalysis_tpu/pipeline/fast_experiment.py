@@ -629,22 +629,30 @@ def _rows_by_field(pos, cats, phot, field_sizes, F):
     order (binary_trace_categories -> btc_photometries iteration).
 
     The grouping is pure index arithmetic — categories pack into uint64
-    bitmasks, one np.unique per field recovers the groups, and a stable
-    argsort on first-appearance rank reproduces the reference's
-    dict-insertion iteration order without any per-row Python work."""
-    C = cats.shape[1] if cats.size else 0
-    codes_all = cats.astype(np.uint64) @ (
-        np.uint64(1) << np.arange(C, dtype=np.uint64))
+    bitmask words (one word per 64 cycles), one np.unique per field
+    recovers the groups, and a stable argsort on first-appearance rank
+    reproduces the reference's dict-insertion iteration order without
+    any per-row Python work."""
+    C = cats.shape[1] if cats.ndim == 2 else 0
+    nw = (C + 63) // 64 or 1  # bitmask words per trace
+    padded = np.zeros((cats.shape[0], nw * 64), np.uint64)
+    padded[:, :C] = cats
+    codes_all = padded.reshape(-1, nw, 64) @ (
+        np.uint64(1) << np.arange(64, dtype=np.uint64))
+    if nw == 1:
+        codes_all = codes_all[:, 0]  # 1-D unique is much faster
     h0_all, w0_all = pos[:, 0, 0], pos[:, 0, 1]
     out = []
     start = 0
     for f in range(F):
         stop = start + field_sizes[f]
         codes = codes_all[start:stop]
-        uniq, first_idx, inv = np.unique(codes, return_index=True,
-                                         return_inverse=True)
-        rank = np.empty(uniq.size, np.int64)
-        rank[np.argsort(first_idx, kind="stable")] = np.arange(uniq.size)
+        uniq, first_idx, inv = np.unique(
+            codes, axis=0 if nw > 1 else None,
+            return_index=True, return_inverse=True)
+        inv = inv.reshape(-1)  # numpy>=2.0 keeps the axis-0 shape
+        rank = np.empty(len(uniq), np.int64)
+        rank[np.argsort(first_idx, kind="stable")] = np.arange(len(uniq))
         order = np.argsort(rank[inv], kind="stable")
         cat_tuples = [tuple(bool(x) for x in cats[start + i])
                       for i in first_idx]

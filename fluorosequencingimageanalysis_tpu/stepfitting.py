@@ -514,7 +514,16 @@ def _t_test_filter_singlepass(luminosities, plateaus, p_threshold,
         t, p = _welch_t(luminosities[a[0]:a[1] + 1],
                         luminosities[b[0]:b[1] + 1])
         pair_drops.append([a, b, p, r])
-    s_pairs = sorted(pair_drops, key=lambda x: x[2], reverse=True)
+    # NaN p-values (zero-variance equal-mean plateau pairs, e.g. exact-0
+    # absent-frame tails) sort LAST under a deterministic total order.
+    # The reference's sorted() with NaN keys is Timsort-implementation-
+    # defined (a NaN mid-list can leave REAL p-values mutually
+    # misordered); for real-valued p this key is identical to the
+    # reference's, and the deterministic corner matches the native core
+    # (native/stepchain.cpp tfilter_singlepass). See PARITY.md.
+    s_pairs = sorted(pair_drops,
+                     key=lambda x: float("-inf") if math.isnan(x[2])
+                     else x[2], reverse=True)
     merge_bools = [False] * len(s_pairs)
     for i, (a, b, p, r) in enumerate(s_pairs):
         if p >= p_threshold and a[1] >= no_merge_start:

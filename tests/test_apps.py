@@ -611,3 +611,24 @@ def test_module_cli_background_correct_matches_legacy_app(tmp_path,
     assert corrected == legacy
     assert info["counts_out"] == sum(legacy.values())
     assert (outdir / "background.pkl").exists()
+
+
+def test_module_cli_simulate_ddif(tmp_path):
+    """--ddif (a scalar CLI flag) expands to the per-dye-count quench
+    array simulate_photometries_batched expects; regression for the
+    0-d ndarray len() crash."""
+    import contextlib
+    import io
+    import json as json_module
+
+    from fluorosequencingimageanalysis_tpu.__main__ import main as cli_main
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = cli_main(["simulate", "GCAGCAG", "C",
+                       "--num-mocks", "1", "--num-edmans", "5",
+                       "--num-sims", "500", "--seed", "5",
+                       "--ddif", "0.1"])
+    assert rc == 0
+    info = json_module.loads(buf.getvalue())
+    assert info["simulations"] == 500

@@ -610,3 +610,59 @@ def test_run_experiment_dispatch_modes_and_deferred_holes_equal():
         assert not np.isnan(ra[5]).any()  # every hole was flushed
         n_holes += (~np.asarray(rb[4])).sum()
     assert n_holes > 0  # the scenario must actually have holes
+
+
+def test_run_experiment_device_stack_sextractor():
+    """A device-resident stack with method='sextractor' must take the
+    same host-photometry path as a numpy stack (regression: run_stack
+    once forwarded 'sextractor' to the device step, which rejects it)."""
+    import jax.numpy as jnp
+
+    from fluorosequencingimageanalysis_tpu.config import (
+        PipelineConfig, PhotometryConfig)
+
+    stack = make_stack(F=1, C=3, seed=11, n_spots=12)
+    pipe = Pipeline(PipelineConfig(
+        photometry=PhotometryConfig(method="sextractor")))
+    res_np = pipe.run_experiment(stack, max_candidates=512, max_spots=256)
+    res_dev = pipe.run_experiment(jnp.asarray(stack), max_candidates=512,
+                                  max_spots=256)
+    rows_np, rows_dev = res_np["rows"], res_dev["rows"]
+    assert len(rows_np) == len(rows_dev) > 0
+    for a, b in zip(rows_np, rows_dev):
+        assert a[:5] == b[:5]
+        np.testing.assert_allclose(a[5], b[5], rtol=1e-6)
+
+
+def test_rows_by_field_many_cycles():
+    """Category grouping must stay exact past 64 cycles (the packed
+    bitmask spills into multiple uint64 words)."""
+    from fluorosequencingimageanalysis_tpu.pipeline.fast_experiment import (
+        _rows_by_field)
+
+    rng = np.random.default_rng(3)
+    C, fs = 70, [40, 0, 13]
+    T = sum(fs)
+    pos = rng.integers(16, 100, (T, C, 2))
+    cats = rng.random((T, C)) < 0.5
+    cats[:, 0] = True
+    # Force a pair differing ONLY in a cycle >= 64 (word-1 territory).
+    cats[1] = cats[0]
+    cats[1, 65] = ~cats[0, 65]
+    phot = rng.normal(0, 1, (T, C))
+    out = _rows_by_field(pos, cats, phot, fs, len(fs))
+
+    # Differential vs the dict-insertion original.
+    start, expect = 0, []
+    for f in range(len(fs)):
+        stop = start + fs[f]
+        by_cat = {}
+        for t in range(start, stop):
+            by_cat.setdefault(tuple(bool(x) for x in cats[t]),
+                              []).append(t)
+        expect.append([(cat, int(pos[t, 0, 0]), int(pos[t, 0, 1]))
+                       for cat, idxs in by_cat.items() for t in idxs])
+        start = stop
+    got = [[r[:3] for r in rows] for rows in out]
+    assert got == expect
+    assert out[0][0][0] != out[0][1][0]  # the word-1 difference held

@@ -171,11 +171,23 @@ def test_run_timetrace_uint16_equals_float32(tmp_path):
         (tmp_path / "f.csv").read_text()
 
 
-def test_run_timetrace_empty_movie():
+def test_run_timetrace_empty_movie(tmp_path):
     rng = np.random.default_rng(0)
     movie = rng.normal(400.0, 6.0, (6, 64, 64)).astype(np.float32)
     out = Pipeline().run_timetrace(movie, max_candidates=64)
     assert out["photometries"].shape[1] == 6 or out["trace_count"] == 0
+
+    # A promised CSV must exist even with zero detections (header-only,
+    # like the class path's save on an empty experiment).
+    csv_path = tmp_path / "tt_empty.csv"
+    blank = rng.normal(400.0, 6.0, (4, 64, 64)).astype(np.float32)
+    out2 = Pipeline().run_timetrace(blank, csv_path=str(csv_path),
+                                    max_candidates=64)
+    if out2["trace_count"] == 0:
+        assert out2["csv_path"] == str(csv_path)
+        assert csv_path.exists()
+        header = csv_path.read_text().splitlines()
+        assert len(header) == 1 and header[0].startswith("Trace #")
 
 
 def test_lc_track_matches_host_tracker():

@@ -183,3 +183,50 @@ def test_welch_t_bit_identical_to_scipy():
             t_new, p_new = sf._welch_t(list(a), list(b))
             assert (np.isnan(t_ref) and np.isnan(t_new)) or t_ref == t_new
             assert (np.isnan(p_ref) and np.isnan(p_new)) or p_ref == p_new
+
+
+def test_t_filter_nan_pairs_deterministic():
+    """NaN Welch p-values (zero-variance equal-mean or single-element
+    plateau pairs) sort LAST under a deterministic total order: they
+    never merge, never veto, and never perturb the ordering of REAL
+    p-values (the reference's sorted() with NaN keys is Timsort-
+    implementation-defined; see PARITY.md)."""
+    # Plateaus: two singletons (their pair p is NaN), then three noisy
+    # plateaus with graded similarity.
+    lum = [10.0, 10.0,                         # singletons -> NaN pairs
+           5.1, 4.9, 5.05, 4.95,               # A
+           5.0, 5.1, 4.9, 5.0,                 # B (close to A)
+           20.0, 30.0, 10.0, 22.0]             # C (far from B)
+    plateaus = [(0, 0, 10.0), (1, 1, 10.0), (2, 5, 5.0),
+                (6, 9, 5.0), (10, 13, 20.5)]
+    # Sanity: the singleton pairs really produce NaN p.
+    import math
+    _, p01 = sf._welch_t(lum[0:1], lum[1:2])
+    assert math.isnan(p01)
+    _, p_ab = sf._welch_t(lum[2:6], lum[6:10])
+    _, p_bc = sf._welch_t(lum[6:10], lum[10:14])
+    assert p_ab > 0.5 and p_bc < 0.05
+    out = sf._t_test_filter_singlepass(lum, plateaus, p_threshold=0.1,
+                                       drop_sort=True, no_merge_start=0)
+    # Only the A+B merge is accepted; singletons and C stay untouched.
+    assert [(a, b) for a, b, _ in out] == [(0, 0), (1, 1), (2, 9),
+                                           (10, 13)]
+
+    # Veto propagation with NaNs mid-list: pairs (A,B) p=0.76 and (B,C')
+    # both above threshold share plateau B -> the HIGHER p merge must
+    # win and veto the other, regardless of the NaN entries' positions.
+    lum2 = [10.0, 10.0, 5.1, 4.9, 5.05, 4.95, 5.04, 5.1, 4.9, 5.04,
+            5.2, 4.8, 5.1, 4.82]
+    plateaus2 = [(0, 0, 10.0), (1, 1, 10.0), (2, 5, 5.0),
+                 (6, 9, 5.0), (10, 13, 5.0)]
+    _, p_ab2 = sf._welch_t(lum2[2:6], lum2[6:10])
+    _, p_bc2 = sf._welch_t(lum2[6:10], lum2[10:14])
+    assert p_ab2 > 0.1 and p_bc2 > 0.1 and p_ab2 != p_bc2
+    out2 = sf._t_test_filter_singlepass(lum2, plateaus2, p_threshold=0.1,
+                                        drop_sort=True, no_merge_start=0)
+    if p_ab2 > p_bc2:
+        assert [(a, b) for a, b, _ in out2] == [(0, 0), (1, 1), (2, 9),
+                                                (10, 13)]
+    else:
+        assert [(a, b) for a, b, _ in out2] == [(0, 0), (1, 1), (2, 5),
+                                                (6, 13)]

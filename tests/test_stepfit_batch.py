@@ -102,6 +102,14 @@ def test_native_postpass_equals_python_fallback():
             np.where(np.arange(48) < k, 40000.0, 9000.0)[None]
             + rng.normal(0, 900.0, (1, 48))
             for k in range(4, 44, 5)]),
+        np.concatenate([                                  # exact-0 tails
+            # run_timetrace-style absent-frame tails: zero-variance
+            # plateau pairs whose Welch p is NaN must take the same
+            # deterministic NaN-last merge order on both sides.
+            np.where(np.arange(48) < k, 30000.0, 0.0)[None]
+            + np.where(np.arange(48) < k,
+                       rng.normal(0, 700.0, (1, 48)), 0.0)
+            for k in (8, 16, 24, 31)]),
     ]
     orig = stepchain.have_native
     for phot in batteries:
