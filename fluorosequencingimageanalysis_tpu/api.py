@@ -666,7 +666,7 @@ class Pipeline:
         with self._stage("api/run_timetrace/track"):
             rec_h, rec_w, present = lc_track(
                 movie_dev, h0, w0, search_radius=search_radius,
-                s_n_cutoff=s_n_cutoff)
+                s_n_cutoff=s_n_cutoff, mesh=self.mesh)
         with self._stage("api/run_timetrace/photometry"):
             photometries = timetrace_photometries(
                 movie_dev, rec_h, rec_w, present, phot.method,

@@ -105,12 +105,18 @@ def _lc_track_scan(movie, trunc0_h, trunc0_w, round0_h, round0_w,
     return rec_h, rec_w, present
 
 
-def lc_track(movie, h0, w0, search_radius=3, s_n_cutoff=3.0):
+def lc_track(movie, h0, w0, search_radius=3, s_n_cutoff=3.0, mesh=None):
     """Batched LC tracking over a [T, H, W] movie from float initial
     centers (h0, w0). Returns (rec_h, rec_w, present): [T, N] arrays;
     frame 0 records the truncated initial centers (the positions the
     class path's photometry batching uses for the float-centered
-    initial Spots)."""
+    initial Spots).
+
+    mesh: optional jax.sharding.Mesh — tracks are independent walks, so
+    the spot axis shards over the mesh's first axis (the movie
+    replicates; SURVEY P2 data parallelism, no collectives). Results
+    are bit-equal to the unsharded scan (tested on the 8-device CPU
+    mesh)."""
     import jax.numpy as jnp
 
     h0 = np.asarray(h0, np.float64)
@@ -121,14 +127,37 @@ def lc_track(movie, h0, w0, search_radius=3, s_n_cutoff=3.0):
     trunc0_w = np.trunc(w0).astype(np.int32)
     round0_h = np.asarray([py2_round(v) for v in h0], np.int32)
     round0_w = np.asarray([py2_round(v) for v in w0], np.int32)
+    N = len(h0)
+    pad = 0
+    if mesh is not None and N:
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        axis = mesh.axis_names[0]
+        n_dev = int(mesh.shape[axis])
+        pad = (-N) % n_dev
+        if pad:
+            # Interior-safe filler walks (sliced off below).
+            fill_h = np.full(pad, search_radius + 2, np.int32)
+            trunc0_h = np.concatenate([trunc0_h, fill_h])
+            trunc0_w = np.concatenate([trunc0_w, fill_h])
+            round0_h = np.concatenate([round0_h, fill_h])
+            round0_w = np.concatenate([round0_w, fill_h])
+        row = NamedSharding(mesh, P(axis))
+        dev = lambda x: jax.device_put(x, row)
+        movie_dev = jax.device_put(jnp.asarray(movie),
+                                   NamedSharding(mesh, P()))
+    else:
+        dev = jnp.asarray
+        movie_dev = jnp.asarray(movie)
     rec_h, rec_w, present = _lc_track_scan(
-        jnp.asarray(movie), jnp.asarray(trunc0_h), jnp.asarray(trunc0_w),
-        jnp.asarray(round0_h), jnp.asarray(round0_w),
+        movie_dev, dev(trunc0_h), dev(trunc0_w),
+        dev(round0_h), dev(round0_w),
         search_radius=search_radius, s_n_cutoff=float(s_n_cutoff))
-    rec_h = np.concatenate([trunc0_h[None], np.asarray(rec_h)])
-    rec_w = np.concatenate([trunc0_w[None], np.asarray(rec_w)])
-    present = np.concatenate([np.ones((1, len(h0)), bool),
-                              np.asarray(present)])
+    rec_h = np.concatenate([trunc0_h[None], np.asarray(rec_h)])[:, :N]
+    rec_w = np.concatenate([trunc0_w[None], np.asarray(rec_w)])[:, :N]
+    present = np.concatenate([np.ones((1, N + pad), bool),
+                              np.asarray(present)])[:, :N]
     return rec_h, rec_w, present
 
 

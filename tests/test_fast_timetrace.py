@@ -225,3 +225,31 @@ def test_lc_track_matches_host_tracker():
                 mismatches += (not present[f, i] or
                                rec_h[f, i] != s.h or rec_w[f, i] != s.w)
     assert mismatches == 0
+
+
+def test_lc_track_mesh_sharded_equals_single_device():
+    """Spot-axis mesh sharding (SURVEY P2) must be bit-equal to the
+    unsharded scan, including the N % n_devices != 0 padding path."""
+    from fluorosequencingimageanalysis_tpu.parallel.mesh import make_mesh
+    from fluorosequencingimageanalysis_tpu.pipeline.fast_timetrace import (
+        lc_track)
+
+    rng = np.random.default_rng(4)
+    T, H, W = 6, 96, 96
+    n = 13  # not divisible by the mesh size
+    movie = rng.normal(400, 8, (T, H, W)).astype(np.float32)
+    ys = rng.uniform(12, H - 12, n)
+    xs = rng.uniform(12, W - 12, n)
+    yy, xx = np.mgrid[0:H, 0:W]
+    for t in range(T):
+        for i in range(n):
+            movie[t] += (2500 * np.exp(
+                -(((yy - ys[i] - 0.3 * t) ** 2 +
+                   (xx - xs[i] + 0.2 * t) ** 2) / (2 * 1.3 ** 2)))
+            ).astype(np.float32)
+    a = lc_track(movie, ys, xs)
+    b = lc_track(movie, ys, xs, mesh=make_mesh(8))
+    for x, y, name in zip(a, b, ("rec_h", "rec_w", "present")):
+        assert x.shape == y.shape == (T, n)
+        np.testing.assert_array_equal(x, y, err_msg=name)
+    assert a[2][1:].any()  # tracks actually survived past frame 0
