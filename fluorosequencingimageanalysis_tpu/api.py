@@ -84,7 +84,7 @@ class Pipeline:
     # -- imaging ------------------------------------------------------------
 
     def run_stack(self, stack, max_candidates=None, max_spots=None,
-                  keys=None, stack_key=None):
+                  keys=None, stack_key=None, photometry_method=None):
         """Full align + detect + fit + photometry over a [F, C, H, W] stack.
 
         Returns a dict of host numpy arrays (offsets, params, keep masks,
@@ -109,6 +109,14 @@ class Pipeline:
         (utils.checkpoint.content_key of the host array). With an
         artifact store set and a device-resident ``stack``, providing it
         avoids pulling the whole stack back to host just to hash it.
+
+        ``photometry_method``: override of config.photometry.method for
+        the device bucket (run_experiment's sextractor flow passes
+        "sigmas" here — sextractor itself measures host-side and the
+        device step would reject it). Direct calls with a sextractor
+        config and no override keep the device step's loud ValueError
+        rather than silently returning fit products labeled
+        "photometry".
         """
         import jax
         import jax.numpy as jnp
@@ -148,13 +156,9 @@ class Pipeline:
                         theta_starts=det.theta_starts,
                         use_pallas=det.use_pallas,
                         upsample_factor=reg.upsample_factor,
-                        # sextractor photometry happens host-side on
-                        # background-subtracted images; fill the device
-                        # bucket with the (free) sigmas fit product
-                        # instead of raising (same substitution as
-                        # _stack_step_groups).
-                        photometry_method=(phot.method if phot.method !=
-                                           "sextractor" else "sigmas"),
+                        photometry_method=(photometry_method
+                                           if photometry_method is not None
+                                           else phot.method),
                         photometry_radius=phot.radius,
                         photometry_brim=phot.brim_size,
                         photometry_min=phot.photometry_min,
@@ -166,9 +170,15 @@ class Pipeline:
             from .utils.checkpoint import content_key
             if stack_key is None:
                 stack_key = content_key(np.asarray(stack))
+            # The effective device-bucket method is part of the key:
+            # _stack_step_groups shares entries with run_stack, and a
+            # direct sextractor call (which raises) must never hit the
+            # sigmas-substituted entry the groups path writes.
             key = content_key("run_stack", stack_key,
                               self.config.asdict(), mc, max_spots,
-                              sorted(keys) if keys is not None else None)
+                              sorted(keys) if keys is not None else None,
+                              photometry_method if photometry_method
+                              is not None else phot.method)
             return self.store.get_or_compute(key, compute,
                                              meta={"stage": "run_stack"})
         return compute()
@@ -209,7 +219,9 @@ class Pipeline:
                 stack_key = content_key(np.asarray(stack))
             key = content_key("run_stack", stack_key,
                               self.config.asdict(), mc, max_spots,
-                              sorted(keys) if keys is not None else None)
+                              sorted(keys) if keys is not None else None,
+                              phot.method if phot.method != "sextractor"
+                              else "sigmas")
             if self.store.exists(key):
                 yield self.store.load(key), None, 0
                 return
@@ -217,7 +229,10 @@ class Pipeline:
         if isinstance(stack, jax.Array):  # already uploaded: nothing to
             out = self.run_stack(stack, max_candidates=max_candidates,  # overlap
                                  max_spots=max_spots, keys=keys,
-                                 stack_key=stack_key)
+                                 stack_key=stack_key,
+                                 photometry_method=(
+                                     phot.method if phot.method !=
+                                     "sextractor" else "sigmas"))
             yield out, stack, 0
             return
 
@@ -432,7 +447,7 @@ class Pipeline:
             # the compact spot arrays combined).
             host_phot = phot.method == "sextractor"
             if host_phot:
-                keys = keys[:-1]
+                keys = tuple(k for k in keys if k != "photometry")
             per_field = []
             off_parts_h, off_parts_w = [], []
             n_over = 0

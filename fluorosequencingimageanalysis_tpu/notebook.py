@@ -64,7 +64,10 @@ def ON_OFF_adjust_photometries(photometries, ON_OFFS, alpha):
     adjusted = {}
     last_beta_dict = {(cycle, field): np.median([iON for iON, d in drops])
                       for (cycle, field), drops in ON_OFFS.items()}
-    last_beta_median = float(np.median(list(last_beta_dict.values())))
+    # Empty ON_OFFS: no (i, field) ever matches below, so the median is
+    # never used — skip the empty-slice RuntimeWarning/NaN.
+    last_beta_median = (float(np.median(list(last_beta_dict.values())))
+                        if last_beta_dict else float("nan"))
     for channel, cdict in photometries.items():
         for field, fdict in cdict.items():
             for (h, w), (category, intensities, row) in fdict.items():
