@@ -266,26 +266,31 @@ def measured_mxu_tflops(repeats: int = 3) -> float:
 
     One jitted 2048x2048 matmul reduced to a scalar on device (the sum
     forces the full product; the 4-byte fetch is the completion barrier
-    — block_until_ready is unreliable over tunneled transports)."""
+    — block_until_ready is unreliable over tunneled transports).
+
+    Safe to reach from inside an outer jit trace (detect_and_fit with
+    gather_strategy='auto' under a user's jax.jit): the probe runs under
+    ensure_compile_time_eval, so it executes eagerly at trace time
+    instead of being staged into the caller's program."""
     import time
 
     backend = jax.default_backend()
     if backend in _MXU_TFLOPS:
         return _MXU_TFLOPS[backend]
     n = 2048
-    x = jnp.asarray(np.random.default_rng(0)
-                    .normal(size=(n, n)).astype(np.float32))
+    x = np.random.default_rng(0).normal(size=(n, n)).astype(np.float32)
 
     @jax.jit
     def probe(a):
         return jnp.sum(lax.dot(a, a, precision=lax.Precision.HIGHEST))
 
-    float(probe(x))  # compile + warm
-    best = float("inf")
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        float(probe(x))
-        best = min(best, time.perf_counter() - t0)
+    with jax.ensure_compile_time_eval():
+        float(probe(x))  # compile + warm
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            float(probe(x))
+            best = min(best, time.perf_counter() - t0)
     tflops = 2.0 * n ** 3 / best / 1e12
     _MXU_TFLOPS[backend] = tflops
     import logging
