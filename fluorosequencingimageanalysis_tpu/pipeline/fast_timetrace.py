@@ -145,11 +145,15 @@ def lc_track(movie, h0, w0, search_radius=3, s_n_cutoff=3.0, mesh=None):
             round0_w = np.concatenate([round0_w, fill_h])
         row = NamedSharding(mesh, P(axis))
         dev = lambda x: jax.device_put(x, row)
-        # One transfer: device_put the host array straight into the
-        # replicated sharding (jnp.asarray first would commit it to
-        # device 0 and pay the 30 MB/s link twice).
-        movie_dev = jax.device_put(np.asarray(movie),
-                                   NamedSharding(mesh, P()))
+        # One transfer: device_put straight into the replicated sharding.
+        # A host movie uploads exactly once (jnp.asarray first would
+        # commit it to device 0 and pay the 30 MB/s link twice); an
+        # already-device-resident movie (api.run_timetrace's path) must
+        # NOT bounce through np.asarray — that would be a full
+        # device->host->device round trip.
+        movie_dev = jax.device_put(
+            movie if isinstance(movie, jax.Array) else np.asarray(movie),
+            NamedSharding(mesh, P()))
     else:
         dev = jnp.asarray
         movie_dev = jnp.asarray(movie)
