@@ -81,6 +81,31 @@ class Pipeline:
         from .ops.candidates import resolve_gather_strategy
         return resolve_gather_strategy(self.config.detect.gather_strategy)
 
+    def _device_phot_method(self):
+        """Effective device-bucket photometry method for the grouped /
+        delegated paths: sextractor measures host-side on background-
+        subtracted images, so the device bucket carries the (free)
+        sigmas fit product instead of making the device step raise."""
+        m = self.config.photometry.method
+        return "sigmas" if m == "sextractor" else m
+
+    def _run_stack_key(self, stack, stack_key, mc, max_spots, keys,
+                       device_method):
+        """The shared run_stack/_stack_step_groups store key, returned as
+        (key, stack_key) so callers keep the (possibly just-computed)
+        stack hash instead of re-fetching the stack to rehash it. The
+        effective device-bucket method is part of the key: the two paths
+        intentionally share entries, and a direct sextractor call
+        (which raises) must never hit the sigmas-substituted entry the
+        groups path writes."""
+        from .utils.checkpoint import content_key
+        if stack_key is None:
+            stack_key = content_key(np.asarray(stack))
+        return content_key("run_stack", stack_key, self.config.asdict(),
+                           mc, max_spots,
+                           sorted(keys) if keys is not None else None,
+                           device_method), stack_key
+
     # -- imaging ------------------------------------------------------------
 
     def run_stack(self, stack, max_candidates=None, max_spots=None,
@@ -167,18 +192,10 @@ class Pipeline:
                         if keys is None or k in keys}
 
         if self.store is not None:
-            from .utils.checkpoint import content_key
-            if stack_key is None:
-                stack_key = content_key(np.asarray(stack))
-            # The effective device-bucket method is part of the key:
-            # _stack_step_groups shares entries with run_stack, and a
-            # direct sextractor call (which raises) must never hit the
-            # sigmas-substituted entry the groups path writes.
-            key = content_key("run_stack", stack_key,
-                              self.config.asdict(), mc, max_spots,
-                              sorted(keys) if keys is not None else None,
-                              photometry_method if photometry_method
-                              is not None else phot.method)
+            key, stack_key = self._run_stack_key(
+                stack, stack_key, mc, max_spots, keys,
+                photometry_method if photometry_method is not None
+                else phot.method)
             return self.store.get_or_compute(key, compute,
                                              meta={"stage": "run_stack"})
         return compute()
@@ -212,16 +229,12 @@ class Pipeline:
             else det.max_candidates
         keys = tuple(keys) if keys is not None else None
 
+        device_method = self._device_phot_method()
         key = None
         if self.store is not None:
-            from .utils.checkpoint import content_key
-            if stack_key is None:
-                stack_key = content_key(np.asarray(stack))
-            key = content_key("run_stack", stack_key,
-                              self.config.asdict(), mc, max_spots,
-                              sorted(keys) if keys is not None else None,
-                              phot.method if phot.method != "sextractor"
-                              else "sigmas")
+            key, stack_key = self._run_stack_key(stack, stack_key, mc,
+                                                 max_spots, keys,
+                                                 device_method)
             if self.store.exists(key):
                 yield self.store.load(key), None, 0
                 return
@@ -230,9 +243,7 @@ class Pipeline:
             out = self.run_stack(stack, max_candidates=max_candidates,  # overlap
                                  max_spots=max_spots, keys=keys,
                                  stack_key=stack_key,
-                                 photometry_method=(
-                                     phot.method if phot.method !=
-                                     "sextractor" else "sigmas"))
+                                 photometry_method=device_method)
             yield out, stack, 0
             return
 
@@ -250,11 +261,7 @@ class Pipeline:
                 num_iters=det.num_iters, theta_starts=det.theta_starts,
                 use_pallas=det.use_pallas,
                 upsample_factor=reg.upsample_factor,
-                # sextractor photometry happens host-side on background-
-                # subtracted images; fill the device bucket with the
-                # (free) sigmas fit product instead of raising.
-                photometry_method=(phot.method if phot.method !=
-                                   "sextractor" else "sigmas"),
+                photometry_method=device_method,
                 photometry_radius=phot.radius,
                 photometry_brim=phot.brim_size,
                 photometry_min=phot.photometry_min,

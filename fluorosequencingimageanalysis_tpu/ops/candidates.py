@@ -285,6 +285,11 @@ def measured_mxu_tflops(repeats: int = 3) -> float:
         return jnp.sum(lax.dot(a, a, precision=lax.Precision.HIGHEST))
 
     with jax.ensure_compile_time_eval():
+        # Commit the operand to device FIRST: a numpy argument would
+        # re-upload 16.8 MB per repeat and the probe would measure the
+        # host link, not the MXU (misclassifying fast hardware behind a
+        # slow link).
+        x = jax.device_put(x)
         float(probe(x))  # compile + warm
         best = float("inf")
         for _ in range(repeats):

@@ -658,36 +658,6 @@ def test_run_stack_direct_sextractor_raises(tmp_path):
         pipe.run_stack(stack, max_candidates=512, max_spots=256)
 
 
-def test_lc_track_device_movie_mesh():
-    """lc_track's mesh path must accept an already-device-resident movie
-    (api.run_timetrace uploads once and passes the jax.Array; regression:
-    an np.asarray bounce cost a device round trip) and match the host-
-    array and unsharded results exactly."""
-    import jax
-    import jax.numpy as jnp
-
-    from fluorosequencingimageanalysis_tpu.parallel.mesh import make_mesh
-    from fluorosequencingimageanalysis_tpu.pipeline.fast_timetrace import (
-        lc_track)
-
-    rng = np.random.default_rng(5)
-    T, H, W, N = 5, 64, 64, 7
-    movie = rng.normal(400, 8, (T, H, W)).astype(np.float32)
-    ys, xs = rng.uniform(12, 52, N), rng.uniform(12, 52, N)
-    hh, ww = np.indices((H, W)).astype(np.float32)
-    for t in range(T):
-        for y, x in zip(ys, xs):
-            movie[t] += 2500 * np.exp(
-                -(((hh - y) ** 2) + ((ww - x) ** 2)) / (2 * 1.3 ** 2))
-    mesh = make_mesh(len(jax.devices()))
-    host = lc_track(movie, ys, xs, mesh=mesh)
-    dev = lc_track(jnp.asarray(movie), ys, xs, mesh=mesh)
-    solo = lc_track(movie, ys, xs)
-    for a, b, c in zip(host, dev, solo):
-        np.testing.assert_array_equal(a, b)
-        np.testing.assert_array_equal(a, c)
-
-
 def test_rows_by_field_many_cycles():
     """Category grouping must stay exact past 64 cycles (the packed
     bitmask spills into multiple uint64 words)."""

@@ -247,9 +247,15 @@ def test_lc_track_mesh_sharded_equals_single_device():
                 -(((yy - ys[i] - 0.3 * t) ** 2 +
                    (xx - xs[i] + 0.2 * t) ** 2) / (2 * 1.3 ** 2)))
             ).astype(np.float32)
+    import jax.numpy as jnp
+
     a = lc_track(movie, ys, xs)
     b = lc_track(movie, ys, xs, mesh=make_mesh(8))
-    for x, y, name in zip(a, b, ("rec_h", "rec_w", "present")):
-        assert x.shape == y.shape == (T, n)
+    # Device-resident movie (api.run_timetrace's call pattern; regression:
+    # an np.asarray bounce cost a device round trip) must match too.
+    c = lc_track(jnp.asarray(movie), ys, xs, mesh=make_mesh(8))
+    for x, y, z, name in zip(a, b, c, ("rec_h", "rec_w", "present")):
+        assert x.shape == y.shape == z.shape == (T, n)
         np.testing.assert_array_equal(x, y, err_msg=name)
+        np.testing.assert_array_equal(x, z, err_msg=name + " (device)")
     assert a[2][1:].any()  # tracks actually survived past frame 0
