@@ -571,8 +571,10 @@ def bench_v8(T=100_000, F=12, K=5, beta_sigma=0.2, host_sample=150):
     kw = dict(log_fluor_means=lfm, beta_sigma=beta_sigma, max_possible=K,
               allow_multidrop=True, max_deviation=3)
     # warm/compile the chunk shape AND the ragged-tail bucket, then timed
-    score_traces(intensities[:8192], categories[:8192], **kw)
-    tail = T % 8192
+    import inspect
+    chunk = inspect.signature(score_traces).parameters["chunk"].default
+    score_traces(intensities[:chunk], categories[:chunk], **kw)
+    tail = T % chunk
     if tail:
         score_traces(intensities[:tail], categories[:tail], **kw)
     dt = float("inf")

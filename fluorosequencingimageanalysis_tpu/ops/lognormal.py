@@ -118,7 +118,7 @@ def _score_batch(log_intensities, categories, seq_tab, log_fluor_means,
 
 def score_traces(intensities, categories, log_fluor_means, beta_sigma,
                  max_possible=5, allow_multidrop=True, allow_upsteps=False,
-                 max_deviation=3, chunk=8192, mesh=None):
+                 max_deviation=3, chunk=32768, mesh=None):
     """Batched v8 scoring for T traces of F cycles each.
 
     intensities: (T, F) raw adjusted intensities (host array).
@@ -131,14 +131,14 @@ def score_traces(intensities, categories, log_fluor_means, beta_sigma,
              best_logscore (T,) float).
 
     The scorer is dispatch-latency-bound at small chunks (tunnel-chip
-    sweeps measured 22k traces/s at chunk=4096 scaling to ~175k at
-    32768, with large run-to-run variance on the shared link); ragged
-    tails pad to power-of-two buckets so every call shape hits a
-    compiled program, and all chunks are queued before any result is
-    fetched so the device pipelines them. The 8192 default balances
-    throughput against one-time program compile/load cost (minutes at
-    the largest chunks on the tunnel chip; normal on production
-    hardware — raise chunk to 32768 there).
+    sweeps measured 69k traces/s at chunk=8192 scaling to ~185k at
+    32768); ragged tails pad to power-of-two buckets so every call
+    shape hits a compiled program, and all chunks are queued before any
+    result is fetched so the device pipelines them. 32768 is the
+    default: the one-time compile is absorbed by the persistent JAX
+    compile cache, while 65536 hangs the tunnel chip's compiler for
+    >9 minutes (same pathology class as DESIGN.md §14's CK 4096-row
+    crash) and is avoided.
     """
     intensities = np.asarray(intensities, dtype=np.float64)
     T, F = intensities.shape
