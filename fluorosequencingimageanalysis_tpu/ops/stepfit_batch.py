@@ -170,6 +170,21 @@ def sliding_t_masks(traces, window_radius=6, p_threshold=0.001):
     return mask
 
 
+@partial(jax.jit, static_argnames=("window_lengths", "window_radius",
+                                   "p_threshold"))
+def _ck_and_masks(traces, window_lengths=(2, 4, 8, 16), window_radius=6,
+                  p_threshold=0.001):
+    """Fused CK filter + sliding-t detector: one dispatch per chunk.
+
+    Keeping the CK output on device for the t-stage saves a full
+    host round trip (fetch + re-upload) per chunk — measured 449 ms ->
+    216 ms for 4096x110 traces on the tunnel chip. Bit-equal to the
+    two-dispatch form (the intermediate is f32 either way)."""
+    ck = chung_kennedy_batch(traces, window_lengths=window_lengths)
+    return ck, sliding_t_masks(ck, window_radius=window_radius,
+                               p_threshold=p_threshold)
+
+
 def _plateaus_from_mask(seq, mask):
     """Host plateau assembly from a step mask: last of each consecutive
     group of step positions (stepfitting_library.py:1033-1037)."""
@@ -203,6 +218,8 @@ def stepfit_batched(photometries, mirror_start=0, chung_kennedy=0,
     """
     phot = np.asarray(photometries, dtype=np.float64)
     N, T0 = phot.shape
+    if N == 0:
+        return []
     mirrored = np.concatenate([phot[:, :mirror_start][:, ::-1], phot], axis=1)
 
     from ..utils.dispatch import pow2_bucket, mesh_row_sharding
@@ -211,15 +228,15 @@ def stepfit_batched(photometries, mirror_start=0, chung_kennedy=0,
     if mesh is not None:
         row_sharding, n_dev = mesh_row_sharding(mesh)
 
-    # Chunk the device dispatches at power-of-two row buckets (cap 1024):
+    # Chunk the device dispatches at power-of-two row buckets (cap 2048):
     # every call shape hits an already-compiled program, and no single
-    # dispatch grows past what constrained compile environments handle.
-    # All chunks are queued before any result is fetched so the device
-    # pipelines them (JAX dispatch is async).
-    def run_chunked(fn, x, chunk=1024):
+    # dispatch grows past what constrained compile environments handle
+    # (a 4096-row CK compile crashed this backend, DESIGN.md §14). All
+    # chunks are queued before any result is fetched so the device
+    # pipelines them (JAX dispatch is async). fn may return one array or
+    # a tuple of same-leading-dim arrays.
+    def run_chunked(fn, x, chunk=2048):
         n = x.shape[0]
-        if n == 0:
-            return x.copy()
         pending = []
         for lo in range(0, n, chunk):
             hi = min(lo + chunk, n)
@@ -235,20 +252,28 @@ def stepfit_batched(photometries, mirror_start=0, chung_kennedy=0,
                 dev = jax.device_put(piece, row_sharding)
             else:
                 dev = jnp.asarray(piece)
-            pending.append((m, fn(dev)))
-        return np.concatenate([np.asarray(d)[:m] for m, d in pending])
+            out = fn(dev)
+            pending.append((m, out if isinstance(out, tuple) else (out,)))
+        if not pending:
+            return x.copy()
+        cols = tuple(
+            np.concatenate([np.asarray(d[j])[:m] for m, d in pending])
+            for j in range(len(pending[0][1])))
+        return cols if len(cols) > 1 else cols[0]
 
     if chung_kennedy > 0:
         # The reference re-filters the *mirrored* input each round
         # (flexlibrary.py:1432-1436), so repetition does not compound.
-        ck = run_chunked(
-            lambda x: chung_kennedy_batch(x, window_lengths=(2, 4, 8, 16)),
-            mirrored)
+        # Fused kernel: the CK output feeds the t-stage on device.
+        ck, masks = run_chunked(
+            lambda x: _ck_and_masks(x, window_lengths=(2, 4, 8, 16),
+                                    window_radius=window_radius,
+                                    p_threshold=p_threshold), mirrored)
     else:
         ck = mirrored
-    masks = run_chunked(
-        lambda x: sliding_t_masks(x, window_radius=window_radius,
-                                  p_threshold=p_threshold), ck)
+        masks = run_chunked(
+            lambda x: sliding_t_masks(x, window_radius=window_radius,
+                                      p_threshold=p_threshold), ck)
 
     from ..native import stepchain
     if stepchain.have_native():
@@ -259,17 +284,42 @@ def stepfit_batched(photometries, mirror_start=0, chung_kennedy=0,
         (rf_n, rf_s, rf_e, rf_h, tf_n, tf_s, tf_e, tf_h) = \
             stepchain.stepfit_postpass(mirrored, masks, p_threshold,
                                        mirror_start)
+        # Bulk-convert once and unmirror in numpy: per-element numpy
+        # scalar access and 2N unmirror_plateaus calls in a 4096-trace
+        # loop cost more than the native pass itself. unmirror_plateaus
+        # semantics (stepfitting.py:640-652): shift by -mirror_start,
+        # drop plateaus entirely inside the mirror (both ends < 0 — a
+        # row PREFIX, plateaus are ordered), clamp the boundary
+        # plateau's start to 0. Equality with the call-per-trace form is
+        # enforced by the native-vs-fallback tests.
+        phot_rows = phot.tolist()
+
+        def unmirror_cols(n, s, e, h):
+            kmask = np.arange(s.shape[1])[None, :] < n[:, None]
+            drop = ((e - mirror_start) < 0) & kmask
+            first = drop.sum(axis=1).tolist()  # prefix length per row
+            a_l = np.maximum(s - mirror_start, 0).tolist()
+            o_l = (e - mirror_start).tolist()
+            h_l = h.tolist()
+            n_l = n.tolist()
+            return (first, a_l, o_l, h_l, n_l)
+
+        rf_cols = unmirror_cols(rf_n, rf_s, rf_e, rf_h)
+        tf_cols = unmirror_cols(tf_n, tf_s, tf_e, tf_h)
         out = []
         for i in range(N):
-            un_ck = stepfitting.unmirror_photometries(
-                list(ck[i]), mirror_size=mirror_start)
-            un_plateaus = stepfitting.unmirror_plateaus(
-                [(int(rf_s[i, k]), int(rf_e[i, k]), float(rf_h[i, k]))
-                 for k in range(int(rf_n[i]))], mirror_size=mirror_start)
-            un_t = stepfitting.unmirror_plateaus(
-                [(int(tf_s[i, k]), int(tf_e[i, k]), float(tf_h[i, k]))
-                 for k in range(int(tf_n[i]))], mirror_size=mirror_start)
-            out.append((tuple(phot[i].tolist()), un_ck, un_plateaus, un_t))
+            # == unmirror_photometries(list(ck[i]), mirror_start): a list
+            # of numpy scalars (the type the host chain produces).
+            un_ck = list(ck[i, mirror_start:])
+            f, a_l, o_l, h_l, n_l = rf_cols
+            un_plateaus = list(zip(a_l[i][f[i]:n_l[i]],
+                                   o_l[i][f[i]:n_l[i]],
+                                   h_l[i][f[i]:n_l[i]]))
+            f, a_l, o_l, h_l, n_l = tf_cols
+            un_t = list(zip(a_l[i][f[i]:n_l[i]],
+                            o_l[i][f[i]:n_l[i]],
+                            h_l[i][f[i]:n_l[i]]))
+            out.append((tuple(phot_rows[i]), un_ck, un_plateaus, un_t))
         return out
 
     out = []
