@@ -204,7 +204,8 @@ def _plateaus_from_mask(seq, mask):
 
 
 def stepfit_batched(photometries, mirror_start=0, chung_kennedy=0,
-                    p_threshold=0.01, window_radius=6, mesh=None):
+                    p_threshold=0.01, window_radius=6, mesh=None,
+                    chunk=2048):
     """Batched Trace.stepfit_photometries chain (flexlibrary.py:1380-1469)
     over an (N, T) array of trace photometries.
 
@@ -215,6 +216,9 @@ def stepfit_batched(photometries, mirror_start=0, chung_kennedy=0,
     mesh: optional jax.sharding.Mesh — the trace axis of every device
     dispatch is sharded over the mesh's first axis (pure data
     parallelism; all window math is within-row).
+    chunk: row cap per device dispatch (power-of-two bucketed below it).
+    2048 compiles cleanly everywhere measured; 4096 crashed this
+    backend's compiler (DESIGN.md §14). Results are chunk-invariant.
     """
     phot = np.asarray(photometries, dtype=np.float64)
     N, T0 = phot.shape
@@ -235,7 +239,7 @@ def stepfit_batched(photometries, mirror_start=0, chung_kennedy=0,
     # chunks are queued before any result is fetched so the device
     # pipelines them (JAX dispatch is async). fn may return one array or
     # a tuple of same-leading-dim arrays.
-    def run_chunked(fn, x, chunk=2048):
+    def run_chunked(fn, x):
         n = x.shape[0]
         pending = []
         for lo in range(0, n, chunk):

@@ -184,6 +184,24 @@ def test_stepfit_tracks_batched_equals_sequential():
             inter_s[hw]["ck_filtered_photometries"].trace, atol=1e-8)
 
 
+def test_stepfit_batched_chunk_invariant():
+    """The chunked dispatch (fused CK+sliding-t per chunk, pow2-bucketed
+    ragged tail, per-chunk concatenation) must be invisible: a 3-chunk
+    run with a ragged tail equals the single-dispatch run row for row."""
+    rng = np.random.default_rng(11)
+    phot = _step_traces(rng, n=70, t=40, noise=500.0)
+    one = stepfit_batched(phot, mirror_start=10, chung_kennedy=1,
+                          p_threshold=0.01)
+    many = stepfit_batched(phot, mirror_start=10, chung_kennedy=1,
+                           p_threshold=0.01, chunk=32)
+    assert len(one) == len(many) == 70
+    for (p_a, ck_a, pl_a, t_a), (p_b, ck_b, pl_b, t_b) in zip(one, many):
+        np.testing.assert_array_equal(p_a, p_b)
+        np.testing.assert_array_equal(ck_a, ck_b)
+        assert pl_a == pl_b
+        assert t_a == t_b
+
+
 def test_stepfit_batched_empty_input():
     """Zero traces must return an empty list, not crash (a spotless
     experiment yields an (0, T) photometry array)."""
