@@ -363,9 +363,11 @@ def bench_stepfit(N=4096, T=100, host_sample=24):
 
     phot = make_step_traces(N, T)
     kw = dict(mirror_start=10, chung_kennedy=1, p_threshold=0.01)
-    # Warm at the full chunk shape (1024 rows) so the timed run hits the
-    # compiled program.
-    stepfit_batched(phot[:1024], **kw)
+    # Warm at the full default dispatch-chunk shape so the timed run
+    # hits the compiled program.
+    import inspect
+    sf_chunk = inspect.signature(stepfit_batched).parameters["chunk"].default
+    stepfit_batched(phot[:min(sf_chunk, N)], **kw)
     dt = float("inf")
     for _ in range(3):  # best-of-3: filters tunnel-link interference
         t0 = time.perf_counter()

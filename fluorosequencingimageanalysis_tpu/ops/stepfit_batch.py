@@ -258,8 +258,8 @@ def stepfit_batched(photometries, mirror_start=0, chung_kennedy=0,
                 dev = jnp.asarray(piece)
             out = fn(dev)
             pending.append((m, out if isinstance(out, tuple) else (out,)))
-        if not pending:
-            return x.copy()
+        # n >= 1 always holds here (the N == 0 early return above), so
+        # pending is never empty.
         cols = tuple(
             np.concatenate([np.asarray(d[j])[:m] for m, d in pending])
             for j in range(len(pending[0][1])))
@@ -299,7 +299,12 @@ def stepfit_batched(photometries, mirror_start=0, chung_kennedy=0,
         phot_rows = phot.tolist()
 
         def unmirror_cols(n, s, e, h):
-            kmask = np.arange(s.shape[1])[None, :] < n[:, None]
+            # Only the first n[i] (typically a handful of) entries per
+            # row are ever read — truncate to the widest row before the
+            # expensive .tolist() boxing (~20x fewer Python objects).
+            w = max(int(n.max()), 1) if n.size else 1
+            s, e, h = s[:, :w], e[:, :w], h[:, :w]
+            kmask = np.arange(w)[None, :] < n[:, None]
             drop = ((e - mirror_start) < 0) & kmask
             first = drop.sum(axis=1).tolist()  # prefix length per row
             a_l = np.maximum(s - mirror_start, 0).tolist()
