@@ -363,13 +363,17 @@ def build_parser():
     fc.add_argument("tracks_csv")
     fc.add_argument("--auto-calibrate", action="store_true",
                     help="derive alpha via the histogram mode-separation "
-                         "method and beta/beta_sigma via last-drop v2, "
-                         "with an ON/OFF re-adjustment pass — the "
-                         "lognormal_fitter_v2 flow")
+                         "method and beta via last-drop v2, with an "
+                         "ON/OFF re-adjustment pass — the "
+                         "lognormal_fitter_v2 flow (the fit always uses "
+                         "--beta-sigma; last-drop sigma estimates are "
+                         "only reported)")
     fc.add_argument("--beta", type=float, default=None,
                     help="lognormal intensity scale; required without "
                          "--auto-calibrate, pins beta with it")
-    fc.add_argument("--beta-sigma", type=float, default=0.2)
+    fc.add_argument("--beta-sigma", type=float, default=0.2,
+                    help="lognormal sigma used by the fit (both passes, "
+                         "as in the reference)")
     fc.add_argument("--alpha-adjust", type=float, default=0.0,
                     help="(manual mode) subtract this zero level")
     fc.add_argument("--channel", default="ch1",

@@ -556,9 +556,21 @@ class Pipeline:
         invalid_fields_mask = None
         if remainder_threshold is not None:
             n_fields = len(next(iter(remainder_counts.values())))
-            chans = (list(remainder_counts) if remainder_channels is None
-                     else [c for c in remainder_counts
-                           if c in remainder_channels])
+            if remainder_channels is None:
+                chans = list(remainder_counts)
+            else:
+                missing = [c for c in remainder_channels
+                           if c not in remainder_counts]
+                if missing:
+                    # A typo'd channel list would otherwise pass every
+                    # field (vacuous any()) — QC silently disabled. The
+                    # reference fails loudly on a missing channel key
+                    # (flexlibrary.py:3231-3263 indexes by channel).
+                    raise ValueError(
+                        "remainder_channels %r not in experiment channels %r"
+                        % (missing, sorted(remainder_counts)))
+                chans = [c for c in remainder_counts
+                         if c in remainder_channels]
             invalid_fields_mask = [
                 not any(remainder_counts[c][f] < remainder_threshold
                         for c in chans)
@@ -811,15 +823,20 @@ class Pipeline:
         batched MXU scorer.
 
         alpha comes from the first-two-mode histogram separation
-        (_get_m0Dm1[7]); beta/beta_sigma from the last-drop method v2 on
-        the truncated alpha-adjusted photometries; an optional ON/OFF
+        (_get_m0Dm1[7]); beta from the last-drop method v2 on the
+        truncated alpha-adjusted photometries; an optional ON/OFF
         re-adjustment pass (grab_ON_OFFS -> ON_OFF_adjust_photometries)
         recalibrates before the final fit. Passing ``beta`` pins it (the
-        reference's --beta override).
+        reference's --beta override). Like the reference, BOTH fits use
+        the caller's ``beta_sigma`` (default 0.2) — the last-drop sigma
+        estimates are derived but never fed into the fit
+        (lognormal_fitter_v2.py:199-212); they are reported in the
+        calibration dict as beta_sigma_estimate / original_beta_sigma.
 
         Returns (signals, total_count, none_count, all_fit_info,
-        calibration) where calibration = {alpha, beta, beta_sigma,
-        original_beta, original_beta_sigma}.
+        calibration) where calibration = {alpha, beta, beta_sigma (the
+        value the fits used), beta_sigma_estimate, original_beta,
+        original_beta_sigma}.
         """
         from collections import defaultdict
 
@@ -881,8 +898,13 @@ class Pipeline:
                     max_possible=max_possible, allow_upsteps=False,
                     allow_multidrop=allow_multidrop, max_deviation=3,
                     quench_factors=quench, mesh=self.mesh)
+        # Faithful to lognormal_fitter_v2.py:199-212: BOTH fits use the
+        # caller's beta_sigma; last_drop_method_v2's sigma estimates are
+        # derived but never fed back. Report the estimate separately so
+        # the record is honest about which value the fit actually used.
         calibration = {"alpha": float(alpha), "beta": float(adj_beta),
                        "beta_sigma": float(beta_sigma),
+                       "beta_sigma_estimate": float(adj_bs),
                        "original_beta": float(original_beta),
                        "original_beta_sigma": float(original_bs)}
         return signals, total, none_count, fit_info, calibration

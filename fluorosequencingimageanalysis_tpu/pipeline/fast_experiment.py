@@ -476,18 +476,12 @@ def run_experiment_stack(stack, offsets_h, offsets_w, spot_arrays,
     field_of = np.repeat(np.arange(F), field_sizes)
 
     if photometry_method == "sextractor":
-        # Host-vectorized per image: SExtractor background subtraction,
-        # then ALL of the image's trace positions measured as one
-        # windowed dot product with the exact circular-overlap kernel
-        # (spots._aperture_fracs; flexlibrary.py:243-262 semantics, edge
-        # truncation included via zero padding — outside pixels
-        # contribute nothing to an aperture sum either way).
-        from .spots import _aperture_fracs, _mesh_background
+        # Host-vectorized per image via the shared kernel
+        # (spots.sextractor_aperture_sums): background subtraction, then
+        # ALL of the image's trace positions in one windowed dot product.
+        from .spots import sextractor_aperture_sums
 
         stack_np = np.asarray(stack)
-        fr = _aperture_fracs(aperture_radius)
-        r_int = (fr.shape[0] - 1) // 2
-        dd = np.arange(-r_int, r_int + 1)
         phot = np.empty((pos.shape[0], C), np.float64)
         start = 0
         for f in range(F):
@@ -496,15 +490,9 @@ def run_experiment_stack(stack, offsets_h, offsets_w, spot_arrays,
                 continue
             p = pos[start:stop]                       # (n, C, 2)
             for c in range(C):
-                data = (stack_np[f, c].astype(np.float64)
-                        - _mesh_background(stack_np[f, c], box_size,
-                                           filter_size))
-                padded = np.pad(data, r_int)
-                hs = p[:, c, 0] + r_int
-                ws = p[:, c, 1] + r_int
-                wins = padded[hs[:, None, None] + dd[None, :, None],
-                              ws[:, None, None] + dd[None, None, :]]
-                phot[start:stop, c] = np.einsum("nij,ij->n", wins, fr)
+                phot[start:stop, c] = sextractor_aperture_sums(
+                    stack_np[f, c], p[:, c, 0], p[:, c, 1],
+                    aperture_radius, box_size, filter_size)
             start = stop
         return _rows_by_field(pos, cats, phot, field_sizes, F)
 

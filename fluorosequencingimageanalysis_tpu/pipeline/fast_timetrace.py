@@ -200,24 +200,16 @@ def timetrace_photometries(movie, rec_h, rec_w, present, method,
                 else:
                     out[i, 0] = 1e6 * gf[4] * gf[5]
     elif method == "sextractor":
-        from .spots import _aperture_fracs, _mesh_background
+        from .spots import sextractor_aperture_sums
 
         movie_np = np.asarray(movie)
-        fr = _aperture_fracs(aperture_radius)
-        r_int = (fr.shape[0] - 1) // 2
-        dd = np.arange(-r_int, r_int + 1)
         for f in range(T):
             idx = np.nonzero(present[f])[0]
             if idx.size == 0:
                 continue
-            data = (movie_np[f].astype(np.float64)
-                    - _mesh_background(movie_np[f], box_size, filter_size))
-            padded = np.pad(data, r_int)
-            hs = rec_h[f, idx] + r_int
-            ws = rec_w[f, idx] + r_int
-            wins = padded[hs[:, None, None] + dd[None, :, None],
-                          ws[:, None, None] + dd[None, None, :]]
-            out[idx, f] = np.einsum("nij,ij->n", wins, fr)
+            out[idx, f] = sextractor_aperture_sums(
+                movie_np[f], rec_h[f, idx], rec_w[f, idx],
+                aperture_radius, box_size, filter_size)
     else:
         win_r = {"mexican_hat": photometry_radius, "simple": 2,
                  "maximum": 5}[method]

@@ -390,9 +390,49 @@ def _mesh_background(image, box_size, filter_size):
         mesh = median_filter(mesh, size=k)
     if nh == 1 and nw == 1:
         return np.full((H, W), mesh[0, 0])
-    up = zoom(mesh, box_size, order=min(3, min(nh, nw) - 1),
-              mode="reflect", grid_mode=True)
+    # Per-axis spline order: an axis with few boxes only degrades ITS
+    # order (a spline of order k needs k+1 knots), not the other's — a
+    # 1xN strip mesh still interpolates cubically along its long axis.
+    # Tensor-product spline interpolation is separable, so two 1-D
+    # zoom passes equal the single 2-D call when the orders agree.
+    order_h = min(3, nh - 1)
+    order_w = min(3, nw - 1)
+    if order_h == order_w:
+        up = zoom(mesh, box_size, order=order_h,
+                  mode="reflect", grid_mode=True)
+    else:
+        up = zoom(mesh, (1.0, float(box_size)), order=order_w,
+                  mode="reflect", grid_mode=True)
+        up = zoom(up, (float(box_size), 1.0), order=order_h,
+                  mode="reflect", grid_mode=True)
     return up[:H, :W]
+
+
+def sextractor_aperture_sums(image, hs, ws, aperture_radius,
+                             box_size, filter_size):
+    """SExtractor photometry of one image at integer centers (hs, ws):
+    subtract the mesh background (_mesh_background), then measure every
+    center as one windowed dot product with the exact circular-overlap
+    kernel (_aperture_fracs) — flexlibrary.py:243-262 semantics, edge
+    truncation included via zero padding (outside pixels contribute
+    nothing to an aperture sum either way).
+
+    Shared by the experiment (fast_experiment.run_experiment_stack) and
+    timetrace (fast_timetrace) front doors so the sextractor spec lives
+    in exactly one place. Returns float64 [len(hs)].
+    """
+    fr = _aperture_fracs(aperture_radius)
+    r_int = (fr.shape[0] - 1) // 2
+    dd = np.arange(-r_int, r_int + 1)
+    image = np.asarray(image)
+    data = (image.astype(np.float64)
+            - _mesh_background(image, box_size, filter_size))
+    padded = np.pad(data, r_int)
+    hs = np.asarray(hs) + r_int
+    ws = np.asarray(ws) + r_int
+    wins = padded[hs[:, None, None] + dd[None, :, None],
+                  ws[:, None, None] + dd[None, None, :]]
+    return np.einsum("nij,ij->n", wins, fr)
 
 
 _APERTURE_FRAC_CACHE = {}

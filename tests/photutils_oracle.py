@@ -73,6 +73,17 @@ def background_oracle(image, box_size=10, filter_size=10):
         mesh = median_filter(mesh, size=k)
     if nh == 1 and nw == 1:
         return np.full((H, W), mesh[0, 0])
-    up = zoom(mesh, box_size, order=min(3, min(nh, nw) - 1),
-              mode="reflect", grid_mode=True)
+    # Per-axis spline order (see pipeline/spots._mesh_background): a
+    # 1-box axis degrades only its own axis to nearest-knot, the other
+    # axis keeps the cubic spline.
+    order_h = min(3, nh - 1)
+    order_w = min(3, nw - 1)
+    if order_h == order_w:
+        up = zoom(mesh, box_size, order=order_h,
+                  mode="reflect", grid_mode=True)
+    else:
+        up = zoom(mesh, (1.0, float(box_size)), order=order_w,
+                  mode="reflect", grid_mode=True)
+        up = zoom(up, (float(box_size), 1.0), order=order_h,
+                  mode="reflect", grid_mode=True)
     return up[:H, :W]

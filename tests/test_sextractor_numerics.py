@@ -133,3 +133,44 @@ def test_scalar_mode_oracle_agrees_on_shared_rules():
     assert sextractor_mode_scalar(box) == 5.0
     skew = [0.0] * 50 + [1.0] * 50 + [1000.0] * 30
     assert sextractor_mode_scalar(skew) == float(np.median(skew))
+
+
+def test_background_strip_keeps_cubic_along_long_axis():
+    """A strip with a single box row (nh=1) must still interpolate
+    cubically along its long axis: before the per-axis order fix the
+    global clamp order=min(3, min(nh,nw)-1)=0 made the whole map
+    nearest-knot blocky. A noiseless linear gradient is reproduced
+    exactly by any spline of order >= 1 (away from the reflected
+    boundary), so a staircase shows up as O(gradient*box) error."""
+    H, W = 10, 120
+    box = 10
+    ww = np.indices((H, W))[1].astype(float)
+    img = 300.0 + 2.0 * ww  # pure w-gradient, no noise
+    bg = _mesh_background(img, box, 1)
+    inner = bg[:, 2 * box:-2 * box]
+    target = img[:, 2 * box:-2 * box]
+    # order-0 zoom stairs at +-(gradient * box / 2) = +-10 everywhere;
+    # the cubic spline on a linear signal deviates only via the
+    # 'reflect' boundary continuation, measured <= 0.3 two boxes in.
+    assert np.abs(inner - target).max() < 1.0
+    # The oracle shares the per-axis rule.
+    np.testing.assert_allclose(bg, background_oracle(img, box, 1),
+                               rtol=1e-12, atol=1e-9)
+
+
+def test_background_two_pass_zoom_matches_single_pass():
+    """Tensor-product separability: when both axes support order 3 the
+    shipped single 2-D zoom must equal the two 1-D passes the ragged
+    case uses (pins the refactor's claim). Exact separability is broken
+    only by the IIR spline prefilter's boundary roundtrip, ~5e-8
+    relative (the shipped code uses the single-pass form whenever the
+    orders agree, so this bounds the ragged path's deviation)."""
+    from scipy.ndimage import zoom
+
+    rng = np.random.default_rng(11)
+    mesh = rng.normal(400.0, 10.0, (6, 9))
+    one = zoom(mesh, 10, order=3, mode="reflect", grid_mode=True)
+    two = zoom(zoom(mesh, (1.0, 10.0), order=3, mode="reflect",
+                    grid_mode=True),
+               (10.0, 1.0), order=3, mode="reflect", grid_mode=True)
+    np.testing.assert_allclose(two, one, rtol=1e-6)
