@@ -72,7 +72,8 @@ def _cmd_run_experiment(args):
         category_csv_filtered=not args.all_categories,
         category_csv_collate_fields=args.collate_fields,
         max_candidates=args.max_candidates, max_spots=args.max_spots,
-        mdma=args.mdma, remainder_threshold=args.remainder_threshold)
+        mdma=args.mdma, remainder_threshold=args.remainder_threshold,
+        dispatch=args.dispatch)
     if args.offsets_pkl:
         with open(os.path.join(args.output_dir, args.offsets_pkl),
                   "wb") as fh:
@@ -350,6 +351,12 @@ def build_parser():
                          "one-drop monotone only, like the reference)")
     pe.add_argument("--collate-fields", action="store_true",
                     help="per-field category counts")
+    pe.add_argument("--dispatch", default="eager",
+                    choices=["eager", "window"],
+                    help="group-upload scheduling: eager enqueues every "
+                         "field group up front (measured fastest); "
+                         "window keeps 2 in flight for HBM-constrained "
+                         "devices")
     pe.add_argument("--profile", action="store_true",
                     help="print per-stage wall-clock")
     pe.add_argument("--store", default=None,
