@@ -663,20 +663,31 @@ class Pipeline:
         movie = _normalize_stack(movie)
         if movie.ndim != 3:
             raise ValueError("movie must be [frames, H, W]")
+        import jax
         import jax.numpy as jnp
-        movie_dev = jnp.asarray(movie)
+        if isinstance(movie, jax.Array):
+            movie_dev = movie
+            movie0_dev = movie_dev[0]
+        else:
+            # Frame 0 ships FIRST (its own small transfer), so the detect
+            # dispatch + fetch below overlap the rest of the movie's
+            # upload instead of waiting behind it (uploads are serial on
+            # remote links; detect only needs frame 0).
+            movie0_dev = jnp.asarray(movie[0])
+            movie_dev = jnp.asarray(movie)
         if movie_dev.dtype != jnp.float32:
             # Raw camera dtypes upload as-is (half the bytes for uint16 —
             # the upload IS the detect stage's dominant cost on remote
             # links) and cast on device, like run_stack.
             movie_dev = movie_dev.astype(jnp.float32)
+            movie0_dev = movie0_dev.astype(jnp.float32)
         with self._stage("api/run_timetrace/detect"):
             det = self.config.detect
             # Lean arrays path: the psfs-dict key semantics without the
             # sub/fit-image materialization (one dispatch + one fetch —
             # find_peptides costs ~3x more per image on remote links).
             h0, w0, fits, _count = find_peptide_centers(
-                movie_dev[0],
+                movie0_dev,
                 median_filter_size=det.median_filter_size, c_std=det.c_std,
                 r_2_threshold=det.r_2_threshold,
                 consolidation_radius=det.consolidation_radius,
@@ -704,18 +715,41 @@ class Pipeline:
                     "photometries": np.zeros((0, movie.shape[0])),
                     "step_fits": {}, "step_fit_intermediates": {},
                     "trace_count": 0, "csv_path": csv_path}
-        with self._stage("api/run_timetrace/track"):
-            rec_h, rec_w, present = lc_track(
-                movie_dev, h0, w0, search_radius=search_radius,
-                s_n_cutoff=s_n_cutoff, mesh=self.mesh)
-        with self._stage("api/run_timetrace/photometry"):
-            photometries = timetrace_photometries(
-                movie_dev, rec_h, rec_w, present, phot.method,
-                initial_fits=fits, photometry_radius=phot.radius,
-                photometry_brim=phot.brim_size,
-                photometry_min=photometry_min,
-                aperture_radius=phot.aperture_radius,
-                box_size=phot.box_size, filter_size=phot.filter_size)
+        mesh = self.mesh
+        n_track_shards = (int(mesh.shape[mesh.axis_names[0]])
+                          if mesh is not None else 1)
+        fused = (phot.method in ("mexican_hat", "simple", "maximum")
+                 and n_track_shards == 1
+                 and movie.shape[0] * len(h0) <= 65536)
+        if fused:
+            # Fused path: tracking results stay on device and feed the
+            # photometry kernel directly — no positions round trip
+            # (pipeline/fast_timetrace.lc_track_and_photometry; values
+            # identical to the two-step path, which remains the oracle
+            # in tests/test_fast_timetrace.py).
+            from .pipeline.fast_timetrace import lc_track_and_photometry
+            with self._stage("api/run_timetrace/track+photometry"):
+                rec_h, rec_w, present, photometries = \
+                    lc_track_and_photometry(
+                        movie_dev, h0, w0, phot.method,
+                        search_radius=search_radius,
+                        s_n_cutoff=s_n_cutoff,
+                        photometry_radius=phot.radius,
+                        photometry_brim=phot.brim_size,
+                        photometry_min=photometry_min)
+        else:
+            with self._stage("api/run_timetrace/track"):
+                rec_h, rec_w, present = lc_track(
+                    movie_dev, h0, w0, search_radius=search_radius,
+                    s_n_cutoff=s_n_cutoff, mesh=self.mesh)
+            with self._stage("api/run_timetrace/photometry"):
+                photometries = timetrace_photometries(
+                    movie_dev, rec_h, rec_w, present, phot.method,
+                    initial_fits=fits, photometry_radius=phot.radius,
+                    photometry_brim=phot.brim_size,
+                    photometry_min=photometry_min,
+                    aperture_radius=phot.aperture_radius,
+                    box_size=phot.box_size, filter_size=phot.filter_size)
         with self._stage("api/run_timetrace/stepfit"):
             results = stepfit_batched(photometries,
                                       mirror_start=mirror_start,
@@ -754,6 +788,46 @@ class Pipeline:
                 "photometries": photometries, "step_fits": step_fits,
                 "step_fit_intermediates": intermediates,
                 "trace_count": len(spot_traces), "csv_path": csv_path}
+
+    def run_timetraces(self, movies, csv_paths=None, prefetch=False,
+                       **kwargs):
+        """Batch movie front door: run_timetrace over a SEQUENCE of
+        movies (a TIRF session produces many movie fields).
+
+        prefetch=True device_puts movie k+1 (raw camera dtype, async)
+        while movie k computes, hiding its upload behind device work —
+        the right default on PCIe/local-HBM links. It is OFF by default
+        because on a serial tunneled link uploads and result fetches
+        contend: measured here, prefetching one movie ahead was ~15%
+        slower and prefetching all movies ~30% slower than the plain
+        loop (each small fetch waits behind megabytes of later uploads).
+
+        Arguments:
+            movies: iterable of [T, H, W] arrays (dtypes may differ).
+            csv_paths: optional list, one output CSV path per movie.
+            prefetch: upload one movie ahead of compute.
+            kwargs: forwarded to run_timetrace.
+
+        Returns a list of run_timetrace result dicts, in order.
+        """
+        import jax.numpy as jnp
+
+        movies = [_normalize_stack(m) for m in movies]
+        if csv_paths is not None and len(csv_paths) != len(movies):
+            raise ValueError("csv_paths must have one entry per movie")
+        outs = []
+        dev = None
+        if prefetch and movies:
+            dev = jnp.asarray(movies[0])
+        for i in range(len(movies)):
+            cur = dev if dev is not None else movies[i]
+            if prefetch:
+                dev = (jnp.asarray(movies[i + 1])
+                       if i + 1 < len(movies) else None)
+            outs.append(self.run_timetrace(
+                cur, csv_path=None if csv_paths is None else csv_paths[i],
+                **kwargs))
+        return outs
 
     def run_files(self, paths_by_cycle, **kwargs):
         """Like run_stack, from image files: paths_by_cycle is a list (per

@@ -168,6 +168,122 @@ def lc_track(movie, h0, w0, search_radius=3, s_n_cutoff=3.0, mesh=None):
     return rec_h, rec_w, present
 
 
+@functools.partial(jax.jit, static_argnames=("radius", "bucket", "H", "W"))
+def _positions_for_photometry(t0h, t0w, rec_h, rec_w, present,
+                              radius, bucket, H, W):
+    """Device-side position prep for the fused track -> photometry path:
+    prepend the frame-0 row, clip every position into the gather-interior
+    box, and flatten to (bucket,)-padded index arrays for the shared
+    photometry kernel (fast_experiment._get_photometry_kernel). Clipped
+    out-of-window and absent positions are overridden on host afterwards
+    (exact edge fallbacks / zeros), so the clip only has to keep the
+    gather in bounds."""
+    import jax.numpy as jnp
+
+    Tm1, N = rec_h.shape
+    T = Tm1 + 1
+    full_h = jnp.concatenate([t0h[None], rec_h])
+    full_w = jnp.concatenate([t0w[None], rec_w])
+    present_full = jnp.concatenate([jnp.ones((1, N), bool), present])
+    hc = jnp.clip(full_h, radius, H - 1 - radius).reshape(-1)
+    wc = jnp.clip(full_w, radius, W - 1 - radius).reshape(-1)
+    img_id = jnp.repeat(jnp.arange(T, dtype=jnp.int32), N)
+    pad = bucket - T * N
+    hc = jnp.concatenate([hc, jnp.full((pad,), radius, hc.dtype)])
+    wc = jnp.concatenate([wc, jnp.full((pad,), radius, wc.dtype)])
+    img_id = jnp.concatenate([img_id, jnp.zeros((pad,), jnp.int32)])
+    return (full_h, full_w, present_full, hc.astype(jnp.int32),
+            wc.astype(jnp.int32), img_id)
+
+
+def lc_track_and_photometry(movie_dev, h0, w0, method, search_radius=3,
+                            s_n_cutoff=3.0, photometry_radius=9,
+                            photometry_brim=6, photometry_min=None,
+                            photometry_top=1, chunk=65536):
+    """Fused movie path: LC tracking and whole-movie photometry with NO
+    host round trip between them.
+
+    The two-step path (lc_track -> timetrace_photometries) fetches the
+    tracked positions, builds gather indices on host, and re-uploads
+    them — three serialized link round trips that dominate the movie
+    front door on remote-device links. Here the scan's device outputs
+    feed a device-side position prep (_positions_for_photometry) and
+    then the SAME chunked photometry kernel the experiment path uses
+    (fast_experiment._get_photometry_kernel — so interior values are
+    bit-identical to timetrace_photometries'), and all four results are
+    fetched with overlapping async copies.
+
+    Only the window metrics (mexican_hat / simple / maximum) and
+    single-dispatch sizes (T*N <= chunk) take this path; callers fall
+    back to the two-step functions otherwise.
+
+    Returns (rec_h, rec_w, present, photometries): the [T, N] host
+    arrays of lc_track plus the (N, T) float64 photometry matrix of
+    timetrace_photometries (None frames 0, exact host edge fallbacks,
+    photometry_min applied).
+    """
+    import jax.numpy as jnp
+
+    from ..ops import photometry as phot_ops
+    from .fast_experiment import _get_photometry_kernel
+    from ..utils.dispatch import pow2_bucket
+
+    T, H, W = movie_dev.shape
+    win_r = {"mexican_hat": photometry_radius, "simple": 2,
+             "maximum": 5}[method]
+    h0 = np.asarray(h0, np.float64)
+    w0 = np.asarray(w0, np.float64)
+    # Exact host-f64 int() truncation / Py2 rounding of the initial float
+    # centers, as in lc_track.
+    trunc0_h = np.trunc(h0).astype(np.int32)
+    trunc0_w = np.trunc(w0).astype(np.int32)
+    round0_h = np.asarray([py2_round(v) for v in h0], np.int32)
+    round0_w = np.asarray([py2_round(v) for v in w0], np.int32)
+    N = len(h0)
+
+    t0h = jnp.asarray(trunc0_h)
+    t0w = jnp.asarray(trunc0_w)
+    rec_h_d, rec_w_d, present_d = _lc_track_scan(
+        movie_dev, t0h, t0w, jnp.asarray(round0_h), jnp.asarray(round0_w),
+        search_radius=search_radius, s_n_cutoff=float(s_n_cutoff))
+    bucket = pow2_bucket(T * N, chunk)
+    full_h, full_w, present_full, hc, wc, img_id = _positions_for_photometry(
+        t0h, t0w, rec_h_d, rec_w_d, present_d, win_r, bucket, H, W)
+    kern = _get_photometry_kernel(method, win_r, photometry_brim,
+                                  photometry_top)
+    phot_d = kern(movie_dev, img_id, hc, wc)
+    for arr in (full_h, full_w, present_full, phot_d):
+        arr.copy_to_host_async()
+    rec_h = np.asarray(full_h)
+    rec_w = np.asarray(full_w)
+    present = np.asarray(present_full)
+    vals = np.asarray(phot_d)[:T * N].astype(np.float64).reshape(T, N)
+
+    interior = ((rec_h >= win_r) & (rec_h < H - win_r) &
+                (rec_w >= win_r) & (rec_w < W - win_r))
+    out = np.where((present & interior).T, vals.T, 0.0)
+    # Present-but-edge positions: the exact host truncation fallbacks
+    # (same semantics as timetrace_photometries' non-interior loop).
+    frame_cache = {}
+    for f, n in zip(*np.nonzero(present & ~interior)):
+        if f not in frame_cache:
+            frame_cache[f] = np.asarray(movie_dev[f])
+        img = frame_cache[f]
+        h, w = int(rec_h[f, n]), int(rec_w[f, n])
+        if method == "mexican_hat":
+            v = phot_ops.mexican_hat_host(img, h, w,
+                                          brim_size=photometry_brim,
+                                          radius=win_r)
+        elif method == "simple":
+            v = phot_ops.simple_host(img, h, w, radius=win_r)
+        else:
+            v = phot_ops.maximum_host(img, h, w, radius=win_r)
+        out[n, f] = v
+    if photometry_min is not None:
+        out = np.maximum(out, photometry_min)
+    return rec_h, rec_w, present, out
+
+
 def timetrace_photometries(movie, rec_h, rec_w, present, method,
                            initial_fits=None, photometry_radius=9,
                            photometry_brim=6, photometry_min=None,

@@ -190,6 +190,56 @@ def test_run_timetrace_empty_movie(tmp_path):
         assert len(header) == 1 and header[0].startswith("Trace #")
 
 
+def test_run_timetraces_batch_matches_per_movie(tmp_path):
+    """The batch front door must reproduce per-movie run_timetrace
+    exactly (CSV-identical), with and without upload prefetch."""
+    movies = [make_movie(seed=s, T=10, n_spots=6) for s in (0, 3)]
+    pipe = Pipeline()
+    kw = dict(max_candidates=256, chung_kennedy=1)
+    singles = []
+    for i, m in enumerate(movies):
+        p = tmp_path / f"single_{i}.csv"
+        pipe.run_timetrace(m, csv_path=str(p), **kw)
+        singles.append(p.read_text())
+    for prefetch in (False, True):
+        paths = [tmp_path / f"batch_{prefetch}_{i}.csv"
+                 for i in range(len(movies))]
+        outs = pipe.run_timetraces(movies, csv_paths=[str(p) for p in paths],
+                                   prefetch=prefetch, **kw)
+        assert len(outs) == len(movies)
+        for i, p in enumerate(paths):
+            assert p.read_text() == singles[i], (prefetch, i)
+
+    with pytest.raises(ValueError):
+        pipe.run_timetraces(movies, csv_paths=["only_one.csv"], **kw)
+
+
+def test_fused_track_photometry_equals_two_step():
+    """lc_track_and_photometry (the fused device path run_timetrace
+    takes) must equal lc_track + timetrace_photometries for every
+    window metric, including edge fallbacks."""
+    import jax.numpy as jnp
+    from fluorosequencingimageanalysis_tpu.pipeline.fast_timetrace import (
+        lc_track, lc_track_and_photometry, timetrace_photometries)
+
+    movie = make_movie(seed=9, T=12, n_spots=8, H=64, W=64)
+    # Spots near the frame edge exercise the host fallback overrides.
+    h0 = np.array([12.4, 30.6, 50.2, 3.1, 60.7])
+    w0 = np.array([20.3, 40.8, 10.5, 61.2, 4.4])
+    movie_dev = jnp.asarray(movie)
+    for method in ("mexican_hat", "simple", "maximum"):
+        rec_h, rec_w, present = lc_track(movie, h0, w0)
+        ref = timetrace_photometries(movie_dev, rec_h, rec_w, present,
+                                     method, photometry_min=100.0)
+        fh, fw, fp, phot = lc_track_and_photometry(
+            movie_dev, h0, w0, method, photometry_min=100.0)
+        np.testing.assert_array_equal(fh, rec_h, err_msg=method)
+        np.testing.assert_array_equal(fw, rec_w, err_msg=method)
+        np.testing.assert_array_equal(fp, present, err_msg=method)
+        np.testing.assert_allclose(phot, ref, rtol=1e-6, atol=1e-4,
+                                   err_msg=method)
+
+
 def test_lc_track_matches_host_tracker():
     """The lax.scan tracker must agree with the per-frame batched host
     tracker (pipeline/tracking.luminosity_centroid_particle_tracking)
