@@ -298,37 +298,39 @@ def stepfit_batched(photometries, mirror_start=0, chung_kennedy=0,
         # enforced by the native-vs-fallback tests.
         phot_rows = phot.tolist()
 
-        def unmirror_cols(n, s, e, h):
-            # Only the first n[i] (typically a handful of) entries per
-            # row are ever read — truncate to the widest row before the
-            # expensive .tolist() boxing (~20x fewer Python objects).
+        def unmirror_lists(n, s, e, h):
+            # Per-row [(start, stop, height), ...] after unmirroring
+            # (shift by -mirror_start, drop plateaus entirely inside the
+            # mirror, clamp the boundary start to 0 —
+            # stepfitting.unmirror_plateaus semantics), built as ONE
+            # flat zip over all kept plateaus: a per-row zip/slice loop
+            # measured ~10x slower at 4k traces (0.15 s of a 0.5 s
+            # call). Only the first n[i] entries per row are real; rows
+            # are sliced out of the flat list by cumulative counts.
             w = max(int(n.max()), 1) if n.size else 1
             s, e, h = s[:, :w], e[:, :w], h[:, :w]
             kmask = np.arange(w)[None, :] < n[:, None]
-            drop = ((e - mirror_start) < 0) & kmask
-            first = drop.sum(axis=1).tolist()  # prefix length per row
-            a_l = np.maximum(s - mirror_start, 0).tolist()
-            o_l = (e - mirror_start).tolist()
-            h_l = h.tolist()
-            n_l = n.tolist()
-            return (first, a_l, o_l, h_l, n_l)
+            keep = kmask & ((e - mirror_start) >= 0)
+            rows, cols = np.nonzero(keep)  # row-major: rows stay grouped
+            flat = list(zip(
+                np.maximum(s[rows, cols] - mirror_start, 0).tolist(),
+                (e[rows, cols] - mirror_start).tolist(),
+                h[rows, cols].tolist()))
+            bounds = np.zeros(keep.shape[0] + 1, np.int64)
+            np.cumsum(keep.sum(axis=1), out=bounds[1:])
+            return [flat[bounds[i]:bounds[i + 1]]
+                    for i in range(keep.shape[0])]
 
-        rf_cols = unmirror_cols(rf_n, rf_s, rf_e, rf_h)
-        tf_cols = unmirror_cols(tf_n, tf_s, tf_e, tf_h)
+        rf_lists = unmirror_lists(rf_n, rf_s, rf_e, rf_h)
+        tf_lists = unmirror_lists(tf_n, tf_s, tf_e, tf_h)
+        ck_un = ck[:, mirror_start:]
         out = []
         for i in range(N):
-            # == unmirror_photometries(list(ck[i]), mirror_start): a list
-            # of numpy scalars (the type the host chain produces).
-            un_ck = list(ck[i, mirror_start:])
-            f, a_l, o_l, h_l, n_l = rf_cols
-            un_plateaus = list(zip(a_l[i][f[i]:n_l[i]],
-                                   o_l[i][f[i]:n_l[i]],
-                                   h_l[i][f[i]:n_l[i]]))
-            f, a_l, o_l, h_l, n_l = tf_cols
-            un_t = list(zip(a_l[i][f[i]:n_l[i]],
-                            o_l[i][f[i]:n_l[i]],
-                            h_l[i][f[i]:n_l[i]]))
-            out.append((tuple(phot_rows[i]), un_ck, un_plateaus, un_t))
+            # list(ck_un[i]) == unmirror_photometries(list(ck[i]),
+            # mirror_start): a list of numpy scalars (the type the host
+            # chain produces).
+            out.append((tuple(phot_rows[i]), list(ck_un[i]),
+                        rf_lists[i], tf_lists[i]))
         return out
 
     out = []
