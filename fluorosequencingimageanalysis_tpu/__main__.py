@@ -1,8 +1,10 @@
 """The TPU-native CLI front door: ``python -m fluorosequencingimageanalysis_tpu``.
 
 The seven reference-compatible scripts at the repo root keep the exact old
-flags and artifacts; this is the redesigned interface over api.Pipeline —
-one command for the flagship workflow and one for fluor counting:
+flags and artifacts; this is the redesigned interface over api.Pipeline,
+with one subcommand per reference workflow (detect, run-experiment,
+timetrace, stepfit, fluor-counts, background-correct, remainder-correct,
+simulate). For example:
 
     python -m fluorosequencingimageanalysis_tpu run-experiment \
         --peptide-files cycle_*/field_*.png --output-dir out
@@ -311,6 +313,74 @@ def _cmd_background(args):
     return 0
 
 
+def _cmd_detect(args):
+    """Spot finding + PSF fitting over image files, writing the
+    reference's psfs artifacts (<image>_psfs_<hash>.{pkl,csv,png}) —
+    the basic_image_script workflow on the batched device detector."""
+    from .batch import image_batch
+
+    params = {}
+    if args.max_candidates is not None:
+        params["max_candidates"] = args.max_candidates
+    if args.c_std is not None:
+        params["c_std"] = args.c_std
+    if args.r2_threshold is not None:
+        params["r_2_threshold"] = args.r2_threshold
+    processed = image_batch(args.images, find_peptides_parameters=params)
+    spot_counts = {}
+    for image_path, (converted, pkl_path, _csv, _png) in processed.items():
+        with open(pkl_path, "rb") as fh:
+            spot_counts[image_path] = len(pickle.load(fh))
+    print(json.dumps({
+        "images": len(args.images), "processed": len(processed),
+        "spots": spot_counts,
+        "artifacts": {p: list(t[1:]) for p, t in processed.items()}},
+        default=str))
+    return 0 if len(processed) == len(set(map(os.path.abspath,
+                                              args.images))) else 1
+
+
+def _cmd_remainder(args):
+    """Remainder-based photometry correction of a track CSV (the
+    remainder_correction app's methods 1-4), writing
+    <csv>_adjusted.csv."""
+    import csv as csv_module
+
+    from .inference.photometries import (read_track_photometries_csv,
+                                         remainder_correct)
+
+    csv_path = os.path.abspath(args.tracks_csv)
+    photometries, row_photometries = read_track_photometries_csv(
+        csv_path, head_truncate=0, tail_truncate=0, downstep_filtered=False)
+    if not row_photometries:
+        raise SystemExit("no traces in " + csv_path)
+    num_frames = len(row_photometries.popitem()[1][4])
+    adjusted, adjustments = remainder_correct(
+        photometries, num_frames, method=args.method,
+        minimum_r_per_field=args.min, use_median=args.m1_diff_median)
+    out_path = args.output or (csv_path + "_adjusted.csv")
+    n_rows = 0
+    with open(out_path, "w", newline="") as fh:
+        writer = csv_module.writer(fh)
+        writer.writerow(["CHANNEL", "FIELD", "H", "W", "CATEGORY"] +
+                        [f"FRAME {fr}" for fr in range(num_frames)])
+        for channel, cdict in adjusted.items():
+            for field, fdict in cdict.items():
+                for (h, w), entry in fdict.items():
+                    writer.writerow(
+                        [str(channel), str(field), str(h), str(w),
+                         str(entry[0])] + [str(i) for i in entry[1]])
+                    n_rows += 1
+    if args.adjustments_pkl:
+        with open(args.adjustments_pkl, "wb") as fh:
+            pickle.dump(adjustments, fh)
+    print(json.dumps({"method": args.method, "rows": n_rows,
+                      "adjusted_fields": {c: sorted(d)
+                                          for c, d in adjustments.items()},
+                      "output": out_path}, default=str))
+    return 0
+
+
 def build_parser():
     parser = argparse.ArgumentParser(
         prog="python -m fluorosequencingimageanalysis_tpu",
@@ -493,6 +563,36 @@ def build_parser():
     bg.add_argument("--background-pkl", default=None,
                     help="also dump the per-signal background counts")
     bg.set_defaults(func=_cmd_background)
+
+    det = sub.add_parser(
+        "detect",
+        help="spot finding + PSF fitting over images, writing the "
+             "psfs pkl/csv/png artifacts (basic_image_script workflow)")
+    det.add_argument("images", nargs="+", help="image files")
+    det.add_argument("--max-candidates", type=int, default=None)
+    det.add_argument("--c-std", type=float, default=None,
+                     help="candidate threshold sigma over the "
+                          "correlation-map mean")
+    det.add_argument("--r2-threshold", type=float, default=None,
+                     help="PSF-fit R^2 acceptance threshold")
+    det.set_defaults(func=_cmd_detect)
+
+    rc = sub.add_parser(
+        "remainder-correct",
+        help="remainder-based photometry correction of a track CSV "
+             "(methods 1-4), writing <csv>_adjusted.csv")
+    rc.add_argument("tracks_csv", help="track-photometries CSV")
+    rc.add_argument("--method", type=int, default=4, choices=[1, 2, 3, 4])
+    rc.add_argument("--min", type=int, default=5,
+                    help="minimum remainders per field")
+    rc.add_argument("--m1-diff-median", action="store_true",
+                    help="method 1: deviations from each remainder's "
+                         "median instead of its mean")
+    rc.add_argument("--output", default=None,
+                    help="output CSV path (default <csv>_adjusted.csv)")
+    rc.add_argument("--adjustments-pkl", default=None,
+                    help="also pickle the per-field adjustments")
+    rc.set_defaults(func=_cmd_remainder)
     return parser
 
 

@@ -277,6 +277,111 @@ def _remainder_adjust(photometries, num_frames, minimum_r_per_field=5):
     return adjusted, remainder_adjustments
 
 
+def remainder_adjust_diff_median(photometries, num_frames,
+                                 minimum_r_per_field=5, use_median=False):
+    """Method-1 remainder correction: subtract the per-field per-frame
+    median of each remainder's deviation from its own mean (or median)
+    (reference remainder_correction.py:61-99)."""
+    remainder_diffs = {}
+    for channel, cdict in photometries.items():
+        for field, fdict in cdict.items():
+            remainder_diffs.setdefault(channel, {}).setdefault(
+                field, [[] for _ in range(num_frames)])
+            for (h, w), (category, intensities, row) in fdict.items():
+                if set(category) != {True}:
+                    continue
+                m = (np.median(intensities) if use_median
+                     else np.mean(intensities))
+                for frame, intensity in enumerate(intensities):
+                    remainder_diffs[channel][field][frame].append(
+                        intensity - m)
+    remainder_medians = {}
+    for channel, cdict in remainder_diffs.items():
+        for field, diff_lists in cdict.items():
+            if any(len(d) < minimum_r_per_field for d in diff_lists):
+                continue
+            remainder_medians.setdefault(channel, {}).setdefault(
+                field, [np.median(d) for d in diff_lists])
+    adjusted = {}
+    for channel, cdict in remainder_medians.items():
+        adjusted.setdefault(channel, {})
+        for field, medians in cdict.items():
+            adjusted[channel].setdefault(field, {})
+            for (h, w), (category, intensities,
+                         row) in photometries[channel][field].items():
+                adj = [i - medians[f] for f, i in enumerate(intensities)]
+                adjusted[channel][field].setdefault((h, w),
+                                                    (category, adj, row))
+    return adjusted, remainder_medians
+
+
+def remainder_adjust_frame0_ratio(photometries, num_frames,
+                                  minimum_r_per_field=5):
+    """Method-3 remainder correction: scale every frame by the ratio of
+    the field's frame-0 remainder median to that frame's remainder
+    median (reference remainder_correction.py:137-170)."""
+    remainder_values = {}
+    for channel, cdict in photometries.items():
+        for field, fdict in cdict.items():
+            for (h, w), (category, intensities, row) in fdict.items():
+                if set(category) != {True}:
+                    continue
+                remainder_values.setdefault(channel, {}).setdefault(
+                    field, [[] for _ in range(num_frames)])
+                for frame, intensity in enumerate(intensities):
+                    remainder_values[channel][field][frame].append(intensity)
+    adjustments = {}
+    for channel, cdict in remainder_values.items():
+        for field, rl in cdict.items():
+            if len(rl[0]) < minimum_r_per_field:
+                continue
+            medians = [np.median(r) for r in rl]
+            adjustments.setdefault(channel, {}).setdefault(
+                field, [medians[0] / float(m) for m in medians])
+    adjusted = {}
+    for channel, cdict in adjustments.items():
+        adjusted.setdefault(channel, {})
+        for field, adj in cdict.items():
+            adjusted[channel].setdefault(field, {})
+            for (h, w), (category, intensities,
+                         row) in photometries[channel][field].items():
+                a = [i * adj[f] for f, i in enumerate(intensities)]
+                adjusted[channel][field].setdefault((h, w),
+                                                    (category, a, row))
+    return adjusted, adjustments
+
+
+def remainder_correct(photometries, num_frames, method=4,
+                      minimum_r_per_field=5, use_median=False):
+    """Remainder-based photometry correction, methods 1-4 (the
+    remainder_correction app's full menu; reference
+    remainder_correction.py:44-191):
+
+    1. subtract per-field per-frame medians of remainder deviations;
+    2. subtract additive remainder medians relative to frame 0
+       (MCsimlib._remainder_adjust);
+    3. multiply by the frame-0 remainder-median ratio;
+    4. multiplicative median-ratio I*(1-median deviation ratio)
+       (MCsimlib._remainder_adjust_2) — the reference's default.
+
+    Returns (adjusted photometries dict, adjustments dict).
+    """
+    if method == 1:
+        return remainder_adjust_diff_median(
+            photometries, num_frames, minimum_r_per_field=minimum_r_per_field,
+            use_median=use_median)
+    if method == 2:
+        return _remainder_adjust(photometries, num_frames,
+                                 minimum_r_per_field=minimum_r_per_field)
+    if method == 3:
+        return remainder_adjust_frame0_ratio(
+            photometries, num_frames, minimum_r_per_field=minimum_r_per_field)
+    if method == 4:
+        return _remainder_adjust_2(photometries, num_frames,
+                                   minimum_r_per_field=minimum_r_per_field)
+    raise ValueError("Unknown method.")
+
+
 def _remainder_adjust_2(photometries, num_frames, minimum_r_per_field=5):
     """Multiplicative median-ratio adjustment (MCsimlib.py:3434-3472)."""
     adjustment_ratios = {}

@@ -12,8 +12,6 @@ import csv
 import os
 import pickle
 
-import numpy as np
-
 import MCsimlib
 
 
@@ -44,37 +42,11 @@ def build_parser():
 def method_1(photometries, minimum, num_frames, use_median):
     """Per-field median of per-remainder differences (reference
     remainder_correction.py:61-99)."""
-    remainder_diffs = {}
-    for channel, cdict in photometries.items():
-        for field, fdict in cdict.items():
-            remainder_diffs.setdefault(channel, {}).setdefault(
-                field, [[] for _ in range(num_frames)])
-            for (h, w), (category, intensities, row) in fdict.items():
-                if set(category) != {True}:
-                    continue
-                m = (np.median(intensities) if use_median
-                     else np.mean(intensities))
-                for frame, intensity in enumerate(intensities):
-                    remainder_diffs[channel][field][frame].append(
-                        intensity - m)
-    remainder_medians = {}
-    for channel, cdict in remainder_diffs.items():
-        for field, diff_lists in cdict.items():
-            if any(len(d) < minimum for d in diff_lists):
-                continue
-            remainder_medians.setdefault(channel, {}).setdefault(
-                field, [np.median(d) for d in diff_lists])
-    adjusted = {}
-    for channel, cdict in remainder_medians.items():
-        adjusted.setdefault(channel, {})
-        for field, medians in cdict.items():
-            adjusted[channel].setdefault(field, {})
-            for (h, w), (category, intensities,
-                         row) in photometries[channel][field].items():
-                adj = [i - medians[f] for f, i in enumerate(intensities)]
-                adjusted[channel][field].setdefault((h, w),
-                                                    (category, adj, row))
-    return adjusted, remainder_medians
+    from fluorosequencingimageanalysis_tpu.inference.photometries import (
+        remainder_adjust_diff_median)
+    return remainder_adjust_diff_median(photometries, num_frames,
+                                        minimum_r_per_field=minimum,
+                                        use_median=use_median)
 
 
 def method_2(photometries, minimum, num_frames):
@@ -88,57 +60,25 @@ def method_2(photometries, minimum, num_frames):
 def method_3(photometries, minimum, num_frames):
     """Multiplicative frame-0-median ratio
     (remainder_correction.py:137-170)."""
-    remainder_values = {}
-    for channel, cdict in photometries.items():
-        for field, fdict in cdict.items():
-            for (h, w), (category, intensities, row) in fdict.items():
-                if set(category) != {True}:
-                    continue
-                remainder_values.setdefault(channel, {}).setdefault(
-                    field, [[] for _ in range(num_frames)])
-                for frame, intensity in enumerate(intensities):
-                    remainder_values[channel][field][frame].append(intensity)
-    adjustments = {}
-    for channel, cdict in remainder_values.items():
-        for field, rl in cdict.items():
-            if len(rl[0]) < minimum:
-                continue
-            medians = [np.median(r) for r in rl]
-            adjustments.setdefault(channel, {}).setdefault(
-                field, [medians[0] / float(m) for m in medians])
-    adjusted = {}
-    for channel, cdict in adjustments.items():
-        adjusted.setdefault(channel, {})
-        for field, adj in cdict.items():
-            adjusted[channel].setdefault(field, {})
-            for (h, w), (category, intensities,
-                         row) in photometries[channel][field].items():
-                a = [i * adj[f] for f, i in enumerate(intensities)]
-                adjusted[channel][field].setdefault((h, w),
-                                                    (category, a, row))
-    return adjusted, adjustments
+    from fluorosequencingimageanalysis_tpu.inference.photometries import (
+        remainder_adjust_frame0_ratio)
+    return remainder_adjust_frame0_ratio(photometries, num_frames,
+                                         minimum_r_per_field=minimum)
 
 
 def main(argv=None):
+    from fluorosequencingimageanalysis_tpu.inference.photometries import (
+        remainder_correct)
+
     args = build_parser().parse_args(argv)
     csv_path = os.path.abspath(args.tracks[0])
     photometries, row_photometries = MCsimlib.read_track_photometries_csv(
         csv_path, head_truncate=0, tail_truncate=0, downstep_filtered=False)
     num_frames = len(row_photometries.popitem()[1][4])
     del row_photometries
-    if args.method == 1:
-        adjusted, adjustments = method_1(photometries, args.min, num_frames,
-                                         args.M1_diff_median)
-    elif args.method == 2:
-        adjusted, adjustments = method_2(photometries, args.min, num_frames)
-    elif args.method == 3:
-        adjusted, adjustments = method_3(photometries, args.min, num_frames)
-    elif args.method == 4:
-        adjusted, adjustments = MCsimlib._remainder_adjust_2(
-            photometries=photometries, num_frames=num_frames,
-            minimum_r_per_field=args.min)
-    else:
-        raise ValueError("Unknown method.")
+    adjusted, adjustments = remainder_correct(
+        photometries, num_frames, method=args.method,
+        minimum_r_per_field=args.min, use_median=args.M1_diff_median)
     if args.print_adjustments:
         print(adjustments)
     output_filepath = csv_path + "_adjusted.csv"

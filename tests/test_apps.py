@@ -632,3 +632,83 @@ def test_module_cli_simulate_ddif(tmp_path):
     assert rc == 0
     info = json_module.loads(buf.getvalue())
     assert info["simulations"] == 500
+
+
+def test_module_cli_detect(tmp_path, monkeypatch):
+    """`detect` subcommand: image files -> psfs pkl/csv/png artifacts
+    (the basic_image_script workflow on the new CLI)."""
+    import contextlib
+    import io
+    import json as json_module
+
+    from fluorosequencingimageanalysis_tpu.__main__ import main as cli_main
+
+    png = tmp_path / "field.png"
+    _write_field_png(str(png), [(20.3, 30.6), (60.6, 70.3), (40.3, 50.6)])
+    monkeypatch.chdir(tmp_path)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = cli_main(["detect", str(png), "--max-candidates", "256"])
+    assert rc == 0
+    info = json_module.loads(buf.getvalue())
+    assert info["processed"] == 1
+    (pkl_path, csv_path, png_path), = info["artifacts"].values()
+    for p in (pkl_path, csv_path, png_path):
+        assert os.path.exists(p), p
+    with open(pkl_path, "rb") as f:
+        psfs = pickle.load(f)
+    assert len(psfs) == 3 == list(info["spots"].values())[0]
+    # 12-tuple psfs-dict contract (pflib.py:395-428).
+    (h, w), fit = next(iter(psfs.items()))
+    assert len(fit) == 12
+
+
+def test_module_cli_remainder_correct(tmp_path, monkeypatch):
+    """`remainder-correct` subcommand: method-4 output must equal the
+    compat app's byte-for-byte; other methods run and adjust."""
+    import contextlib
+    import io
+    import json as json_module
+
+    from fluorosequencingimageanalysis_tpu.__main__ import main as cli_main
+
+    path = tmp_path / "tracks.csv"
+    with open(path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["CHANNEL", "FIELD", "H", "W", "CATEGORY",
+                    "FRAME 0", "FRAME 1", "FRAME 2"])
+        for t in range(6):
+            w.writerow(["ch1", 0, t, 0, "(True, True, True)",
+                        1000, 1100, 1000])
+        w.writerow(["ch1", 0, 99, 0, "(True, True, False)", 900, 950, 10])
+    monkeypatch.chdir(tmp_path)
+
+    import remainder_correction
+    app_out = remainder_correction.main([str(path), "--method", "4"])
+
+    cli_out = tmp_path / "cli_adjusted.csv"
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = cli_main(["remainder-correct", str(path), "--method", "4",
+                       "--output", str(cli_out),
+                       "--adjustments-pkl", str(tmp_path / "adj.pkl")])
+    assert rc == 0
+    info = json_module.loads(buf.getvalue())
+    assert info["rows"] == 7
+    assert sorted(open(cli_out).read().splitlines()) == \
+        sorted(open(app_out).read().splitlines())
+    with open(tmp_path / "adj.pkl", "rb") as f:
+        adjustments = pickle.load(f)
+    assert "ch1" in adjustments
+
+    for method, extra in ((1, ["--m1-diff-median"]), (2, []), (3, [])):
+        out = tmp_path / f"m{method}.csv"
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            rc = cli_main(["remainder-correct", str(path),
+                           "--method", str(method), "--min", "3",
+                           "--output", str(out)])
+        assert rc == 0
+        rows = list(csv.reader(open(out)))
+        assert rows[0][:5] == ["CHANNEL", "FIELD", "H", "W", "CATEGORY"]
+        assert len(rows) == 8
