@@ -347,7 +347,8 @@ def _cmd_remainder(args):
     import csv as csv_module
 
     from .inference.photometries import (read_track_photometries_csv,
-                                         remainder_correct)
+                                         remainder_correct,
+                                         write_photometries_dict_to_csv)
 
     csv_path = os.path.abspath(args.tracks_csv)
     photometries, row_photometries = read_track_photometries_csv(
@@ -359,18 +360,22 @@ def _cmd_remainder(args):
         photometries, num_frames, method=args.method,
         minimum_r_per_field=args.min, use_median=args.m1_diff_median)
     out_path = args.output or (csv_path + "_adjusted.csv")
-    n_rows = 0
-    with open(out_path, "w", newline="") as fh:
-        writer = csv_module.writer(fh)
-        writer.writerow(["CHANNEL", "FIELD", "H", "W", "CATEGORY"] +
-                        [f"FRAME {fr}" for fr in range(num_frames)])
-        for channel, cdict in adjusted.items():
-            for field, fdict in cdict.items():
-                for (h, w), entry in fdict.items():
-                    writer.writerow(
-                        [str(channel), str(field), str(h), str(w),
-                         str(entry[0])] + [str(i) for i in entry[1]])
-                    n_rows += 1
+    # The correction methods may leave empty channel/field shells
+    # (minimum_r_per_field rejections); prune so the library writer's
+    # first-entry header probe is safe.
+    adjusted = {c: {f: d for f, d in cd.items() if d}
+                for c, cd in adjusted.items()}
+    adjusted = {c: cd for c, cd in adjusted.items() if cd}
+    if adjusted:
+        n_rows = write_photometries_dict_to_csv(adjusted, out_path)
+    else:
+        # Methods can reject every field (minimum_r_per_field); still
+        # honor the promised artifact with a header-only CSV.
+        with open(out_path, "w", newline="") as fh:
+            csv_module.writer(fh).writerow(
+                ["CHANNEL", "FIELD", "H", "W", "CATEGORY"] +
+                [f"FRAME {fr}" for fr in range(num_frames)])
+        n_rows = 0
     if args.adjustments_pkl:
         with open(args.adjustments_pkl, "wb") as fh:
             pickle.dump(adjustments, fh)

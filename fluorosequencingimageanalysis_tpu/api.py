@@ -718,9 +718,11 @@ class Pipeline:
         mesh = self.mesh
         n_track_shards = (int(mesh.shape[mesh.axis_names[0]])
                           if mesh is not None else 1)
+        # The fused path chunks its photometry dispatches itself, so the
+        # gate is purely method (window metrics only) + sharding (the
+        # mesh tracker is its own fan-out).
         fused = (phot.method in ("mexican_hat", "simple", "maximum")
-                 and n_track_shards == 1
-                 and movie.shape[0] * len(h0) <= 65536)
+                 and n_track_shards == 1)
         if fused:
             # Fused path: tracking results stay on device and feed the
             # photometry kernel directly — no positions round trip
@@ -812,6 +814,10 @@ class Pipeline:
         """
         import jax.numpy as jnp
 
+        if "csv_path" in kwargs:
+            raise TypeError(
+                "run_timetraces takes csv_paths (one per movie), "
+                "not csv_path")
         movies = [_normalize_stack(m) for m in movies]
         if csv_paths is not None and len(csv_paths) != len(movies):
             raise ValueError("csv_paths must have one entry per movie")

@@ -105,6 +105,20 @@ def _lc_track_scan(movie, trunc0_h, trunc0_w, round0_h, round0_w,
     return rec_h, rec_w, present
 
 
+def _initial_centers(h0, w0):
+    """Host prep of the float initial centers shared by lc_track and
+    lc_track_and_photometry: ``int()`` truncation (reference:
+    ``int(spot.h - offset)``) and Py2 rounding happen on HOST in
+    float64 — exact. Returns int32 (trunc_h, trunc_w, round_h, round_w)."""
+    h0 = np.asarray(h0, np.float64)
+    w0 = np.asarray(w0, np.float64)
+    trunc_h = np.trunc(h0).astype(np.int32)
+    trunc_w = np.trunc(w0).astype(np.int32)
+    round_h = np.asarray([py2_round(v) for v in h0], np.int32)
+    round_w = np.asarray([py2_round(v) for v in w0], np.int32)
+    return trunc_h, trunc_w, round_h, round_w
+
+
 def lc_track(movie, h0, w0, search_radius=3, s_n_cutoff=3.0, mesh=None):
     """Batched LC tracking over a [T, H, W] movie from float initial
     centers (h0, w0). Returns (rec_h, rec_w, present): [T, N] arrays;
@@ -119,15 +133,8 @@ def lc_track(movie, h0, w0, search_radius=3, s_n_cutoff=3.0, mesh=None):
     mesh)."""
     import jax.numpy as jnp
 
-    h0 = np.asarray(h0, np.float64)
-    w0 = np.asarray(w0, np.float64)
-    # int() truncation (reference: int(spot.h - offset)) and Py2 rounding
-    # of the initial float centers happen on HOST in float64 — exact.
-    trunc0_h = np.trunc(h0).astype(np.int32)
-    trunc0_w = np.trunc(w0).astype(np.int32)
-    round0_h = np.asarray([py2_round(v) for v in h0], np.int32)
-    round0_w = np.asarray([py2_round(v) for v in w0], np.int32)
-    N = len(h0)
+    trunc0_h, trunc0_w, round0_h, round0_w = _initial_centers(h0, w0)
+    N = len(trunc0_h)
     pad = 0
     if mesh is not None and N:
         import jax
@@ -213,9 +220,10 @@ def lc_track_and_photometry(movie_dev, h0, w0, method, search_radius=3,
     bit-identical to timetrace_photometries'), and all four results are
     fetched with overlapping async copies.
 
-    Only the window metrics (mexican_hat / simple / maximum) and
-    single-dispatch sizes (T*N <= chunk) take this path; callers fall
-    back to the two-step functions otherwise.
+    Only the window metrics (mexican_hat / simple / maximum) take this
+    path; callers fall back to the two-step functions for the others.
+    Movies with T*N > chunk dispatch the photometry kernel in
+    chunk-sized slices (one compile, slices are static shapes).
 
     Returns (rec_h, rec_w, present, photometries): the [T, N] host
     arrays of lc_track plus the (N, T) float64 photometry matrix of
@@ -231,27 +239,30 @@ def lc_track_and_photometry(movie_dev, h0, w0, method, search_radius=3,
     T, H, W = movie_dev.shape
     win_r = {"mexican_hat": photometry_radius, "simple": 2,
              "maximum": 5}[method]
-    h0 = np.asarray(h0, np.float64)
-    w0 = np.asarray(w0, np.float64)
-    # Exact host-f64 int() truncation / Py2 rounding of the initial float
-    # centers, as in lc_track.
-    trunc0_h = np.trunc(h0).astype(np.int32)
-    trunc0_w = np.trunc(w0).astype(np.int32)
-    round0_h = np.asarray([py2_round(v) for v in h0], np.int32)
-    round0_w = np.asarray([py2_round(v) for v in w0], np.int32)
-    N = len(h0)
+    trunc0_h, trunc0_w, round0_h, round0_w = _initial_centers(h0, w0)
+    N = len(trunc0_h)
 
     t0h = jnp.asarray(trunc0_h)
     t0w = jnp.asarray(trunc0_w)
     rec_h_d, rec_w_d, present_d = _lc_track_scan(
         movie_dev, t0h, t0w, jnp.asarray(round0_h), jnp.asarray(round0_w),
         search_radius=search_radius, s_n_cutoff=float(s_n_cutoff))
-    bucket = pow2_bucket(T * N, chunk)
+    total = T * N
+    # One pow2 bucket for a single dispatch; a whole multiple of chunk
+    # when the movie needs several (each slice compiles once at (chunk,)).
+    bucket = (pow2_bucket(total, chunk) if total <= chunk
+              else -(-total // chunk) * chunk)
     full_h, full_w, present_full, hc, wc, img_id = _positions_for_photometry(
         t0h, t0w, rec_h_d, rec_w_d, present_d, win_r, bucket, H, W)
     kern = _get_photometry_kernel(method, win_r, photometry_brim,
                                   photometry_top)
-    phot_d = kern(movie_dev, img_id, hc, wc)
+    if bucket <= chunk:
+        phot_d = kern(movie_dev, img_id, hc, wc)
+    else:
+        phot_d = jnp.concatenate([
+            kern(movie_dev, img_id[i:i + chunk], hc[i:i + chunk],
+                 wc[i:i + chunk])
+            for i in range(0, bucket, chunk)])
     for arr in (full_h, full_w, present_full, phot_d):
         arr.copy_to_host_async()
     rec_h = np.asarray(full_h)

@@ -240,6 +240,35 @@ def test_fused_track_photometry_equals_two_step():
                                    err_msg=method)
 
 
+def test_fused_track_photometry_chunked_dispatch():
+    """T*N above the dispatch chunk must split into chunk-sized kernel
+    slices and still equal the two-step path (regression: the fused path
+    used to assume a single dispatch and crash on a negative pad)."""
+    import jax.numpy as jnp
+    from fluorosequencingimageanalysis_tpu.pipeline.fast_timetrace import (
+        lc_track, lc_track_and_photometry, timetrace_photometries)
+
+    movie = make_movie(seed=13, T=12, n_spots=8, H=64, W=64)
+    h0 = np.array([12.4, 30.6, 50.2, 25.0, 44.5])
+    w0 = np.array([20.3, 40.8, 10.5, 48.9, 33.1])  # T*N = 60 > chunk=32
+    movie_dev = jnp.asarray(movie)
+    rec_h, rec_w, present = lc_track(movie, h0, w0)
+    ref = timetrace_photometries(movie_dev, rec_h, rec_w, present,
+                                 "mexican_hat")
+    fh, fw, fp, phot = lc_track_and_photometry(
+        movie_dev, h0, w0, "mexican_hat", chunk=32)
+    np.testing.assert_array_equal(fh, rec_h)
+    np.testing.assert_array_equal(fp, present)
+    np.testing.assert_allclose(phot, ref, rtol=1e-6, atol=1e-4)
+
+
+def test_run_timetraces_rejects_singular_csv_path():
+    pipe = Pipeline()
+    with pytest.raises(TypeError, match="csv_paths"):
+        pipe.run_timetraces([make_movie(seed=0, T=10, n_spots=3)],
+                            csv_path="out.csv")
+
+
 def test_lc_track_matches_host_tracker():
     """The lax.scan tracker must agree with the per-frame batched host
     tracker (pipeline/tracking.luminosity_centroid_particle_tracking)
