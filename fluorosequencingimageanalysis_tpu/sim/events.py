@@ -34,6 +34,24 @@ def _define_reserved_character(sequence, labels):
     return available.pop()
 
 
+def _bleach_labeled(molecule, event_buffer, cycle, labels,
+                    reserved_character, event_name, lose):
+    """Walk the molecule's still-labeled residues in order; each one for
+    which ``lose()`` fires emits a FluorEvent and is replaced in place by
+    the reserved character. ``lose`` is called once per labeled residue
+    (the per-residue uniform draw IS the reference's stream order).
+
+    Parity note: the reference stores (reserved_char, position) in the
+    (position, amino_acid) slot order-swapped (peptide_simulator.py:98);
+    downstream only checks membership of element [1] in labels, so we
+    store the consistent (position, reserved_char) instead."""
+    for i, (position, amino_acid) in enumerate(molecule):
+        if amino_acid in labels and lose():
+            event_buffer.append(
+                FluorEvent(position, amino_acid, event_name, cycle, None))
+            molecule[i] = (position, reserved_character)
+
+
 def _make_mock(reserved_character, labels, success_event_name=None,
                failure_event_name=None, **experimental_parameters):
     def _mock(molecule, event_buffer, cycle_number):
@@ -47,22 +65,19 @@ def _make_edman(reserved_character, labels, success_event_name="edman",
     p = experimental_parameters["p"]
 
     def _edman(molecule, event_buffer, cycle_number):
-        if len(molecule) > 0:
-            nterm_position, nterm_amino_acid = molecule[0]
-            if random.random() < p:
-                if nterm_amino_acid in labels:
-                    event_buffer.append(FluorEvent(
-                        original_position=nterm_position,
-                        original_amino_acid=nterm_amino_acid,
-                        event_name=success_event_name,
-                        cycle_number=cycle_number[0], message=None))
-                molecule.pop(0)
-            else:
+        if not molecule:
+            return
+        position, amino_acid = molecule[0]
+        if random.random() < p:
+            if amino_acid in labels:
                 event_buffer.append(FluorEvent(
-                    original_position=nterm_position,
-                    original_amino_acid=nterm_amino_acid,
-                    event_name=failure_event_name,
-                    cycle_number=cycle_number[0], message=None))
+                    position, amino_acid, success_event_name,
+                    cycle_number[0], None))
+            molecule.pop(0)
+        else:
+            event_buffer.append(FluorEvent(
+                position, amino_acid, failure_event_name,
+                cycle_number[0], None))
     return _edman
 
 
@@ -74,21 +89,9 @@ def _make_tirf(reserved_character, labels, success_event_name=None,
         "per_cycle_b", math.e ** -experimental_parameters["b"])
 
     def _tirf(molecule, event_buffer, cycle_number):
-        for i, (position, amino_acid) in enumerate(molecule):
-            if amino_acid not in labels:
-                continue
-            if random.random() > per_cycle_b:
-                event_buffer.append(FluorEvent(
-                    original_position=position,
-                    original_amino_acid=amino_acid,
-                    event_name=failure_event_name,
-                    cycle_number=cycle_number[0], message=None))
-                # Parity: the reference stores (reserved_char, position)
-                # in the (position, amino_acid) slot order-swapped
-                # (peptide_simulator.py:98); downstream only checks
-                # membership of element [1] in labels, so we store the
-                # consistent (position, reserved_char) instead.
-                molecule[i] = (position, reserved_character)
+        _bleach_labeled(molecule, event_buffer, cycle_number[0], labels,
+                        reserved_character, failure_event_name,
+                        lambda: random.random() > per_cycle_b)
     return _tirf
 
 
@@ -97,16 +100,9 @@ def _make_dud(reserved_character, labels, success_event_name=None,
     u = experimental_parameters["u"]
 
     def _dud(molecule, event_buffer, cycle_number):
-        for i, (position, amino_acid) in enumerate(molecule):
-            if amino_acid not in labels:
-                continue
-            if random.random() < u:
-                event_buffer.append(FluorEvent(
-                    original_position=position,
-                    original_amino_acid=amino_acid,
-                    event_name=failure_event_name,
-                    cycle_number=cycle_number[0], message=None))
-                molecule[i] = (position, reserved_character)
+        _bleach_labeled(molecule, event_buffer, cycle_number[0], labels,
+                        reserved_character, failure_event_name,
+                        lambda: random.random() < u)
     return _dud
 
 
@@ -118,14 +114,12 @@ def _make_count_dyes(reserved_character, labels,
                      success_event_name="dye count", failure_event_name=None,
                      **experimental_parameters):
     def _count_dyes(molecule, event_buffer, cycle_number):
-        fluor_counts = {L: 0 for L in labels}
-        for position, amino_acid in molecule:
+        counts = {L: 0 for L in labels}
+        for _, amino_acid in molecule:
             if amino_acid in labels:
-                fluor_counts[amino_acid] += 1
+                counts[amino_acid] += 1
         event_buffer.append(FluorEvent(
-            original_position=None, original_amino_acid=None,
-            event_name=success_event_name, cycle_number=cycle_number[0],
-            message=fluor_counts))
+            None, None, success_event_name, cycle_number[0], counts))
     return _count_dyes
 
 
@@ -136,17 +130,13 @@ def _make_strip_surface(reserved_character, labels, success_event_name=None,
     s2 = experimental_parameters["s2"]
 
     def _strip_surface(molecule, event_buffer, cycle_number):
+        # ONE draw per cycle; when it fires, every labeled residue is
+        # lost (lose=True consumes no further stream draws).
         using_s = s if cycle_number[0] <= sc else s2
         if random.random() < using_s:
-            for i, (position, amino_acid) in enumerate(molecule):
-                if amino_acid not in labels:
-                    continue
-                event_buffer.append(FluorEvent(
-                    original_position=position,
-                    original_amino_acid=amino_acid,
-                    event_name=failure_event_name,
-                    cycle_number=cycle_number[0], message=None))
-                molecule[i] = (position, reserved_character)
+            _bleach_labeled(molecule, event_buffer, cycle_number[0],
+                            labels, reserved_character,
+                            failure_event_name, lambda: True)
     return _strip_surface
 
 
@@ -155,13 +145,9 @@ def _make_get_dye_positions(reserved_character, labels,
                             failure_event_name=None,
                             **experimental_parameters):
     def _get_dye_positions(molecule, event_buffer, cycle_number):
-        positions = tuple((position, amino_acid)
-                          for position, amino_acid in molecule
-                          if amino_acid in labels)
+        labeled = tuple(pa for pa in molecule if pa[1] in labels)
         event_buffer.append(FluorEvent(
-            original_position=None, original_amino_acid=None,
-            event_name=success_event_name, cycle_number=cycle_number[0],
-            message=positions))
+            None, None, success_event_name, cycle_number[0], labeled))
     return _get_dye_positions
 
 
@@ -221,6 +207,33 @@ def simulate_dye_counts(sequence, labels, num_mocks, num_edmans,
     return results
 
 
+def _superdye_conversions(deltas, num_remaining, number, rate):
+    """Per-draw cumulative superdye conversion counts, one list per
+    draw: within a draw, one uniform per dye lost in each cycle (cycle
+    order) then one per surviving dye, cumulated from the back so entry
+    c counts conversions at or after cycle c. Stream-order identical to
+    the reference's nested loop (peptide_simulator.py:340-352) — these
+    draws happen even at rate 0, so callers must not skip this."""
+    out = []
+    for _ in range(number):
+        per_cycle = [sum(random.random() < rate for _ in range(drop))
+                     for drop in deltas]
+        per_cycle[-1] += sum(random.random() < rate
+                             for _ in range(num_remaining))
+        out.append(list(reversed(np.cumsum(per_cycle[::-1]).tolist())))
+    return out
+
+
+def _pairwise_ddif_total(dye_positions, distance_ddif):
+    """Sum of each dye's distance-DDIF attenuation: every unordered pair
+    contributes its |distance| lookup to BOTH endpoints
+    (peptide_simulator.py:361-376)."""
+    total = 0.0
+    for (pos1, _), (pos2, _) in combinations(dye_positions, 2):
+        total += 2 * distance_ddif.get(abs(pos2 - pos1), 0)
+    return total
+
+
 def simulate_photometries(dye_counts, beta, beta_sigma, number, ddif=None,
                           dye_position_tracker=None, distance_ddif=None,
                           superdye_rate=0, superdye_factor=1):
@@ -230,76 +243,39 @@ def simulate_photometries(dye_counts, beta, beta_sigma, number, ddif=None,
     category = tuple(seq != 0 for seq in dye_counts)
     if not (0 <= superdye_rate <= 1):
         raise ValueError("superdye_rate must be between 0 and 1 (inclusive).")
-    num_starting = dye_counts[0]
-    num_remaining = dye_counts[-1]
-    dye_drops = [0] + [dye_counts[i] - c
-                       for i, c in enumerate(dye_counts[1:])]
-    assert sum(dye_drops) == num_starting - num_remaining
-    all_superdye_increments = []
-    for _ in range(number):
-        increments = [0] * len(dye_drops)
-        for d, drop_size in enumerate(dye_drops):
-            for _ in range(drop_size):
-                if random.random() < superdye_rate:
-                    increments[d] += 1
-        increments[-1] += sum(1 for _ in range(num_remaining)
-                              if random.random() < superdye_rate)
-        increments = [sum(increments[i:]) for i in range(len(increments))]
-        all_superdye_increments.append(increments)
+    deltas = [0] + [prev - cur
+                    for prev, cur in zip(dye_counts, dye_counts[1:])]
+    assert sum(deltas) == dye_counts[0] - dye_counts[-1]
+    conversions = _superdye_conversions(deltas, dye_counts[-1], number,
+                                        superdye_rate)
+    log_beta = math.log(beta)
+
+    def _cycle_rows(base_count, shift, cycle_idx):
+        """The `number` lognormal draws for one cycle (stream-exact:
+        one size=number draw at rate 0, else one size=1 draw per n)."""
+        if base_count == 0:
+            return [0.0] * number
+        if superdye_rate == 0:
+            return np.random.lognormal(
+                mean=log_beta + math.log(base_count) - shift,
+                sigma=beta_sigma, size=number)
+        return [float(np.random.lognormal(
+            mean=log_beta - shift + math.log(
+                base_count + conversions[n][cycle_idx] * superdye_factor),
+            sigma=beta_sigma, size=1)[0]) for n in range(number)]
+
     if distance_ddif is not None:
         if dye_position_tracker is None:
             raise ValueError("distance_ddif requires dye_position_tracker.")
-        intensities = []
-        for dye_positions in dye_position_tracker:
-            num_dyes = len(dye_positions)
-            if num_dyes == 0:
-                intensities.append([0.0] * number)
-                continue
-            dye_distance_lists = defaultdict(list)
-            for (pos1, aa1), (pos2, aa2) in combinations(dye_positions, 2):
-                distance = abs(pos2 - pos1)
-                dye_distance_lists[pos1].append(distance)
-                dye_distance_lists[pos2].append(distance)
-            per_dye = [sum(distance_ddif.get(dd, 0)
-                           for dd in dye_distance_lists[position])
-                       for position, amino_acid in dye_positions]
-            total_ddif = sum(per_dye)
-            if superdye_rate == 0:
-                intensities.append(np.random.lognormal(
-                    mean=math.log(beta) + math.log(num_dyes) - total_ddif,
-                    sigma=beta_sigma, size=number))
-            else:
-                intensities.append([])
-                for n in range(number):
-                    inc = all_superdye_increments[n][len(intensities) - 1]
-                    mean = (math.log(beta) +
-                            math.log(num_dyes + inc * superdye_factor) -
-                            total_ddif)
-                    intensities[-1].append(float(np.random.lognormal(
-                        mean=mean, sigma=beta_sigma, size=1)[0]))
+        intensities = [
+            _cycle_rows(len(dp), _pairwise_ddif_total(dp, distance_ddif), c)
+            for c, dp in enumerate(dye_position_tracker)]
     else:
         if ddif is None:
             ddif = [0.0] * len(dye_counts)
-        if superdye_rate == 0:
-            intensities = [np.random.lognormal(
-                mean=math.log(beta) + math.log(seq) - ddif[seq - 1],
-                sigma=beta_sigma, size=number)
-                if seq > 0 else [0.0] * number
-                for seq in dye_counts]
-        else:
-            intensities = []
-            for s, seq in enumerate(dye_counts):
-                if seq == 0:
-                    intensities.append([0.0] * number)
-                    continue
-                intensities.append([])
-                for n in range(number):
-                    inc = all_superdye_increments[n][s]
-                    mean = (math.log(beta) +
-                            math.log(seq + inc * superdye_factor) -
-                            ddif[seq - 1])
-                    intensities[-1].append(float(np.random.lognormal(
-                        mean=mean, sigma=beta_sigma, size=1)[0]))
+        intensities = [
+            _cycle_rows(seq, ddif[seq - 1] if seq > 0 else 0.0, c)
+            for c, seq in enumerate(dye_counts)]
     return category, tuple(zip(*intensities))
 
 
