@@ -155,10 +155,7 @@ def simulate_dye_counts(sequence, labels, num_mocks, num_edmans,
                         num_simulations=1, random_seed=None,
                         reserved_character=None, **experimental_parameters):
     """Assumes C-term attachment (peptide_simulator.py:190-319)."""
-    if random_seed is not None:
-        random.seed(random_seed)
-    else:
-        random.seed()
+    random.seed(random_seed)  # None reseeds from entropy, as ref does
     if reserved_character is None:
         reserved_character = _define_reserved_character(sequence, labels)
     labels = set(labels)

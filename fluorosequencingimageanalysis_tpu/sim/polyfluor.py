@@ -72,10 +72,7 @@ class PolyfluorSignal:
     def default_simulation(self, num_cycles, p=1.0, b=0.0, u=0.0,
                            random_seed=None, num_mocks=0,
                            adjust_by_mocks=False, p2=None, b2=None):
-        if random_seed is None:
-            random.seed()
-        else:
-            random.seed(random_seed)
+        random.seed(random_seed)  # None reseeds from entropy, as ref does
         p, b, u = float(p), float(b), float(u)
         if p2 is not None:
             raise NotImplementedError
@@ -228,50 +225,52 @@ class PolyfluorPeptide_v2:
         self.reserved_character = self._define_reserved_character(sequence,
                                                                   labels)
 
+    def _destroy_live(self, molecule, buffer, cycle_number, event, fire):
+        """Walk the still-live entries (v2 molecules hold BARE reserved
+        chars for destroyed slots, unlike the tuple-keeping newer
+        module); each one for which ``fire()`` is true emits an event
+        into ``buffer`` and is replaced in place. One uniform draw per
+        live entry — the stream order of MCsimlib.py:2455-2478."""
+        for i, entry in enumerate(molecule):
+            if entry != self.reserved_character and fire():
+                buffer.append(self.FluorEvent(entry[0], entry[1], event,
+                                              cycle_number))
+                molecule[i] = self.reserved_character
+
     def _mock(self, molecule, signal, history, removal_buffer, cycle_number,
               **experimental_parameters):
         pass
 
     def _edman(self, molecule, signal, history, removal_buffer, cycle_number,
                **experimental_parameters):
-        if len(molecule) > 0:
-            if molecule[0] == self.reserved_character:
-                # Destroyed-dye placeholder: removable, never emits.
-                # (The reference would crash unpacking it —
-                # MCsimlib.py:2442 — a latent bug its newer
-                # peptide_simulator module fixed by keeping (char, pos)
-                # tuples; we guard instead.)
-                if random.random() < experimental_parameters["p"]:
-                    molecule.pop(0)
-                return
-            nterm_position, nterm_amino_acid = molecule[0]
+        if not molecule:
+            return
+        if molecule[0] == self.reserved_character:
+            # Destroyed-dye placeholder: removable, never emits.
+            # (The reference would crash unpacking it — MCsimlib.py:2442
+            # — a latent bug its newer peptide_simulator module fixed by
+            # keeping (char, pos) tuples; we guard instead.)
             if random.random() < experimental_parameters["p"]:
-                if nterm_amino_acid in self.labels:
-                    removal_buffer.append(self.FluorEvent(
-                        original_position=nterm_position,
-                        original_amino_acid=nterm_amino_acid,
-                        event="edman", cycle_number=cycle_number))
                 molecule.pop(0)
-            else:
-                history.append(self.FluorEvent(
-                    original_position=nterm_position,
-                    original_amino_acid=nterm_amino_acid,
-                    event="edman error", cycle_number=cycle_number))
+            return
+        position, amino_acid = molecule[0]
+        if random.random() < experimental_parameters["p"]:
+            if amino_acid in self.labels:
+                removal_buffer.append(self.FluorEvent(
+                    position, amino_acid, "edman", cycle_number))
+            molecule.pop(0)
+        else:
+            history.append(self.FluorEvent(
+                position, amino_acid, "edman error", cycle_number))
 
     def _tirf(self, molecule, signal, history, removal_buffer, cycle_number,
               **experimental_parameters):
         per_cycle_b = experimental_parameters.get(
             "per_cycle_b", math.e ** -experimental_parameters["b"])
-        for i, entry in enumerate(molecule):
-            if entry == self.reserved_character:
-                continue
-            position, amino_acid = entry
-            if random.random() > per_cycle_b:
-                removal_buffer.append(self.FluorEvent(
-                    original_position=position,
-                    original_amino_acid=amino_acid,
-                    event="dye destruction", cycle_number=cycle_number))
-                molecule[i] = self.reserved_character
+        self._destroy_live(molecule, removal_buffer, cycle_number,
+                           "dye destruction",
+                           lambda: random.random() > per_cycle_b)
+        # Drain LIFO into both records (MCsimlib.py:2470-2474).
         while removal_buffer:
             event = removal_buffer.pop()
             history.append(event)
@@ -279,43 +278,23 @@ class PolyfluorPeptide_v2:
 
     def _dud(self, molecule, signal, history, removal_buffer, cycle_number,
              **experimental_parameters):
-        for i, entry in enumerate(molecule):
-            if entry == self.reserved_character:
-                continue
-            position, amino_acid = entry
-            if random.random() < experimental_parameters["u"]:
-                history.append(self.FluorEvent(
-                    original_position=position,
-                    original_amino_acid=amino_acid,
-                    event="dye dud", cycle_number=cycle_number))
-                molecule[i] = self.reserved_character
+        self._destroy_live(
+            molecule, history, cycle_number, "dye dud",
+            lambda: random.random() < experimental_parameters["u"])
 
     def simulate_type1(self, num_mocks, num_edmans, random_seed=None,
                        **experimental_parameters):
         """Assumes C-term anchoring."""
-        if random_seed is None:
-            random.seed()
-        else:
-            random.seed(random_seed)
+        random.seed(random_seed)  # None reseeds from entropy, as ref does
         molecule = list(self.molecule)
-        signal = []
-        history = []
-        removal_buffer = []
+        signal, history, removal_buffer = [], [], []
+        state = (molecule, signal, history, removal_buffer)
         cycle_number = 0
-        self._dud(molecule, signal, history, removal_buffer, cycle_number,
-                  **experimental_parameters)
-        for _ in range(num_mocks):
-            self._tirf(molecule, signal, history, removal_buffer,
-                       cycle_number, **experimental_parameters)
-            self._mock(molecule, signal, history, removal_buffer,
-                       cycle_number, **experimental_parameters)
+        self._dud(*state, cycle_number, **experimental_parameters)
+        schedule = [self._mock] * num_mocks + [self._edman] * num_edmans
+        for action in schedule:
+            self._tirf(*state, cycle_number, **experimental_parameters)
+            action(*state, cycle_number, **experimental_parameters)
             cycle_number += 1
-        for _ in range(num_edmans):
-            self._tirf(molecule, signal, history, removal_buffer,
-                       cycle_number, **experimental_parameters)
-            self._edman(molecule, signal, history, removal_buffer,
-                        cycle_number, **experimental_parameters)
-            cycle_number += 1
-        self._tirf(molecule, signal, history, removal_buffer, cycle_number,
-                   **experimental_parameters)
+        self._tirf(*state, cycle_number, **experimental_parameters)
         return molecule, signal, history, removal_buffer, cycle_number
