@@ -90,7 +90,7 @@ class Pipeline:
         return "sigmas" if m == "sextractor" else m
 
     def _run_stack_key(self, stack, stack_key, mc, max_spots, keys,
-                       device_method):
+                       device_method, photometry_min="config"):
         """The shared run_stack/_stack_step_groups store key, returned as
         (key, stack_key) so callers keep the (possibly just-computed)
         stack hash instead of re-fetching the stack to rehash it. The
@@ -104,12 +104,13 @@ class Pipeline:
         return content_key("run_stack", stack_key, self.config.asdict(),
                            mc, max_spots,
                            sorted(keys) if keys is not None else None,
-                           device_method), stack_key
+                           device_method, photometry_min), stack_key
 
     # -- imaging ------------------------------------------------------------
 
     def run_stack(self, stack, max_candidates=None, max_spots=None,
-                  keys=None, stack_key=None, photometry_method=None):
+                  keys=None, stack_key=None, photometry_method=None,
+                  photometry_min="config"):
         """Full align + detect + fit + photometry over a [F, C, H, W] stack.
 
         Returns a dict of host numpy arrays (offsets, params, keep masks,
@@ -142,6 +143,13 @@ class Pipeline:
         config and no override keep the device step's loud ValueError
         rather than silently returning fit products labeled
         "photometry".
+
+        ``photometry_min``: override of config.photometry.photometry_min
+        for the device bucket. run_experiment passes None: the
+        reference's track-photometries CSV is never floored
+        (flexlibrary.py:2848-2866 — photometry_min belongs to the
+        Trace.photometries/stepfit surface), so experiment rows must
+        come from an unfloored bucket.
         """
         import jax
         import jax.numpy as jnp
@@ -153,6 +161,8 @@ class Pipeline:
         det = self.config.detect
         reg = self.config.registration
         phot = self.config.photometry
+        if photometry_min == "config":
+            photometry_min = phot.photometry_min
         mc = max_candidates if max_candidates is not None \
             else det.max_candidates
 
@@ -186,7 +196,7 @@ class Pipeline:
                                            else phot.method),
                         photometry_radius=phot.radius,
                         photometry_brim=phot.brim_size,
-                        photometry_min=phot.photometry_min,
+                        photometry_min=photometry_min,
                         gather_strategy=self._gather_strategy())
                 return {k: np.asarray(v)[:F] for k, v in out.items()
                         if keys is None or k in keys}
@@ -195,7 +205,7 @@ class Pipeline:
             key, stack_key = self._run_stack_key(
                 stack, stack_key, mc, max_spots, keys,
                 photometry_method if photometry_method is not None
-                else phot.method)
+                else phot.method, photometry_min)
             return self.store.get_or_compute(key, compute,
                                              meta={"stage": "run_stack"})
         return compute()
@@ -234,7 +244,7 @@ class Pipeline:
         if self.store is not None:
             key, stack_key = self._run_stack_key(stack, stack_key, mc,
                                                  max_spots, keys,
-                                                 device_method)
+                                                 device_method, None)
             if self.store.exists(key):
                 yield self.store.load(key), None, 0
                 return
@@ -243,7 +253,8 @@ class Pipeline:
             out = self.run_stack(stack, max_candidates=max_candidates,  # overlap
                                  max_spots=max_spots, keys=keys,
                                  stack_key=stack_key,
-                                 photometry_method=device_method)
+                                 photometry_method=device_method,
+                                 photometry_min=None)
             yield out, stack, 0
             return
 
@@ -264,7 +275,11 @@ class Pipeline:
                 photometry_method=device_method,
                 photometry_radius=phot.radius,
                 photometry_brim=phot.brim_size,
-                photometry_min=phot.photometry_min,
+                # Experiment rows are UNFLOORED, like the reference's
+                # track-photometries CSV (flexlibrary.py:2848-2866);
+                # photometry_min is a Trace.photometries/stepfit-surface
+                # parameter, not a track-CSV one.
+                photometry_min=None,
                 gather_strategy=self._gather_strategy())
             lows = list(range(0, F, g))
 
@@ -451,9 +466,12 @@ class Pipeline:
             # int8 tri-state + int16 candidate order) instead of the
             # float32 centers: device->host bytes are the config-4
             # critical path, and tracking only needs integer identity.
+            # cand_count ([F, C] int32, ~KBs) rides along so candidate-
+            # bucket overflow is WARNED like spot-bucket overflow below —
+            # never silently dropped spots relative to the class path.
             keys = ("offsets_h", "offsets_w", "spot_rh", "spot_rw",
                     "spot_state", "spot_cand_c", "spot_overflow",
-                    "photometry")
+                    "cand_count", "photometry")
             # sextractor measures on host (background-subtracted
             # images) — hand it the host stack so nothing downloads,
             # and skip fetching the device photometry bucket it would
@@ -465,6 +483,9 @@ class Pipeline:
             per_field = []
             off_parts_h, off_parts_w = [], []
             n_over = 0
+            n_cand_over = 0
+            mc_eff = (max_candidates if max_candidates is not None
+                      else self.config.detect.max_candidates)
             spot_count = 0
             # Pipelined: host tracking+photometry on group k runs while
             # groups k+1.. are still uploading/computing on device. The
@@ -484,6 +505,7 @@ class Pipeline:
                 rhs, rws, spot_values = _spot_lists(out_grp, Fg, C, H, W,
                                                     with_values=True)
                 n_over += int(out_grp["spot_overflow"].sum())
+                n_cand_over += int((out_grp["cand_count"] > mc_eff).sum())
                 off_parts_h.append(out_grp["offsets_h"])
                 off_parts_w.append(out_grp["offsets_w"])
                 spot_count += sum(len(rh) for per_c in rhs for rh in per_c)
@@ -511,6 +533,13 @@ class Pipeline:
                     "the max_spots bucket — their lowest-R^2 spots were "
                     "dropped; raise max_spots for complete tracking",
                     n_over)
+            if n_cand_over:
+                logging.getLogger(__name__).warning(
+                    "run_experiment: %d (field, cycle) images found more "
+                    "than max_candidates=%d peaks — the weakest-"
+                    "correlation candidates were dropped; raise "
+                    "max_candidates for exhaustive coverage", n_cand_over,
+                    mc_eff)
             offsets_out[channel] = (np.concatenate(off_parts_h),
                                     np.concatenate(off_parts_w))
             # Pre-create every (channel, field) entry: the reference's
@@ -757,6 +786,7 @@ class Pipeline:
                                       mirror_start=mirror_start,
                                       chung_kennedy=chung_kennedy,
                                       p_threshold=p_threshold,
+                                      window_radius=sf.window_radius,
                                       mesh=self.mesh)
         step_fits = {}
         intermediates = {}
@@ -893,6 +923,21 @@ class Pipeline:
                     quench_factors=quench_factors,
                     alpha_adjust=alpha_adjust, mesh=mesh, **kwargs)
             from .inference.lognormal import photometries_lognormal_fit_v8
+            if kwargs:
+                # The remaining kwargs are CSV-reader options
+                # (downstep_filtered, head/tail_truncate); silently
+                # dropping them against a dict would fit different data
+                # than the caller asked for.
+                raise TypeError(
+                    "fluor_counts with a photometries dict accepts no "
+                    "CSV-reader options: " + ", ".join(sorted(kwargs)))
+            if alpha_adjust:
+                tracks = {
+                    c: {f: {hw: (cat,
+                                 tuple(x - alpha_adjust for x in ints), row)
+                            for hw, (cat, ints, row) in fd.items()}
+                        for f, fd in cd.items()}
+                    for c, cd in tracks.items()}
             return photometries_lognormal_fit_v8(
                 tracks, beta, beta_sigma, max_possible=ln.max_possible,
                 allow_upsteps=ln.allow_upsteps,

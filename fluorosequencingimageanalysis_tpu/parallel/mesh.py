@@ -165,7 +165,13 @@ def experiment_step_sharded(stack, mesh, median_filter_size=5, c_std=2.0,
     # REPORTED (spot_count/spot_overflow), mirroring the candidate stage's
     # cand_count contract — no silent truncation.
     if max_spots is None:
-        max_spots = max(min(max_candidates, 512), 8)
+        # Never above max_candidates: top_k(k > n) is an invalid program.
+        max_spots = min(max(min(max_candidates, 512), 8), max_candidates)
+    elif max_spots > max_candidates:
+        raise ValueError(
+            f"max_spots={max_spots} exceeds max_candidates="
+            f"{max_candidates}: the spot bucket compacts the candidate "
+            "bucket, so it can never hold more entries")
     keep_flat = keep.reshape(F * C, max_candidates)
     spot_count = jnp.sum(keep_flat, axis=-1, dtype=jnp.int32)
     score = jnp.where(keep_flat, res.r2.reshape(F * C, -1), -jnp.inf)

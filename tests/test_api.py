@@ -112,3 +112,69 @@ def test_pipeline_run_files(tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         pipe.run_files([[paths_by_cycle[0][0]], paths_by_cycle[1]])
+
+
+def test_fluor_counts_dict_alpha_adjust_matches_csv(tmp_path):
+    """The dict branch must honor alpha_adjust exactly like the CSV
+    branch (regression: it used to be silently dropped), and must
+    reject CSV-reader-only kwargs loudly."""
+    import csv
+    import math
+    import pytest
+    from fluorosequencingimageanalysis_tpu.inference.photometries import (
+        read_track_photometries_csv)
+
+    rng = np.random.default_rng(3)
+    beta = 30000.0
+    path = str(tmp_path / "tracks.csv")
+    with open(path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["CHANNEL", "FIELD", "H", "W", "CATEGORY"] +
+                   [f"FRAME {i}" for i in range(4)])
+        for t in range(12):
+            seq = (1, 1, 0, 0)
+            ints = [int(rng.lognormal(math.log(beta), 0.2)) + 500 if v
+                    else int(abs(rng.normal(300, 50))) + 500 for v in seq]
+            w.writerow(["ch1", 0, 10 + t, 20,
+                        "(True, True, False, False)"] + ints)
+    pipe = Pipeline()
+    via_csv = pipe.fluor_counts(path, beta=beta, beta_sigma=0.2,
+                                alpha_adjust=500.0)
+    pdict, _ = read_track_photometries_csv(path, head_truncate=0,
+                                           tail_truncate=0,
+                                           downstep_filtered=False)
+    via_dict = pipe.fluor_counts(pdict, beta=beta, beta_sigma=0.2,
+                                 alpha_adjust=500.0)
+    assert via_dict[0] == via_csv[0] and via_dict[1] == via_csv[1]
+    unadjusted = pipe.fluor_counts(pdict, beta=beta, beta_sigma=0.2)
+    assert unadjusted[3] != via_dict[3]  # fit_info reflects the shift
+
+    with pytest.raises(TypeError, match="CSV-reader"):
+        pipe.fluor_counts(pdict, beta=beta, beta_sigma=0.2,
+                          downstep_filtered=True)
+
+
+def test_run_timetrace_honors_window_radius_config():
+    """run_timetrace's step-fit chain must use config.stepfit.window_radius
+    (regression: it always ran at the default 6), agreeing with
+    pipe.stepfit on the same photometries."""
+    rng = np.random.default_rng(5)
+    T, H, W = 20, 96, 96
+    hh, ww = np.indices((H, W)).astype(np.float32)
+    movie = rng.normal(400., 6., (T, H, W)).astype(np.float32)
+    for k in range(6):
+        lvl = 2.0
+        for f in range(T):
+            if f == 9 + (k % 3):
+                lvl = 1.0
+            movie[f] += lvl * 2600 * np.exp(
+                -(((hh - 20 - 10 * k) ** 2) + ((ww - 30 - 8 * k) ** 2))
+                / (2 * 1.3 ** 2))
+    pipe = Pipeline(config=PipelineConfig(stepfit=StepfitConfig(
+        mirror_start=0, chung_kennedy=1, p_threshold=0.01,
+        window_radius=9)))
+    out = pipe.run_timetrace(movie, max_candidates=64)
+    assert out["trace_count"] >= 4
+    refits = pipe.stepfit(out["photometries"])
+    for i, hw in enumerate(zip(out["traces"]["h"], out["traces"]["w"])):
+        assert out["step_fits"][hw].trace == refits[i][3], i

@@ -690,3 +690,37 @@ def test_rows_by_field_many_cycles():
     got = [[r[:3] for r in rows] for rows in out]
     assert got == expect
     assert out[0][0][0] != out[0][1][0]  # the word-1 difference held
+
+
+def test_run_experiment_rows_unfloored_with_photometry_min(tmp_path):
+    """config.photometry.photometry_min must NOT floor experiment rows:
+    the reference's track-photometries CSV is unfloored
+    (flexlibrary.py:2848-2866; the floor is a Trace.photometries/stepfit
+    parameter). Regression: the device bucket used to apply it."""
+    from fluorosequencingimageanalysis_tpu.config import (
+        PipelineConfig, PhotometryConfig)
+
+    stack = make_stack(F=2, C=3, seed=4)
+    base_csv = tmp_path / "base.csv"
+    floored_csv = tmp_path / "floored.csv"
+    Pipeline().run_experiment(stack, max_candidates=256,
+                              csv_path=str(base_csv))
+    floored_cfg = Pipeline(PipelineConfig(photometry=PhotometryConfig(
+        photometry_min=1e7)))  # absurd floor: would swamp every row
+    floored_cfg.run_experiment(stack, max_candidates=256,
+                               csv_path=str(floored_csv))
+    base_text = base_csv.read_text()
+    assert floored_csv.read_text() == base_text
+    assert len(base_text.splitlines()) > 3  # real rows were compared
+
+
+def test_run_experiment_warns_on_candidate_overflow(caplog):
+    """Overflowing the candidate bucket must be reported, never silent
+    (mesh cand_count contract carried through run_experiment)."""
+    import logging
+
+    stack = make_stack(F=1, C=3, seed=9, n_spots=24)
+    with caplog.at_level(logging.WARNING,
+                         logger="fluorosequencingimageanalysis_tpu.api"):
+        Pipeline().run_experiment(stack, max_candidates=8)
+    assert any("max_candidates" in r.message for r in caplog.records)

@@ -242,3 +242,25 @@ def test_stepfit_batched_mesh_sharded_equals_single_device():
         np.testing.assert_allclose(ck0, ck1, atol=1e-9)
         assert [(a, b) for a, b, _ in pl0] == [(a, b) for a, b, _ in pl1]
         assert [(a, b) for a, b, _ in t0] == [(a, b) for a, b, _ in t1]
+
+
+def test_experiment_step_max_spots_validation():
+    """Tiny max_candidates must clamp the default spot bucket (top_k with
+    k > n is an invalid program), and an explicit oversized max_spots
+    must raise a clear error instead of an opaque XLA one."""
+    import pytest
+    import jax
+    from fluorosequencingimageanalysis_tpu.parallel.mesh import (
+        make_mesh, shard_fields, experiment_step_sharded)
+
+    rng = np.random.default_rng(0)
+    stack = rng.normal(400, 8, (1, 2, 64, 64)).astype(np.float32)
+    mesh = make_mesh(1)
+    x = shard_fields(jax.numpy.asarray(stack), mesh)
+    with mesh:
+        out = experiment_step_sharded(x, mesh, max_candidates=4,
+                                      num_iters=8)
+        assert np.asarray(out["spot_rh"]).shape[-1] <= 4
+        with pytest.raises(ValueError, match="max_spots"):
+            experiment_step_sharded(x, mesh, max_candidates=4,
+                                    max_spots=16, num_iters=8)
