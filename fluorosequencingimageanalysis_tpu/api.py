@@ -932,12 +932,9 @@ class Pipeline:
                     "fluor_counts with a photometries dict accepts no "
                     "CSV-reader options: " + ", ".join(sorted(kwargs)))
             if alpha_adjust:
-                tracks = {
-                    c: {f: {hw: (cat,
-                                 tuple(x - alpha_adjust for x in ints), row)
-                            for hw, (cat, ints, row) in fd.items()}
-                        for f, fd in cd.items()}
-                    for c, cd in tracks.items()}
+                from .inference.photometries import (
+                    alpha_adjust_photometries)
+                tracks = alpha_adjust_photometries(tracks, alpha_adjust)
             return photometries_lognormal_fit_v8(
                 tracks, beta, beta_sigma, max_possible=ln.max_possible,
                 allow_upsteps=ln.allow_upsteps,

@@ -103,10 +103,29 @@ def photometries_lognormal_fit_v8(photometries, beta, beta_sigma,
         allow_upsteps=allow_upsteps, max_deviation=max_deviation,
         mesh=mesh)
 
+    meta = [(channel, field, h, w, row, category, ints)
+            for channel, field, h, w, category, ints, row in rows]
+    return _decode_and_aggregate(meta, best_seqs, found, best_ls,
+                                 log_fluor_means, beta_sigma, max_possible)
+
+
+def _decode_and_aggregate(meta, best_seqs, found, best_ls, log_fluor_means,
+                          beta_sigma, max_possible):
+    """Winner decode + signals aggregation shared by the dict and
+    dict-free arrays paths (MCsimlib.py:5467-5493 / 5541-5557 semantics:
+    key = (signal, is_zero, starting_intensity), unfit traces counted in
+    none_count, fit_info row per trace).
+
+    meta: list of (channel, field, h, w, row, category, ints) per trace,
+    index-aligned with the score_traces outputs.
+    """
+    found = np.asarray(found)
+    best_seqs = np.asarray(best_seqs)
+    best_ls = np.asarray(best_ls)
     signals = {}
     none_count = 0
     all_fit_info = []
-    for i, (channel, field, h, w, category, ints, row) in enumerate(rows):
+    for i, (channel, field, h, w, row, category, ints) in enumerate(meta):
         if not found[i]:
             signal, is_zero, best_seq, starting_intensity = (None, None,
                                                              None, None)
@@ -129,7 +148,7 @@ def photometries_lognormal_fit_v8(photometries, beta, beta_sigma,
         else:
             key = (signal, is_zero, starting_intensity)
             signals[key] = signals.get(key, 0) + 1
-    return signals, len(rows), none_count, all_fit_info
+    return signals, len(meta), none_count, all_fit_info
 
 
 def _photometries_lognormal_fit_MP_v8(photometries, beta, beta_sigma,
@@ -169,21 +188,19 @@ def lognormal_fit_v8_from_csv(path, beta, beta_sigma, max_possible=5,
         path, downstep_filtered=downstep_filtered,
         head_truncate=head_truncate, tail_truncate=tail_truncate)
     if arrs is None:
-        from .photometries import read_track_photometries_csv
+        from .photometries import (alpha_adjust_photometries,
+                                   read_track_photometries_csv)
         photometries, _ = read_track_photometries_csv(
             path, downstep_filtered=downstep_filtered,
             head_truncate=head_truncate, tail_truncate=tail_truncate)
         if alpha_adjust:
-            photometries = {
-                c: {f: {hw: (cat,
-                             tuple(x - alpha_adjust for x in ints), row)
-                        for hw, (cat, ints, row) in fd.items()}
-                    for f, fd in cd.items()}
-                for c, cd in photometries.items()}
+            photometries = alpha_adjust_photometries(photometries,
+                                                     alpha_adjust)
         return photometries_lognormal_fit_v8(
             photometries, beta, beta_sigma, max_possible=max_possible,
             allow_upsteps=allow_upsteps, allow_multidrop=allow_multidrop,
-            max_deviation=max_deviation, quench_factors=quench_factors)
+            max_deviation=max_deviation, quench_factors=quench_factors,
+            mesh=mesh)
 
     if quench_factors is None or len(quench_factors) != max_possible + 2:
         raise ValueError("quench_factors required for v8+")
@@ -192,6 +209,30 @@ def lognormal_fit_v8_from_csv(path, beta, beta_sigma, max_possible=5,
     n = arrs["intensities"].shape[0]
     if n == 0:
         return {}, 0, 0, []
+    if len(set(arrs["channels"])) > 1:
+        # Same restriction (and message) as the dict path — the caller's
+        # single beta/quench calibration cannot apply across channels.
+        raise NotImplementedError("Currently puts all photometries "
+                                  "together, can't handle multiple "
+                                  "channels at once.")
+    # Dedupe duplicate (channel, field, h, w) keys FIRST-WINS, exactly
+    # like the dict reader's setdefault (MCsimlib.py:2572-2573): two
+    # spots whose float centers round to the same pixel must collapse to
+    # the first row on both paths.
+    seen = set()
+    keep = []
+    for i in range(n):
+        k = (arrs["channels"][i], int(arrs["fields"][i]),
+             int(arrs["hs"][i]), int(arrs["ws"][i]))
+        if k not in seen:
+            seen.add(k)
+            keep.append(i)
+    if len(keep) != n:
+        keep = np.asarray(keep)
+        arrs = {k: (np.asarray(v)[keep] if not isinstance(v, list)
+                    else [v[i] for i in keep])
+                for k, v in arrs.items()}
+        n = len(keep)
     intensities = arrs["intensities"].astype(np.float64) - alpha_adjust
     categories = arrs["categories"]
     best_seqs, found, best_ls = score_traces(
@@ -200,39 +241,9 @@ def lognormal_fit_v8_from_csv(path, beta, beta_sigma, max_possible=5,
         allow_upsteps=allow_upsteps, max_deviation=max_deviation,
         mesh=mesh)
 
-    signals = {}
-    none_count = 0
-    all_fit_info = []
-    found = np.asarray(found)
-    best_seqs = np.asarray(best_seqs)
-    best_ls = np.asarray(best_ls)
-    for i in range(n):
-        channel = arrs["channels"][i]
-        field = int(arrs["fields"][i])
-        h, w = int(arrs["hs"][i]), int(arrs["ws"][i])
-        row = int(arrs["rows"][i])
-        category = tuple(categories[i].tolist())
-        ints = tuple(intensities[i].tolist())
-        if not found[i]:
-            signal, is_zero, best_seq, starting_intensity = (None, None,
-                                                             None, None)
-            best_score = -1
-            best_scores = None
-        else:
-            best_seq = tuple(int(v) for v in best_seqs[i])
-            signal, is_zero, starting_intensity = seq_to_signal(best_seq)
-            best_score = float(np.exp(best_ls[i]))
-            log_int = [math.log(x) if x > 0 else -10000 for x in ints]
-            best_scores = [1.0 if v == 0 else
-                           _norm_pdf(log_int[f], log_fluor_means[v - 1],
-                                     beta_sigma)
-                           for f, v in enumerate(best_seq)]
-        all_fit_info.append((channel, field, h, w, row, category, ints,
-                             signal, is_zero, best_seq, max_possible,
-                             best_score, best_scores, starting_intensity))
-        if signal is None:
-            none_count += 1
-        else:
-            key = (signal, is_zero, starting_intensity)
-            signals[key] = signals.get(key, 0) + 1
-    return signals, n, none_count, all_fit_info
+    meta = [(arrs["channels"][i], int(arrs["fields"][i]),
+             int(arrs["hs"][i]), int(arrs["ws"][i]),
+             int(arrs["rows"][i]), tuple(categories[i].tolist()),
+             tuple(intensities[i].tolist())) for i in range(n)]
+    return _decode_and_aggregate(meta, best_seqs, found, best_ls,
+                                 log_fluor_means, beta_sigma, max_possible)

@@ -98,6 +98,16 @@ def unwind_photometries(photometries):
                 yield (channel, field, h, w, category, intensities, row)
 
 
+def alpha_adjust_photometries(photometries, alpha):
+    """Subtract the alpha zero-level from every intensity (the
+    lognormal_fitter_v2 adjustment, reference lognormal_fitter_v2.py:
+    136-143), leaving categories/rows untouched."""
+    return {c: {f: {hw: (cat, tuple(x - alpha for x in ints), row)
+                    for hw, (cat, ints, row) in fd.items()}
+                for f, fd in cd.items()}
+            for c, cd in photometries.items()}
+
+
 def write_photometries_dict_to_csv(photometries, filepath, dialect="excel"):
     """Inverse of read_track_photometries_csv (MCsimlib.py:5566-5586)."""
     with open(filepath, "w", newline="") as f:

@@ -226,23 +226,27 @@ double incbet(double aa, double bb, double xx) {
 // Two-tailed Welch p: 2 * stdtr(df, -|t|) with the incbet identity
 // (exact for t < 0; Welch df is non-integer so scipy takes the same
 // incbet path to ~1e-12).
-double welch_p(const double* a, int64_t n1, const double* b, int64_t n2) {
+// scratch must hold max(n1, n2) doubles — callers in the per-trace
+// merge loop reuse one buffer so the hot path never touches the
+// allocator (the per-call std::vector serialized worker threads).
+double welch_p(const double* a, int64_t n1, const double* b, int64_t n2,
+               double* scratch) {
     if (n1 == 0 || n2 == 0) return NAN;
     double m1 = np_mean(a, n1);
     double m2 = np_mean(b, n2);
     // scipy's _var: second central moment * n/(n-1) (same op order).
-    std::vector<double> d(static_cast<size_t>(std::max(n1, n2)));
+    double* d = scratch;
     for (int64_t i = 0; i < n1; i++) {
         double dd = a[i] - m1;
-        d[static_cast<size_t>(i)] = dd * dd;
+        d[i] = dd * dd;
     }
-    double v1 = np_mean(d.data(), n1) *
+    double v1 = np_mean(d, n1) *
         (static_cast<double>(n1) / static_cast<double>(n1 - 1));
     for (int64_t i = 0; i < n2; i++) {
         double dd = b[i] - m2;
-        d[static_cast<size_t>(i)] = dd * dd;
+        d[i] = dd * dd;
     }
-    double v2 = np_mean(d.data(), n2) *
+    double v2 = np_mean(d, n2) *
         (static_cast<double>(n2) / static_cast<double>(n2 - 1));
     double vn1 = v1 / static_cast<double>(n1);
     double vn2 = v2 / static_cast<double>(n2);
@@ -274,7 +278,8 @@ inline Plateau fit_plateau(const double* raw, int32_t start, int32_t stop) {
 // One drop-sort merge pass (stepfitting._t_test_filter_singlepass).
 // Returns true if anything merged.
 bool tfilter_singlepass(const double* raw, std::vector<Plateau>& pl,
-                        double p_threshold, int32_t no_merge_start) {
+                        double p_threshold, int32_t no_merge_start,
+                        double* scratch) {
     size_t m = pl.size();
     if (m < 2) return false;
     size_t npairs = m - 1;
@@ -283,7 +288,7 @@ bool tfilter_singlepass(const double* raw, std::vector<Plateau>& pl,
         const Plateau& a = pl[r];
         const Plateau& b = pl[r + 1];
         pvals[r] = welch_p(raw + a.start, a.stop - a.start + 1,
-                           raw + b.start, b.stop - b.start + 1);
+                           raw + b.start, b.stop - b.start + 1, scratch);
     }
     // Stable descending p, ties by ascending pair index; NaN p-values
     // (zero-variance equal-mean pairs) deterministically LAST — the
@@ -344,6 +349,9 @@ void run_trace(const double* raw, const uint8_t* mask, int32_t Tm,
                double* refit_height, int32_t* tfil_n, int32_t* tfil_start,
                int32_t* tfil_stop, double* tfil_height) {
     // step positions: last index of each consecutive run of mask hits
+    // One scratch buffer per trace: every Welch segment is <= Tm long,
+    // so the merge loop below never touches the allocator.
+    std::vector<double> scratch(static_cast<size_t>(Tm));
     std::vector<int32_t> steps;
     int32_t prev = -2;
     for (int32_t f = 0; f < Tm; f++) {
@@ -372,7 +380,8 @@ void run_trace(const double* raw, const uint8_t* mask, int32_t Tm,
     size_t passes = pl.size() - 1;
     std::vector<Plateau> cur = pl;
     for (size_t k = 0; k < passes; k++) {
-        if (!tfilter_singlepass(raw, cur, p_threshold, no_merge_start))
+        if (!tfilter_singlepass(raw, cur, p_threshold, no_merge_start,
+                                scratch.data()))
             break;
     }
     *tfil_n = static_cast<int32_t>(cur.size());
@@ -394,6 +403,12 @@ extern "C" int sc_postpass(const double* raw, const uint8_t* mask,
                            int32_t* tfil_stop, double* tfil_height) {
     if (N <= 0) return 0;
     if (Tm < 1) return 1;
+    // A step AT frame 0 would make a plateau that ends before it starts
+    // (the Python chain raises ValueError); rejecting it up front also
+    // bounds the per-trace plateau count at Tm, the output buffer width.
+    for (int32_t i = 0; i < N; i++) {
+        if (mask[static_cast<int64_t>(i) * Tm]) return 2;
+    }
     auto work = [&](int32_t lo, int32_t hi) {
         for (int32_t i = lo; i < hi; i++) {
             int64_t off = static_cast<int64_t>(i) * Tm;
@@ -426,6 +441,11 @@ extern "C" void sc_welch_p_batch(const double* a, const int32_t* a_off,
                                  const int32_t* a_len, const double* b,
                                  const int32_t* b_off, const int32_t* b_len,
                                  int32_t n, double* out) {
+    int32_t mx = 1;
     for (int32_t i = 0; i < n; i++)
-        out[i] = welch_p(a + a_off[i], a_len[i], b + b_off[i], b_len[i]);
+        mx = std::max(mx, std::max(a_len[i], b_len[i]));
+    std::vector<double> scratch(static_cast<size_t>(mx));
+    for (int32_t i = 0; i < n; i++)
+        out[i] = welch_p(a + a_off[i], a_len[i], b + b_off[i], b_len[i],
+                         scratch.data());
 }

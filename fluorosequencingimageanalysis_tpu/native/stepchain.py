@@ -98,6 +98,15 @@ def stepfit_postpass(raw, mask, p_threshold, no_merge_start, n_threads=None):
     raw = np.ascontiguousarray(raw, dtype=np.float64)
     mask = np.ascontiguousarray(mask, dtype=np.uint8)
     N, Tm = raw.shape
+    if mask.shape != (N, Tm):
+        raise ValueError("mask must match raw's (N, T) shape")
+    if Tm and mask[:, 0].any():
+        # A step AT frame 0 would open a plateau that ends before it
+        # starts; the host chain raises ValueError on the same input
+        # (stepfitting._fit_plateau), and excluding it also bounds the
+        # plateau count at Tm (the width of the output buffers).
+        raise ValueError("step mask hit at frame 0: plateaus start "
+                         "after the first step frame")
     if n_threads is None:
         n_threads = min(os.cpu_count() or 1, 16)
     refit_n = np.zeros(N, np.int32)

@@ -10,7 +10,9 @@
 // Semantics matched to inference/photometries.py:read_track_photometries_csv:
 //  - row index counts ALL csv records including the header and skipped rows;
 //  - rows with H or W == "None" are skipped;
-//  - FIELD/H/W and frame values parsed as llround(strtod(...));
+//  - FIELD/H/W and frame values parsed as llround(strtod(...)), with
+//    full-token validation (malformed cells abort to the Python
+//    fallback, which raises like the reference);
 //  - CATEGORY is "(True, False, ...)": strip outer parens, split on ' ',
 //    token is ON iff it equals "True" or "True,";
 //  - head/tail truncation applied to categories and frames;
@@ -70,8 +72,20 @@ void split_csv(const std::string& line, std::vector<std::string>* out) {
   out->push_back(cur);
 }
 
-int64_t round_ll(const std::string& s) {
-  return llround(strtod(s.c_str(), nullptr));
+// Strict llround(strtod): the WHOLE token (minus trailing blanks) must
+// parse to a finite double, else the row is malformed and the parse
+// aborts so the caller falls back to the Python reader — which raises
+// ValueError on the same cell. Silent prefixes ("12a45" -> 12), empty
+// cells (-> 0) and NaN (llround UB) must not become quiet wrong data.
+bool round_ll(const std::string& s, int64_t* out_v) {
+  const char* p = s.c_str();
+  char* end = nullptr;
+  double v = strtod(p, &end);
+  if (end == p || !std::isfinite(v)) return false;
+  while (*end == ' ' || *end == '\t') ++end;
+  if (*end != '\0') return false;
+  *out_v = llround(v);
+  return true;
 }
 
 }  // namespace
@@ -119,7 +133,14 @@ void* tcsv_parse(const char* path, int32_t head_truncate,
       }
     }
     fr.clear();
-    for (size_t i = 5; i < cols.size(); ++i) fr.push_back(round_ll(cols[i]));
+    {
+      int64_t v;
+      for (size_t i = 5; i < cols.size(); ++i) {
+        if (!round_ll(cols[i], &v)) { ok = false; break; }
+        fr.push_back(v);
+      }
+      if (!ok) break;
+    }
     // truncation (python slice semantics on both)
     auto truncate = [&](auto& v) {
       int64_t lo = head_truncate;
@@ -146,11 +167,17 @@ void* tcsv_parse(const char* path, int32_t head_truncate,
       break;
     }
     if ((int32_t)cat.size() != out->n_frames) { ok = false; break; }
+    int64_t fld_v, h_v, w_v;
+    if (!round_ll(cols[1], &fld_v) || !round_ll(h_s, &h_v) ||
+        !round_ll(w_s, &w_v)) {
+      ok = false;
+      break;
+    }
     if (out->n_rows > 0) out->channel_blob.push_back('\n');
     out->channel_blob += cols[0];
-    out->fields.push_back((int32_t)round_ll(cols[1]));
-    out->hs.push_back((int32_t)round_ll(h_s));
-    out->ws.push_back((int32_t)round_ll(w_s));
+    out->fields.push_back((int32_t)fld_v);
+    out->hs.push_back((int32_t)h_v);
+    out->ws.push_back((int32_t)w_v);
     out->rows.push_back(r);
     out->cats.insert(out->cats.end(), cat.begin(), cat.end());
     out->frames.insert(out->frames.end(), fr.begin(), fr.end());

@@ -146,7 +146,9 @@ def sliding_t_masks(traces, window_radius=6, p_threshold=0.001):
                          jnp.cumsum(seq, axis=1)], axis=1)
     c2 = jnp.concatenate([jnp.zeros((N, 1), seq.dtype),
                           jnp.cumsum(seq ** 2, axis=1)], axis=1)
-    mask = jnp.ones((N, T), dtype=bool)
+    # An empty radius range (window_radius <= 5) means NO step positions,
+    # exactly like the host chain's empty step_intersection — not all.
+    mask = jnp.full((N, T), window_radius > 5, dtype=bool)
     for radius in range(5, window_radius):
         n_l = jnp.where(f >= radius, radius, 0).astype(seq.dtype)
         lo = jnp.maximum(f - radius, 0)

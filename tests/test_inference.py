@@ -312,3 +312,76 @@ def test_v8_batched_matches_host_at_reference_shape():
             (i, tuple(seqs[i]), ref_seq)
         n_checked += 1
     assert n_checked > 250  # nearly all traces must be fittable
+
+
+def _write_tracks_csv(path, rows, nf=4):
+    import csv as _csv
+    with open(path, "w", newline="") as f:
+        w = _csv.writer(f)
+        w.writerow(["CHANNEL", "FIELD", "H", "W", "CATEGORY"] +
+                   [f"FRAME {i}" for i in range(nf)])
+        for r in rows:
+            w.writerow(r)
+
+
+def test_v8_csv_native_multichannel_matches_dict_restriction(tmp_path):
+    """The native arrays path must refuse multi-channel CSVs exactly
+    like the dict path (single beta/quench calibration cannot span
+    channels). Regression: it silently fit them together."""
+    import pytest
+    from fluorosequencingimageanalysis_tpu.inference.lognormal import (
+        lognormal_fit_v8_from_csv)
+
+    path = str(tmp_path / "multi.csv")
+    cat = "(True, True, False, False)"
+    _write_tracks_csv(path, [
+        ["ch1", 0, 10, 20, cat, 30000, 29000, 300, 310],
+        ["ch2", 0, 11, 21, cat, 30000, 29000, 300, 310]])
+    with pytest.raises(NotImplementedError, match="multiple"):
+        lognormal_fit_v8_from_csv(path, 30000.0, 0.2,
+                                  quench_factors=(0.0,) * 7)
+
+
+def test_v8_csv_native_dedupes_first_wins_like_dict(tmp_path):
+    """Duplicate (channel, field, h, w) rows collapse FIRST-WINS in the
+    dict reader (setdefault, MCsimlib.py:2572); the native arrays path
+    must match. Regression: it fit every row."""
+    from fluorosequencingimageanalysis_tpu.inference.lognormal import (
+        lognormal_fit_v8_from_csv, photometries_lognormal_fit_v8)
+    from fluorosequencingimageanalysis_tpu.inference.photometries import (
+        read_track_photometries_csv)
+
+    path = str(tmp_path / "dup.csv")
+    cat = "(True, True, False, False)"
+    _write_tracks_csv(path, [
+        ["ch1", 0, 10, 20, cat, 31000, 30000, 300, 310],
+        ["ch1", 0, 10, 20, cat, 62000, 61000, 600, 620],  # duplicate key
+        ["ch1", 0, 15, 25, cat, 29500, 30500, 280, 305]])
+    qf = (0.0,) * 7
+    native = lognormal_fit_v8_from_csv(path, 30000.0, 0.2,
+                                       quench_factors=qf)
+    pdict, _ = read_track_photometries_csv(path, head_truncate=0,
+                                           tail_truncate=0,
+                                           downstep_filtered=False)
+    viadict = photometries_lognormal_fit_v8(pdict, 30000.0, 0.2,
+                                            quench_factors=qf)
+    assert native[1] == viadict[1] == 2  # duplicate dropped on BOTH paths
+    assert native[0] == viadict[0]
+    assert sorted(native[3]) == sorted(viadict[3])
+
+
+def test_v8_csv_malformed_cell_raises(tmp_path):
+    """A corrupted numeric cell must be loud on both ingestion paths:
+    the strict native parser aborts to the Python reader, which raises
+    ValueError. Regression: strtod silently parsed '12a45' as 12."""
+    import pytest
+    from fluorosequencingimageanalysis_tpu.inference.lognormal import (
+        lognormal_fit_v8_from_csv)
+
+    path = str(tmp_path / "bad.csv")
+    cat = "(True, True, False, False)"
+    _write_tracks_csv(path, [
+        ["ch1", 0, 10, 20, cat, "12a45", 30000, 300, 310]])
+    with pytest.raises(ValueError):
+        lognormal_fit_v8_from_csv(path, 30000.0, 0.2,
+                                  quench_factors=(0.0,) * 7)

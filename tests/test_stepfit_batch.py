@@ -209,3 +209,40 @@ def test_stepfit_batched_empty_input():
         out = stepfit_batched(np.zeros((0, 30)), mirror_start=5,
                               chung_kennedy=1, p_threshold=0.01)
         assert out == []
+
+
+def test_stepfit_window_radius_5_yields_no_steps():
+    """window_radius=5 means an EMPTY sliding-t radius range: the host
+    chain finds no steps (single plateau). Regression: the device mask
+    used to initialize all-True, inverting this into every-frame-a-step
+    (and feeding a frame-0 step into the native post-pass)."""
+    from fluorosequencingimageanalysis_tpu.ops.stepfit_batch import (
+        stepfit_batched, sliding_t_masks)
+
+    rng = np.random.default_rng(7)
+    levels = np.where(np.arange(40) < 18, 50000.0, 2000.0)
+    phot = levels[None] + rng.normal(0, 400, (8, 40))
+    mask = np.asarray(sliding_t_masks(phot, window_radius=5))
+    assert not mask.any()
+    results = stepfit_batched(phot, mirror_start=0, chung_kennedy=0,
+                              p_threshold=0.01, window_radius=5)
+    for _, _, plateaus, t_filtered in results:
+        assert len(plateaus) == 1 and len(t_filtered) == 1
+        assert plateaus[0][0] == 0 and plateaus[0][1] == 39
+
+
+def test_stepfit_postpass_rejects_frame0_step():
+    """A step mask hit at frame 0 must raise (the host _fit_plateau
+    raises on the same input); it also bounds the native output
+    buffers. Regression: it used to write a degenerate NaN plateau and
+    could overflow the per-trace rows."""
+    import pytest
+    from fluorosequencingimageanalysis_tpu.native import stepchain
+
+    if not stepchain.have_native():
+        pytest.skip("native stepchain unavailable")
+    raw = np.random.default_rng(0).normal(1000, 10, (2, 6))
+    mask = np.zeros((2, 6), np.uint8)
+    mask[1, 0] = 1
+    with pytest.raises(ValueError, match="frame 0"):
+        stepchain.stepfit_postpass(raw, mask, 0.01, 0)
