@@ -63,7 +63,18 @@ int trk_greedy_link(const double* h, const double* w,
     for (int32_t s = 0; s < n_spots; ++s) {
         out_ancestor[s] = -1;
         out_descendant[s] = -1;
-        bins[s] = py2round(h[s]) * W + py2round(w[s]);
+        const int64_t bh = py2round(h[s]);
+        const int64_t bw = py2round(w[s]);
+        // Rounded bins must land inside the frame: callers normally run
+        // discard_dropouts first, but a direct library call with stage
+        // drift (h = -0.6 -> bin -1) must fail LOUDLY, not scribble out
+        // of the grid vectors.
+        if (bh < 0 || bh >= H || bw < 0 || bw >= W) {
+            err_out[0] = -1;
+            err_out[1] = s;
+            return 2;
+        }
+        bins[s] = bh * W + bw;
     }
     // Bin-uniqueness check per frame (reference precondition).
     {

@@ -98,6 +98,13 @@ def greedy_link(h, w, frame_start, frame_shape, candidate_radius):
                              np.int32(frame_shape[0]),
                              np.int32(frame_shape[1]),
                              float(candidate_radius), anc, desc, err)
+    if rc == 2:
+        s = int(err[1])
+        raise ValueError(
+            f"spot {s} at (h, w) = ({float(h[s])}, {float(w[s])}) rounds "
+            f"outside the {tuple(int(v) for v in frame_shape)} frame — "
+            "positions must be offset-adjusted AND in-range "
+            "(run discard_dropouts first)")
     if rc != 0:
         W = int(frame_shape[1])
         cell = int(err[1])

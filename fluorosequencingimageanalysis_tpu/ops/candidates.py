@@ -95,6 +95,18 @@ def candidate_map(image, median_filter_size=5, correlation_matrix=None,
     return image_cm, mask
 
 
+def _pad_topk(top_scores, top_idx, max_candidates):
+    """Pad a k<max_candidates top_k result back to the static bucket
+    (tiny images: top_k requires k <= pixel count; padding keeps the
+    output shape contract)."""
+    short = max_candidates - top_scores.shape[-1]
+    if short <= 0:
+        return top_scores, top_idx
+    pad = [(0, 0)] * (top_scores.ndim - 1) + [(0, short)]
+    return (jnp.pad(top_scores, pad, constant_values=-jnp.inf),
+            jnp.pad(top_idx, pad))
+
+
 def _threshold_and_extract(image_cm, max_candidates, c_std):
     """Shared masking + static-shape extraction from a correlation map."""
     h, w = image_cm.shape
@@ -105,7 +117,9 @@ def _threshold_and_extract(image_cm, max_candidates, c_std):
     mask = (image_cm >= threshold) & interior
     flat_scores = jnp.where(mask, image_cm, -jnp.inf).reshape(-1)
     count = jnp.sum(mask.astype(jnp.int32))
-    top_scores, top_idx = lax.top_k(flat_scores, max_candidates)
+    k = min(max_candidates, flat_scores.shape[0])
+    top_scores, top_idx = _pad_topk(*lax.top_k(flat_scores, k),
+                                    max_candidates)
     valid = top_scores > -jnp.inf
     hs = jnp.where(valid, top_idx // w, 2).astype(jnp.int32)
     ws = jnp.where(valid, top_idx % w, 2).astype(jnp.int32)
@@ -135,14 +149,15 @@ def _threshold_and_extract_batch(cms, max_candidates, c_std, block_m=16):
     flat = jnp.where(mask, cms, -jnp.inf).reshape(B, -1)
     count = jnp.sum(mask.reshape(B, -1).astype(jnp.int32), axis=1)
     n = flat.shape[1]
+    k = min(max_candidates, n)  # top_k requires k <= n (tiny images)
     pad = (-n) % 128
     flat_p = jnp.pad(flat, ((0, 0), (0, pad)),
                      constant_values=-jnp.inf) if pad else flat
     blocks = flat_p.reshape(B, -1, 128)
     nb = blocks.shape[1]
 
-    if max_candidates > nb * block_m or n <= nb * block_m:
-        top_scores, top_idx = lax.top_k(flat, max_candidates)
+    if k > nb * block_m or n <= nb * block_m:
+        top_scores, top_idx = lax.top_k(flat, k)
     else:
         blk_counts = jnp.sum(blocks > -jnp.inf, axis=2)
         cheap_is_exact = jnp.max(blk_counts) <= block_m
@@ -151,15 +166,16 @@ def _threshold_and_extract_batch(cms, max_candidates, c_std, block_m=16):
             bs, bi = lax.top_k(blocks, block_m)
             base = (jnp.arange(nb, dtype=bi.dtype) * 128)[None, :, None]
             merged_idx = (bi + base).reshape(B, -1)
-            ts, ti = lax.top_k(bs.reshape(B, -1), max_candidates)
+            ts, ti = lax.top_k(bs.reshape(B, -1), k)
             return ts, jnp.take_along_axis(merged_idx, ti, axis=1)
 
         def full(_):
-            ts, ti = lax.top_k(flat, max_candidates)
+            ts, ti = lax.top_k(flat, k)
             return ts, ti
 
         top_scores, top_idx = lax.cond(cheap_is_exact, cheap, full, None)
 
+    top_scores, top_idx = _pad_topk(top_scores, top_idx, max_candidates)
     valid = top_scores > -jnp.inf
     hs = jnp.where(valid, top_idx // w, 2).astype(jnp.int32)
     ws = jnp.where(valid, top_idx % w, 2).astype(jnp.int32)
@@ -181,6 +197,11 @@ def find_candidates_batch(images, median_filter_size=5,
     if correlation_matrix is None:
         correlation_matrix = HashableArray(DEFAULT_CORRELATION_MATRIX)
     corr_np = correlation_matrix.arr
+    if use_pallas and (median_filter_size != 5 or corr_np.shape != (5, 5)):
+        # The fused kernel hardcodes the 5x5 median window and 5x5 taps;
+        # non-default parameters must take the general path, not be
+        # silently ignored.
+        use_pallas = False
     if use_pallas:
         from .pallas_candidates import candidate_map_fused
         cms = candidate_map_fused(images, corr_np)
@@ -210,16 +231,9 @@ def find_candidates(image, median_filter_size=5, correlation_matrix=None,
         count: scalar int32, true number of candidates (may exceed
             max_candidates; compare to detect overflow — never silently).
     """
-    image_cm, mask = candidate_map(image, median_filter_size,
-                                   correlation_matrix, c_std)
-    flat_scores = jnp.where(mask, image_cm, -jnp.inf).reshape(-1)
-    count = jnp.sum(mask.astype(jnp.int32))
-    top_scores, top_idx = lax.top_k(flat_scores, max_candidates)
-    valid = top_scores > -jnp.inf
-    w = image.shape[1]
-    hs = jnp.where(valid, top_idx // w, 2).astype(jnp.int32)
-    ws = jnp.where(valid, top_idx % w, 2).astype(jnp.int32)
-    return hs, ws, valid, count
+    image_cm, _ = candidate_map(image, median_filter_size,
+                                correlation_matrix, c_std)
+    return _threshold_and_extract(image_cm, max_candidates, float(c_std))
 
 
 def gather_patches(image, hs, ws, radius=2):

@@ -275,7 +275,7 @@ def fit_gaussians_batched(patches, p0=None, lo=None, hi=None, num_iters=60,
         # wraparound are unreachable from theta0=0 (theta pegs at the
         # bound); a second start at theta0=90 with swapped sigma inits
         # covers them. Per-patch lowest cost wins.
-        p90 = list(p)
+        # Restart from p0 (NOT the converged p), only theta/sigmas change.
         p90 = [jnp.where(intensity[i], p0[:, i] / scale, p0[:, i])
                for i in range(7)]
         p90[4], p90[5] = p90[5], p90[4]

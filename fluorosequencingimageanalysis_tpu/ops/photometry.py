@@ -100,15 +100,19 @@ def maximum_batch(image, hs, ws, radius=5, top=1, median_adjust=False):
     return patch_reduction("maximum", radius, top=top)(flat)
 
 
-@functools.partial(jax.jit, static_argnames=("radius",))
-def luminosity_centroid_batch(image, hs, ws, radius=3):
+@functools.partial(jax.jit, static_argnames=("radius", "with_sn"))
+def luminosity_centroid_batch(image, hs, ws, radius=3, with_sn=True):
     """Centroid of pixel mass + Illumina S/N in squares around (hs, ws).
 
     Used by the timetrace tracker (flexlibrary.py:1172-1259): returns
     (centroid_h, centroid_w) in absolute image coordinates and the S/N of
     the (2*radius+1)^2 slice. Interior spots only.
+
+    with_sn=False skips the S/N reduction and returns None in its slot —
+    the tracker's GATE measures S/N at the ROUNDED centroid on the
+    spot's own slice (flexlibrary.py:1247), not on this pre-centroid
+    window, so computing it here would be pure waste for that caller.
     """
-    from .quality import illumina_s_n
     patches = gather_patches(image, hs, ws, radius=radius)
     d = 2 * radius + 1
     dt = patches.dtype
@@ -116,7 +120,11 @@ def luminosity_centroid_batch(image, hs, ws, radius=3):
     idx = jnp.arange(d, dtype=dt)
     ch = jnp.sum(patches * idx[None, :, None], axis=(-2, -1)) / total
     cw = jnp.sum(patches * idx[None, None, :], axis=(-2, -1)) / total
-    sn = illumina_s_n(patches)
+    if with_sn:
+        from .quality import illumina_s_n
+        sn = illumina_s_n(patches)
+    else:
+        sn = None
     abs_h = ch + hs.astype(dt) - radius
     abs_w = cw + ws.astype(dt) - radius
     return abs_h, abs_w, sn

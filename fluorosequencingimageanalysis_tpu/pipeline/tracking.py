@@ -112,9 +112,10 @@ def greedy_particle_tracking(frame_spots, frame_shape, candidate_radius=2,
     filtered = []
     total_discarded = 0
     for f, frame in enumerate(frame_spots):
+        frame = list(frame)  # bind once: frames may be one-shot iterators
         fs, nd = discard_dropouts(
-            spots=list(frame),
-            spot_cumulative_offsets=[cum[f]] * len(list(frame)),
+            spots=frame,
+            spot_cumulative_offsets=[cum[f]] * len(frame),
             frame_cumulative_offsets=cum,
             image_shape=frame_shape, spot_radius=spot_radius)
         filtered.append(fs)
@@ -345,10 +346,16 @@ def luminosity_centroid_particle_tracking(frames, initial_spots,
         if idx:
             hs = jnp.asarray([centers[i][0] for i in idx], jnp.int32)
             ws = jnp.asarray([centers[i][1] for i in idx], jnp.int32)
-            ch, cw, sn = luminosity_centroid_batch(
+            # No S/N here: the gate below measures it at the ROUNDED
+            # centroid on the spot's own slice, so this window's S/N
+            # would be discarded. The per-spot host gate is the
+            # oracle-faithful compat form (flexlibrary.py:1247); the
+            # flagship movie path batches the whole walk in one lax.scan
+            # (pipeline/fast_timetrace.py).
+            ch, cw, _ = luminosity_centroid_batch(
                 jnp.asarray(frame.image, jnp.float32), hs, ws,
-                radius=search_radius)
-            ch, cw, sn = map(np.asarray, (ch, cw, sn))
+                radius=search_radius, with_sn=False)
+            ch, cw = np.asarray(ch), np.asarray(cw)
         lookup = {i: j for j, i in enumerate(idx)}
         new_prior = []
         for i, spot in enumerate(prior):

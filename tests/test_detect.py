@@ -289,3 +289,42 @@ def test_candidate_pixels_silently_ignored_reference_parity():
     passed = find_peptides(img, max_candidates=64,
                            candidate_pixels=[(5, 5), (10, 10)])
     assert sorted(base.keys()) == sorted(passed.keys())
+
+
+def test_find_candidates_image_smaller_than_bucket():
+    """Images with fewer pixels than max_candidates must work (top_k
+    requires k <= n; regression: 48x48 with the default 4096 crashed)."""
+    import jax.numpy as jnp
+    from fluorosequencingimageanalysis_tpu.ops.candidates import (
+        find_candidates, find_candidates_batch)
+
+    rng = np.random.default_rng(0)
+    img = rng.normal(400, 8, (48, 48)).astype(np.float32)
+    img[20:25, 20:25] += 3000
+    hs, ws, valid, count = find_candidates(jnp.asarray(img))
+    assert hs.shape == (4096,) and int(count) >= 1
+    assert int(valid.sum()) == int(count)
+    bh, bw, bv, bc = find_candidates_batch(jnp.asarray(img[None]))
+    assert bh.shape == (1, 4096) and int(bc[0]) == int(count)
+    np.testing.assert_array_equal(np.sort(np.asarray(hs)[np.asarray(valid)]),
+                                  np.sort(np.asarray(bh[0])[np.asarray(bv[0])]))
+
+
+def test_find_candidates_batch_pallas_honors_parameters():
+    """use_pallas must not silently ignore a non-default
+    median_filter_size (the fused kernel hardcodes 5x5; non-default
+    parameters fall back to the general path)."""
+    import jax.numpy as jnp
+    from fluorosequencingimageanalysis_tpu.ops.candidates import (
+        find_candidates_batch)
+
+    rng = np.random.default_rng(1)
+    img = rng.normal(400, 8, (1, 96, 96)).astype(np.float32)
+    img[0, 30:35, 40:45] += 2500
+    ref = find_candidates_batch(jnp.asarray(img), median_filter_size=3,
+                                use_pallas=False)
+    via_pallas_flag = find_candidates_batch(jnp.asarray(img),
+                                            median_filter_size=3,
+                                            use_pallas=True)
+    for a, b in zip(ref, via_pallas_flag):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

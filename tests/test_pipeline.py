@@ -491,3 +491,36 @@ def test_aperture_sum_matches_scalar_reference():
             # discretization error, including truncated edge windows.
             e = _aperture_sum(img, h, w, radius)
             assert abs(e - b) <= 0.02 * max(abs(b), 100.0), (h, w, radius)
+
+
+def test_greedy_tracking_accepts_iterators():
+    """frame_spots documented as iterable-of-iterables: one-shot
+    iterators must work (regression: the frame was consumed twice)."""
+    from fluorosequencingimageanalysis_tpu.pipeline.spots import Image, Spot
+    from fluorosequencingimageanalysis_tpu.pipeline.tracking import (
+        greedy_particle_tracking)
+
+    rng = np.random.default_rng(0)
+    imgs = [Image(image=rng.normal(400, 8, (64, 64)).astype(np.float32),
+                  metadata={"filepath": f"mem://{f}"}, spots=None)
+            for f in range(2)]
+    frames = [iter([Spot(imgs[f], 30, 30, 5, gaussian_fit=None)])
+              for f in range(2)]
+    traces, discarded = greedy_particle_tracking(frames, (64, 64))
+    assert len(traces) == 1 and discarded == 0
+    assert all(s is not None for s in traces[0])
+
+
+def test_native_link_rejects_out_of_range_positions():
+    """greedy_link must fail loudly on positions whose rounded bins land
+    outside the frame (regression: out-of-bounds vector writes)."""
+    import pytest
+    from fluorosequencingimageanalysis_tpu.native import tracklink
+
+    if not tracklink.have_native():
+        pytest.skip("native tracklink unavailable")
+    h = np.array([-0.6, 10.0])
+    w = np.array([5.0, 12.0])
+    frame_start = np.array([0, 1, 2], np.int32)
+    with pytest.raises(ValueError, match="outside"):
+        tracklink.greedy_link(h, w, frame_start, (64, 64), 2.0)
