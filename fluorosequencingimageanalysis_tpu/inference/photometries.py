@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import csv
 import itertools
+import logging
 
 import numpy as np
 
@@ -46,8 +47,13 @@ def read_track_photometries_csv(path, downstep_filtered=False, head_truncate=0,
                 omit_header=omit_header, channels=channels)
             if out is not None:
                 return out
-        except Exception:
-            pass
+        except (ImportError, OSError) as exc:
+            # Toolchain problems degrade to the Python reader; anything
+            # else (a logic bug in the native path) must NOT be silently
+            # masked as a slow-path fallback.
+            logging.getLogger(__name__).info(
+                "native track-CSV parser unavailable (%s); using the "
+                "Python reader", exc)
     with open(path) as f:
         reader = csv.reader(f)
         d = {}

@@ -105,10 +105,9 @@ class Spot:
                                      **kwargs):
         if not return_invalid and not self.valid_slice(radius=radius):
             return None
-        background = self.parent_Image.get_photometry_background(
-            box_size=box_size, filter_size=filter_size, method="sextractor")
-        return _aperture_sum(self.parent_Image.image - background,
-                             self.h, self.w, radius)
+        data = self.parent_Image.get_background_subtracted(
+            box_size=box_size, filter_size=filter_size)
+        return _aperture_sum(data, self.h, self.w, radius)
 
     def maximum_photometry_metric(self, radius=5, top=1,
                                   background_adjust="none",
@@ -148,6 +147,11 @@ class Spot:
         # dispatch per spot would dominate). Same math as
         # ops.quality.illumina_s_n / pflib.py:261-281.
         sl = np.asarray(self.image_slice(), dtype=np.float64)
+        if sl.ndim != 2 or sl.shape[0] != sl.shape[1]:
+            # Truncated edge slices must raise like the reference
+            # (pflib.py:275-277), not yield a number the gates act on.
+            raise ValueError("sub_img must be square, but has shape " +
+                             str(sl))
         edge = np.concatenate([sl[0, :], sl[-1, :], sl[1:-1, 0], sl[1:-1, -1]])
         return float((sl.max() - edge.mean()) / edge.std())
 
@@ -222,28 +226,88 @@ class Image:
         return 0
 
     def _spot_photometry(self, spot, method, kwargs):
+        """Batched-with-cache photometry for one spot.
+
+        The cache stores (spot, value) so a hit is honored only when the
+        entry's spot IS the caller (a recycled id() from a dead Spot can
+        never return a stale value). Spots not in self.spots (supported
+        by the reference, which has no cache) are measured individually
+        on the host path. Note: in-place mutation of self.image after a
+        measurement will serve cached values; call photometry_cache_clear
+        (or rebuild the Image) after mutating, as the reference recomputes
+        per call."""
         key = (method, tuple(sorted(kwargs.items())))
         cache = self._photometry_cache.get(key)
-        if cache is None or id(spot) not in cache:
+        hit = cache.get(id(spot)) if cache is not None else None
+        if hit is None or hit[0] is not spot:
             cache = self._compute_photometries(method, kwargs)
             self._photometry_cache[key] = cache
-        return cache[id(spot)]
+            hit = cache.get(id(spot))
+        if hit is None or hit[0] is not spot:
+            radius = self._spot_radius(spot, method, kwargs)
+            return self._host_photometry(spot, method, kwargs, radius)
+        return hit[1]
+
+    def photometry_cache_clear(self):
+        """Drop the batched photometry cache (after mutating .image)."""
+        self._photometry_cache = {}
+
+    def _spot_radius(self, spot, method, kwargs):
+        if method == "simple":
+            # The reference's simple metric sums the spot's OWN slice
+            # (flexlibrary.py:160-170): radius follows spot.size.
+            return (spot.size - 1) // 2
+        return self._required_radius(method, kwargs)
+
+    def _host_photometry(self, spot, method, kwargs, radius):
+        """Exact host-path measurement of one spot (edge fallbacks)."""
+        if method == "mexican_hat":
+            return float(photometry_ops.mexican_hat_host(
+                self.image, spot.h, spot.w,
+                brim_size=kwargs.get("brim_size", 6), radius=radius))
+        if method == "simple":
+            return float(photometry_ops.simple_host(self.image, spot.h,
+                                                    spot.w, radius=radius))
+        if method == "maximum":
+            return float(photometry_ops.maximum_host(
+                self.image, spot.h, spot.w, radius=radius,
+                top=kwargs.get("top", 1),
+                background_adjust=kwargs.get("background_adjust", "none")))
+        raise ValueError(method)
 
     def _compute_photometries(self, method, kwargs):
-        """Measure every current spot in one batched dispatch."""
-        radius = self._required_radius(method, kwargs)
-        interior, edge = [], []
+        """Measure every current spot in one batched dispatch (one per
+        distinct window radius — 'simple' follows each spot's size)."""
+        if method == "maximum":
+            # Validate ONCE for every spot, so interior and edge spots
+            # behave identically (the host path / reference raise on
+            # 'multiplicative', flexlibrary.py:275-284).
+            ba = kwargs.get("background_adjust", "none")
+            if ba == "multiplicative":
+                raise NotImplementedError(
+                    "Not sure what to do if median is 0. This may be a "
+                    "poor metric.")
+            if ba not in ("none", "additive"):
+                raise ValueError(str(ba) + " is not a valid option.")
+        batch_top0 = method == "maximum" and kwargs.get("top", 1) == 0
+        interior, edge = {}, []
         H, W = self.image.shape[:2]
         for s in self.spots:
-            if (radius <= s.h < H - radius and radius <= s.w < W - radius):
-                interior.append(s)
+            radius = self._spot_radius(s, method, kwargs)
+            # top=0 must keep the reference's Py2 slice quirk ([-0:] is
+            # the WHOLE window) for every spot — host path only.
+            if (not batch_top0 and radius <= s.h < H - radius
+                    and radius <= s.w < W - radius):
+                interior.setdefault(radius, []).append(s)
             else:
                 edge.append(s)
         values = {}
-        if interior:
-            hs = jnp.asarray([s.h for s in interior], jnp.int32)
-            ws = jnp.asarray([s.w for s in interior], jnp.int32)
-            img = jnp.asarray(self.image, jnp.float32)
+        img = None
+        for radius, group in interior.items():
+            hs = jnp.asarray([s.h for s in group], jnp.int32)
+            ws = jnp.asarray([s.w for s in group], jnp.int32)
+            if img is None:
+                img = jnp.asarray(self.image, jnp.float32)
             if method == "mexican_hat":
                 out = photometry_ops.mexican_hat_batch(
                     img, hs, ws, brim_size=kwargs.get("brim_size", 6),
@@ -258,24 +322,12 @@ class Image:
             else:
                 raise ValueError(method)
             out = np.asarray(out, dtype=np.float64)
-            for s, v in zip(interior, out):
-                values[id(s)] = float(v)
+            for s, v in zip(group, out):
+                values[id(s)] = (s, float(v))
         for s in edge:
-            if method == "mexican_hat":
-                v = photometry_ops.mexican_hat_host(
-                    self.image, s.h, s.w,
-                    brim_size=kwargs.get("brim_size", 6), radius=radius)
-            elif method == "simple":
-                v = photometry_ops.simple_host(self.image, s.h, s.w,
-                                               radius=radius)
-            elif method == "maximum":
-                v = photometry_ops.maximum_host(
-                    self.image, s.h, s.w, radius=radius,
-                    top=kwargs.get("top", 1),
-                    background_adjust=kwargs.get("background_adjust", "none"))
-            else:
-                raise ValueError(method)
-            values[id(s)] = float(v)
+            radius = self._spot_radius(s, method, kwargs)
+            values[id(s)] = (s, self._host_photometry(s, method, kwargs,
+                                                      radius))
         return values
 
     def get_photometry_aperture(self, spot, radius=3):
@@ -312,6 +364,17 @@ class Image:
         if key not in self.photometry_background:
             self.photometry_background[key] = _mesh_background(
                 self.image, box_size, filter_size)
+        return self.photometry_background[key]
+
+    def get_background_subtracted(self, box_size=10, filter_size=10):
+        """image - sextractor background, cached: N spots on one image
+        must not pay N full-frame subtractions."""
+        key = ("subtracted", box_size, filter_size)
+        if key not in self.photometry_background:
+            self.photometry_background[key] = (
+                self.image - self.get_photometry_background(
+                    box_size=box_size, filter_size=filter_size,
+                    method="sextractor"))
         return self.photometry_background[key]
 
     def append_photometry_apertures(self):
@@ -425,11 +488,21 @@ def sextractor_aperture_sums(image, hs, ws, aperture_radius,
     r_int = (fr.shape[0] - 1) // 2
     dd = np.arange(-r_int, r_int + 1)
     image = np.asarray(image)
+    hs = np.asarray(hs)
+    ws = np.asarray(ws)
+    H, W = image.shape[:2]
+    if len(hs) and (hs.min() < 0 or hs.max() >= H or
+                    ws.min() < 0 or ws.max() >= W):
+        # Negative centers would WRAP through the padded array (Python
+        # negative indexing) into the opposite border — a silently wrong
+        # aperture sum. Callers track in-frame positions; anything else
+        # is a bug upstream, so fail loudly.
+        raise ValueError("aperture centers must lie inside the image")
     data = (image.astype(np.float64)
             - _mesh_background(image, box_size, filter_size))
     padded = np.pad(data, r_int)
-    hs = np.asarray(hs) + r_int
-    ws = np.asarray(ws) + r_int
+    hs = hs + r_int
+    ws = ws + r_int
     wins = padded[hs[:, None, None] + dd[None, :, None],
                   ws[:, None, None] + dd[None, None, :]]
     return np.einsum("nij,ij->n", wins, fr)

@@ -524,3 +524,64 @@ def test_native_link_rejects_out_of_range_positions():
     frame_start = np.array([0, 1, 2], np.int32)
     with pytest.raises(ValueError, match="outside"):
         tracklink.greedy_link(h, w, frame_start, (64, 64), 2.0)
+
+
+def test_spot_photometry_semantics_regressions():
+    """Batch-path parity details: un-listed spots measure fine (no
+    KeyError), 'simple' follows each spot's own size, maximum validates
+    background_adjust for interior spots, and top=0 keeps the
+    reference's whole-window Py2 quirk on every spot."""
+    import pytest
+    from fluorosequencingimageanalysis_tpu.pipeline.spots import Image, Spot
+
+    rng = np.random.default_rng(0)
+    arr = rng.normal(400, 8, (64, 64)).astype(np.float64)
+    img = Image(image=arr, metadata={"filepath": "mem://0"}, spots=None)
+    listed = Spot(img, 30, 30, 5, gaussian_fit=None)
+    img.spots = [listed]
+
+    # Un-listed spot (reference supports it; no cache KeyError).
+    loose = Spot(img, 20, 40, 5, gaussian_fit=None)
+    v = loose.simple_photometry_metric()
+    assert v == pytest.approx(arr[18:23, 38:43].sum())
+
+    # simple uses the spot's OWN size (7 -> 7x7 window).
+    wide = Spot(img, 32, 18, 7, gaussian_fit=None)
+    img.spots.append(wide)
+    assert wide.simple_photometry_metric() == \
+        pytest.approx(arr[29:36, 15:22].sum())
+
+    # maximum: interior spots must validate background_adjust like the
+    # host/edge path (reference flexlibrary.py:275-284).
+    with pytest.raises(NotImplementedError):
+        listed.photometry("maximum", background_adjust="multiplicative")
+    with pytest.raises(ValueError):
+        listed.photometry("maximum", background_adjust="aditive")
+
+    # top=0: the Py2 r[-0:] quirk sums the WHOLE window, interior or not.
+    v0 = listed.photometry("maximum", top=0)
+    assert v0 == pytest.approx(arr[25:36, 25:36].sum())
+
+
+def test_spot_illumina_sn_rejects_truncated_slice():
+    """Truncated edge slices must raise like pflib.illumina_s_n."""
+    import pytest
+    from fluorosequencingimageanalysis_tpu.pipeline.spots import Image, Spot
+
+    arr = np.random.default_rng(1).normal(400, 8, (32, 32))
+    img = Image(image=arr, metadata={"filepath": "mem://1"}, spots=None)
+    fit = (5.0, 5.0, 400.0, 1500.0, 1.3, 1.3, 0.0, arr[:5, :5])
+    edge_spot = Spot(img, 1, 16, 5, gaussian_fit=fit)
+    with pytest.raises(ValueError, match="square"):
+        edge_spot.illumina_s_n()
+
+
+def test_sextractor_aperture_sums_rejects_out_of_frame():
+    import pytest
+    from fluorosequencingimageanalysis_tpu.pipeline.spots import (
+        sextractor_aperture_sums)
+
+    arr = np.random.default_rng(2).normal(400, 8, (64, 64))
+    with pytest.raises(ValueError, match="inside"):
+        sextractor_aperture_sums(arr, np.array([-1]), np.array([10]),
+                                 3, 10, 10)
