@@ -116,17 +116,36 @@ def detect_and_fit_batch(images, median_filter_size=5,
                           keep, valid, count)
 
 
+def _prep_correlation_matrix(correlation_matrix):
+    """Validate + make hashable for the jitted static argument.
+
+    The reference rejects non-square / even-sided kernels loudly
+    (pflib.py:235-239); an even kernel would otherwise silently shift
+    the SAME-padded correlation map by half a pixel."""
+    from ..ops.candidates import HashableArray
+    if correlation_matrix is None:
+        return None
+    arr = (correlation_matrix.arr
+           if isinstance(correlation_matrix, HashableArray)
+           else np.asarray(correlation_matrix))
+    if arr.ndim != 2 or arr.shape[0] != arr.shape[1] or \
+            arr.shape[0] % 2 == 0:
+        raise ValueError("correlation_matrix must be square, with an odd "
+                         "number of rows and columns")
+    return (correlation_matrix
+            if isinstance(correlation_matrix, HashableArray)
+            else HashableArray(arr))
+
+
 def detect_and_fit(image, median_filter_size=5, correlation_matrix=None,
                    c_std=2.0, r_2_threshold=0.7, consolidation_radius=4.0,
                    max_candidates=4096, num_iters=60, use_pallas=None,
                    gather_strategy="auto"):
     """Single-field detection + fit (batch of one). Image: (H, W)."""
-    from ..ops.candidates import HashableArray, resolve_gather_strategy
+    from ..ops.candidates import resolve_gather_strategy
     if use_pallas is None:
         use_pallas = jax.default_backend() in ("tpu", "axon")
-    if correlation_matrix is not None and \
-            not isinstance(correlation_matrix, HashableArray):
-        correlation_matrix = HashableArray(correlation_matrix)
+    correlation_matrix = _prep_correlation_matrix(correlation_matrix)
     res = detect_and_fit_batch(
         jnp.asarray(image)[None], median_filter_size=median_filter_size,
         correlation_matrix=correlation_matrix, c_std=float(c_std),
@@ -168,11 +187,13 @@ def find_peptides(image, median_filter_size=5, correlation_matrix=None,
             "pflib.py documents it as not implemented and overwrites it).")
     image = np.asarray(image)
     img_dev = jnp.asarray(image.astype(dtype))
+    correlation_matrix = _prep_correlation_matrix(correlation_matrix)
 
     if fit_type == "monte_carlo":
         res = _detect_and_fit_monte_carlo(
             img_dev, median_filter_size=median_filter_size,
-            correlation_matrix=correlation_matrix, c_std=c_std,
+            correlation_matrix=(None if correlation_matrix is None
+                                else correlation_matrix.arr), c_std=c_std,
             r_2_threshold=r_2_threshold,
             consolidation_radius=consolidation_radius,
             max_candidates=max_candidates, n_iter=N_iter, rng_seed=rng_seed)
@@ -255,9 +276,9 @@ def find_peptide_centers(image, median_filter_size=5, c_std=2.0,
     if count > max_candidates:
         import logging
         logging.getLogger(__name__).warning(
-            "find_peptides: %d candidates exceed max_candidates=%d; the "
-            "weakest-correlation candidates were dropped. Re-run with a "
-            "larger max_candidates for exhaustive coverage.",
+            "find_peptide_centers: %d candidates exceed max_candidates=%d; "
+            "the weakest-correlation candidates were dropped. Re-run with "
+            "a larger max_candidates for exhaustive coverage.",
             count, max_candidates)
     seen = set()
     h0, w0, fits = [], [], []
@@ -339,7 +360,8 @@ def find_peptides_batch(images, median_filter_size=5, correlation_matrix=None,
     res = detect_and_fit_batch(
         jnp.asarray(images.astype(dtype)),
         median_filter_size=median_filter_size,
-        correlation_matrix=correlation_matrix, c_std=float(c_std),
+        correlation_matrix=_prep_correlation_matrix(correlation_matrix),
+        c_std=float(c_std),
         r_2_threshold=float(r_2_threshold),
         consolidation_radius=float(consolidation_radius),
         max_candidates=max_candidates, num_iters=num_iters,
@@ -473,7 +495,11 @@ def _detect_and_fit_monte_carlo(image, median_filter_size=5,
     center_h = params[:, 2] + hs.astype(dt) - 2.5
     center_w = params[:, 3] + ws.astype(dt) - 2.5
     passed = valid & (r2 >= r_2_threshold)
+    # Candidate-window gate matters HERE: MC centers drift up to
+    # ~2.5 px, so center distance alone could compare fits the reference
+    # never pits against each other (pflib.py:491-495).
     keep = consolidate(center_h, center_w, r2, passed,
-                       radius=consolidation_radius)
+                       radius=consolidation_radius,
+                       cand_h=hs.astype(dt), cand_w=ws.astype(dt))
     return SpotFindResult(hs, ws, params, center_h, center_w, rm, r2, sn,
                           keep, valid, count)

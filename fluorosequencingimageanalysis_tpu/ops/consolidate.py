@@ -34,7 +34,8 @@ def _rank(centers_h, centers_w, r2, valid):
 
 
 @jax.jit
-def consolidate(centers_h, centers_w, r2, valid, radius=4.0):
+def consolidate(centers_h, centers_w, r2, valid, radius=4.0,
+                cand_h=None, cand_w=None):
     """Greedy quality-ranked NMS.
 
     Arguments:
@@ -44,6 +45,13 @@ def consolidate(centers_h, centers_w, r2, valid, radius=4.0):
         radius: rivals are pairs with Euclidean distance <= radius
             (the reference skips pairs with dist^2 > radius^2,
             pflib.py:505-506, so the boundary is inclusive).
+        cand_h, cand_w: optional (N,) CANDIDATE pixel coordinates. The
+            reference only ever compares fits whose candidate pixels lie
+            within a Chebyshev window of radius+2 of each other
+            (pflib.py:491-495); for the LM path this gate is implied by
+            the bounded centers, but the monte-carlo fitter's centers
+            can drift up to ~2.5 px, where skipping it suppresses pairs
+            the reference never compares.
 
     Returns:
         keep: (N,) bool mask of surviving fits.
@@ -72,6 +80,10 @@ def consolidate(centers_h, centers_w, r2, valid, radius=4.0):
     higher = (score[None, :] > score[:, None]) | \
         ((score[None, :] == score[:, None]) & (idx[None, :] < idx[:, None]))
     adj = (d2 <= r2_sq) & higher & v[None, :]
+    if cand_h is not None:
+        cheb = jnp.maximum(jnp.abs(cand_h[:, None] - cand_h[None, :]),
+                           jnp.abs(cand_w[:, None] - cand_w[None, :]))
+        adj &= cheb <= radius + 2
     adj = lax.optimization_barrier(adj)
 
     def cond(state):

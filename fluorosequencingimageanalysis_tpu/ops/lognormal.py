@@ -140,6 +140,15 @@ def score_traces(intensities, categories, log_fluor_means, beta_sigma,
     >9 minutes (same pathology class as DESIGN.md §14's CK 4096-row
     crash) and is avoided.
     """
+    if len(log_fluor_means) < max_possible:
+        # Sequence values above len(log_fluor_means) would fall outside
+        # the one-hot score range and contribute neither score nor
+        # violations — a silent 0.0-logscore winner. The reference dies
+        # with IndexError on the same input (MCsimlib.py:5452-5462); be
+        # loud and clear instead.
+        raise ValueError(
+            f"log_fluor_means has {len(log_fluor_means)} entries but "
+            f"max_possible={max_possible} needs at least that many")
     intensities = np.asarray(intensities, dtype=np.float64)
     T, F = intensities.shape
     lmii = max_possible

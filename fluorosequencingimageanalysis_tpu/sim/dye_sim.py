@@ -47,6 +47,10 @@ def _simulate_batch(key, color_ids, num_mocks, num_edmans, num_sims, seq_len,
           labeled dye stopped counting (0 = dud/initial exposure, c >= 1 =
           during cycle c, -1 = still counting at the end). -1 also for
           unlabeled positions.
+      dud: (num_sims, seq_len) bool — True where the cycle-0 loss was a
+          DUD (the host path emits all dud events before the initial
+          tirf events, so the distinction fixes the dye_decrements
+          tuple order at cycle 0).
     """
     num_cycles = num_mocks + num_edmans
     k_dud, k_tirf0, k_cycle = jax.random.split(key, 3)
@@ -114,7 +118,7 @@ def _simulate_batch(key, color_ids, num_mocks, num_edmans, num_sims, seq_len,
         cycle_step, (alive, removed, loss),
         (jnp.arange(num_cycles), keys))
     counts = jnp.concatenate([counts0[None], cycle_counts], axis=0)
-    return jnp.transpose(counts, (1, 0, 2)), loss
+    return jnp.transpose(counts, (1, 0, 2)), loss, dud
 
 
 def simulate_dye_counts_batched(sequence, labels, num_mocks, num_edmans,
@@ -130,9 +134,10 @@ def simulate_dye_counts_batched(sequence, labels, num_mocks, num_edmans,
     n_colors), labels_tuple)`` with colors ordered by ``sorted(labels)``
     and EXACT joint statistics (shared per-molecule Edman/strip draws).
 
-    With return_loss_cycles=True a third element is appended: the
-    (num_simulations, seq_len) per-dye loss-cycle matrix (see
-    _simulate_batch) for reconstructing dye_decrements.
+    With return_loss_cycles=True TWO elements are appended: the
+    (num_simulations, seq_len) per-dye loss-cycle matrix and the bool
+    dud matrix (see _simulate_batch) for reconstructing dye_decrements,
+    including the host path's dud-before-initial-tirf order at cycle 0.
     """
     labels_sorted = tuple(sorted(set(labels)))
     n_colors = len(labels_sorted)
@@ -146,7 +151,7 @@ def simulate_dye_counts_batched(sequence, labels, num_mocks, num_edmans,
     s = float(params.get("s", 0.0))
     sc = int(params.get("sc", 0))
     s2 = float(params.get("s2", 0.0))
-    counts, loss = _simulate_batch(
+    counts, loss, dud = _simulate_batch(
         jax.random.PRNGKey(seed), jnp.asarray(color_ids),
         int(num_mocks), int(num_edmans), int(num_simulations),
         len(sequence), n_colors, p, per_cycle_b, u, s, sc, s2)
@@ -156,18 +161,30 @@ def simulate_dye_counts_batched(sequence, labels, num_mocks, num_edmans,
     else:
         out = (counts, labels_sorted)
     if return_loss_cycles:
-        out = out + (np.asarray(loss),)
+        out = out + (np.asarray(loss), np.asarray(dud))
     return out
 
 
-def decrements_from_loss_cycles(sequence, loss_row):
+def decrements_from_loss_cycles(sequence, loss_row, dud_row=None):
     """One molecule's reference-format dye_decrements tuple from its
     loss-cycle row: ((amino_acid, cycle), ...) sorted by cycle, including
     the cycle-0 dud/initial-bleach entries (simulate_dye_counts'
-    bookkeeping, sim/events.py:203-219)."""
-    decs = [(sequence[i], int(c)) for i, c in enumerate(loss_row) if c >= 0]
-    decs.sort(key=lambda x: x[1])
-    return tuple(decs)
+    bookkeeping, sim/events.py:203-219).
+
+    dud_row (from _simulate_batch) restores the host event-buffer order
+    WITHIN cycle 0: all dud losses precede all initial-tirf losses
+    (each group in position order) — without it, cycle-0 entries come
+    out purely position-ordered, which can disagree on multi-label
+    peptides where a later-position dye duds while an earlier one
+    bleaches."""
+    decs = []
+    for i, c in enumerate(loss_row):
+        if c < 0:
+            continue
+        tirf0 = int(c == 0 and dud_row is not None and not dud_row[i])
+        decs.append((int(c), tirf0, sequence[i]))
+    decs.sort(key=lambda x: (x[0], x[1]))  # stable: position order kept
+    return tuple((aa, c) for c, _, aa in decs)
 
 
 def simulate_photometries_batched(counts, beta, beta_sigma, seed=0,
@@ -209,7 +226,7 @@ def peptide_simulation_batched(sequence, labels, num_mocks, num_edmans,
     res = simulate_dye_counts_batched(
         sequence, labels, num_mocks, num_edmans, num_simulations,
         seed=seed, return_loss_cycles=True, **params)
-    counts, _, loss = res
+    counts, _, loss, dud = res
     if counts.ndim == 2:
         counts = counts[:, :, None]
     n, n_cyc, n_colors = counts.shape
@@ -227,6 +244,7 @@ def peptide_simulation_batched(sequence, labels, num_mocks, num_edmans,
             category = tuple(c != 0 for c in dye_counts[label])
             row = tuple(float(x) for x in intens[label][i])
             ci[label] = (category, (row,))
-        out.append((decrements_from_loss_cycles(sequence, loss[i]),
+        out.append((decrements_from_loss_cycles(sequence, loss[i],
+                                                dud[i]),
                     dye_counts, None, ci))
     return out

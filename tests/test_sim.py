@@ -247,20 +247,21 @@ def test_batched_decrements_deterministic():
     params = dict(p=1.0, per_cycle_b=1.0, b=0.0, u=0.0, s=0.0, sc=0, s2=0.0)
     host = simulate_dye_counts(seq, {"A"}, num_mocks=2, num_edmans=5,
                                num_simulations=2, random_seed=0, **params)
-    _, _, loss = simulate_dye_counts_batched(
+    _, _, loss, dud = simulate_dye_counts_batched(
         seq, {"A"}, num_mocks=2, num_edmans=5, num_simulations=2, seed=0,
         return_loss_cycles=True, **params)
     for i in range(2):
-        assert decrements_from_loss_cycles(seq, loss[i]) == host[i][0]
+        assert decrements_from_loss_cycles(seq, loss[i], dud[i]) == \
+            host[i][0]
     # All-dud: every labeled dye lost at cycle 0.
     params = dict(p=1.0, per_cycle_b=1.0, b=0.0, u=1.0, s=0.0, sc=0, s2=0.0)
     host = simulate_dye_counts(seq, {"A"}, num_mocks=0, num_edmans=3,
                                num_simulations=1, random_seed=0, **params)
-    _, _, loss = simulate_dye_counts_batched(
+    _, _, loss, dud = simulate_dye_counts_batched(
         seq, {"A"}, num_mocks=0, num_edmans=3, num_simulations=1, seed=0,
         return_loss_cycles=True, **params)
-    assert decrements_from_loss_cycles(seq, loss[0]) == host[0][0] == \
-        (("A", 0), ("A", 0), ("A", 0))
+    assert decrements_from_loss_cycles(seq, loss[0], dud[0]) == \
+        host[0][0] == (("A", 0), ("A", 0), ("A", 0))
 
 
 def test_peptide_simulation_batched_oldstyle_roundtrip():
@@ -280,3 +281,20 @@ def test_peptide_simulation_batched_oldstyle_roundtrip():
         # intensity/count consistency
         for c, inten in zip(counts, intensities):
             assert (c == 0) == (inten == 0.0)
+
+
+def test_decrements_cycle0_dud_before_tirf_order():
+    """Within cycle 0 the host event buffer holds all dud losses before
+    all initial-tirf losses; the dud mask restores that order for
+    multi-label peptides (regression: pure position order)."""
+    from fluorosequencingimageanalysis_tpu.sim.dye_sim import (
+        decrements_from_loss_cycles)
+
+    seq = "XCXXKX"  # C at position 2, K at position 5
+    loss = np.array([-1, 0, -1, -1, 0, -1])
+    dud = np.array([False, False, False, False, True, False])
+    # K dudded, C bleached in the initial exposure: dud first.
+    assert decrements_from_loss_cycles(seq, loss, dud) == \
+        (("K", 0), ("C", 0))
+    # Without the mask: position order (legacy behavior).
+    assert decrements_from_loss_cycles(seq, loss) == (("C", 0), ("K", 0))
