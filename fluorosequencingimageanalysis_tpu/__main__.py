@@ -96,8 +96,15 @@ def _cmd_run_experiment(args):
 
 def _cmd_fluor_counts(args):
     from .api import Pipeline
+    from .config import PipelineConfig, LognormalConfig
 
-    pipe = Pipeline()
+    # Both modes honor --max-possible / --no-multidrop, and multidrop
+    # defaults ON in both — the reference fitter's default
+    # (lognormal_fitter_v2.py:95-96,166). Manual mode used to ignore
+    # these flags and fit with the library's multidrop-off default.
+    pipe = Pipeline(PipelineConfig(lognormal=LognormalConfig(
+        max_possible=args.max_possible,
+        allow_multidrop=not args.no_multidrop)))
     if args.auto_calibrate:
         signals, total, none_count, fit_info, calibration = \
             pipe.fluor_counts_calibrated(

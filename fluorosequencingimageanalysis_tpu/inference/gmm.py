@@ -97,7 +97,7 @@ def _gmm_photometries_MP(photometries, min_fluors=1, max_fluors=5,
         fm, bf, bnf, bb, af, rp = _gmm_photometries(
             photometries, min_fluors, max_fluors, dpgmm, covariance_type,
             n_init, n_iter, num_fluors, cycle, raw_photometries, lower_bound)
-        all_fits.append((af[0][0], num_fluors))
+        all_fits.append((af[0], num_fluors))
         if bb < best_bic:
             best_fit, best_num_fluors, best_bic, fluor_means = (bf, bnf, bb,
                                                                 fm)
@@ -142,7 +142,7 @@ def _per_cycle_gmm_MP(photometries, min_fluors=1, max_fluors=5, dpgmm=False,
             fm, bf, bnf, bb, af, rp = _gmm_photometries(
                 photometries, min_fluors, max_fluors, dpgmm, covariance_type,
                 n_init, n_iter, num_fluors, cycle, None, lower_bound)
-            all_fits[cycle].append((af[0][0], num_fluors))
+            all_fits[cycle].append((af[0], num_fluors))
             if bb < all_fit_scores[cycle][2]:
                 all_fit_scores[cycle] = [bf, bnf, bb, fm]
     for cycle in list(all_fits):
@@ -247,7 +247,7 @@ def _cluster_fit_2(intensities, max_num_drops=3, zero_level=5000,
             continue
         if single_fluor_max is not None and esfi > single_fluor_max:
             continue
-        std_coeff = [max(math.sqrt(round(m / esfi)), 1.0)
+        std_coeff = [max(math.sqrt(_py2_round(m / esfi)), 1.0)
                      if m > zero_level and m > 0 else 1.0
                      for m in cluster_means]
         clusters = [[intensities[ii]

@@ -97,36 +97,29 @@ def _split_plateau(luminosities, plateau, forbidden_splits=None,
         raise ValueError("plateau start and stop does not fit within "
                          "luminosities")
     forbidden = set(forbidden_splits) if forbidden_splits else set()
-    lum = np.asarray(luminosities, dtype=float)
-    span = float(np.max(lum) - np.min(lum))
-    big = len(lum) * span ** 2
+    span = float(np.max(np.asarray(luminosities, dtype=float)) -
+                 np.min(np.asarray(luminosities, dtype=float)))
+    big = len(luminosities) * span ** 2
     best = (None, big, None, big, 2 * big)
-    # Vectorized split scoring with prefix sums over [start, stop].
-    seg = lum[start:stop + 1]
-    n = seg.size
-    if n >= 2:
-        csum = np.cumsum(seg)
-        csq = np.cumsum(seg ** 2)
-        total_sum, total_sq = csum[-1], csq[-1]
-        ks = np.arange(1, n)          # left segment sizes
-        left_sum = csum[:-1]
-        left_sq = csq[:-1]
-        right_sum = total_sum - left_sum
-        right_sq = total_sq - left_sq
-        left_mean = left_sum / ks
-        right_mean = right_sum / (n - ks)
-        left_res = left_sq - left_sum ** 2 / ks
-        right_res = right_sq - right_sum ** 2 / (n - ks)
-        for i, s in enumerate(range(start, stop)):
-            if (s, s + 1) in forbidden:
-                continue
-            if abs(left_mean[i] - right_mean[i]) < min_step_magnitude:
-                continue
-            total = left_res[i] + right_res[i]
-            if total <= best[4]:  # <= for the flat case, like the reference
-                best = ((start, s, float(left_mean[i])), float(left_res[i]),
-                        (s + 1, stop, float(right_mean[i])),
-                        float(right_res[i]), float(total))
+    # Per-split np.mean / np.sum((seg - mean)**2): the reference's exact
+    # float-op order. A prefix-sum form (left_sq - left_sum^2/k) was
+    # tried and dropped — at photometry magnitudes (~6e4, squared sums
+    # ~1e11) it loses 2-3 digits to cancellation, and near-tied split
+    # candidates under the <=-last-tie-wins rule can then pick a
+    # DIFFERENT split than the reference, diverging the whole
+    # Kerssemakers chain discretely.
+    for s in range(start, stop):
+        if (s, s + 1) in forbidden:
+            continue
+        left = _fit_plateau(luminosities, start, s)
+        right = _fit_plateau(luminosities, s + 1, stop)
+        if abs(left[2] - right[2]) < min_step_magnitude:
+            continue
+        left_res = _plateau_squared_residuals(luminosities, left)
+        right_res = _plateau_squared_residuals(luminosities, right)
+        total = left_res + right_res
+        if total <= best[4]:  # <= for the flat case, like the reference
+            best = (left, left_res, right, right_res, total)
     return best
 
 

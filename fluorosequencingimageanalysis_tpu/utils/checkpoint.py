@@ -23,28 +23,44 @@ import shutil
 import numpy as np
 
 
+def _hash_part(h, part):
+    if isinstance(part, bytes):
+        h.update(b"b"); h.update(part)
+    elif isinstance(part, str):
+        h.update(b"s"); h.update(part.encode("utf-8"))
+    elif isinstance(part, (int, float, bool)) or part is None:
+        h.update(b"n"); h.update(repr(part).encode("utf-8"))
+    elif isinstance(part, np.ndarray):
+        h.update(b"a")
+        h.update(str(part.dtype).encode())
+        h.update(str(part.shape).encode())
+        h.update(np.ascontiguousarray(part).tobytes())
+    elif isinstance(part, dict):
+        # Recurse so nested arrays hash by CONTENT: json.dumps'
+        # default=str would summarize a large ndarray as its truncated
+        # '[0 0 ... 0]' repr, colliding different inputs to one key.
+        h.update(b"d")
+        for k in sorted(part, key=repr):
+            _hash_part(h, repr(k))
+            _hash_part(h, part[k])
+    elif isinstance(part, (list, tuple)):
+        h.update(b"l")
+        h.update(str(len(part)).encode())
+        for item in part:
+            _hash_part(h, item)
+    elif hasattr(part, "__array__"):  # jax.Array and friends
+        _hash_part(h, np.asarray(part))
+    else:
+        h.update(b"r"); h.update(repr(part).encode("utf-8"))
+
+
 def content_key(*parts) -> str:
     """SHA-256 key from heterogeneous inputs: bytes, strings, numbers,
-    dicts/lists (canonical JSON), and numpy arrays (raw bytes + dtype +
-    shape)."""
+    dicts/lists/tuples (recursive, nested arrays by content), and
+    numpy/jax arrays (raw bytes + dtype + shape)."""
     h = hashlib.sha256()
     for part in parts:
-        if isinstance(part, bytes):
-            h.update(b"b"); h.update(part)
-        elif isinstance(part, str):
-            h.update(b"s"); h.update(part.encode("utf-8"))
-        elif isinstance(part, (int, float, bool)) or part is None:
-            h.update(b"n"); h.update(repr(part).encode("utf-8"))
-        elif isinstance(part, np.ndarray):
-            h.update(b"a")
-            h.update(str(part.dtype).encode())
-            h.update(str(part.shape).encode())
-            h.update(np.ascontiguousarray(part).tobytes())
-        elif isinstance(part, (dict, list, tuple)):
-            h.update(b"j")
-            h.update(json.dumps(part, sort_keys=True, default=str).encode())
-        else:
-            h.update(b"r"); h.update(repr(part).encode("utf-8"))
+        _hash_part(h, part)
     return h.hexdigest()[:32]
 
 

@@ -19,12 +19,15 @@ from .imageio import read_image
 
 
 def _histogram_equalization(image, **kwargs):
-    """Histogram-equalize and rescale to 8 bits (pflib.py:749-764)."""
+    """Histogram-equalize and rescale to 8 bits (pflib.py:749-764).
+
+    Tie-aware CDF (skimage.exposure.equalize_hist semantics): EQUAL
+    pixel values must map to the SAME gray level — a rank-based map
+    would smear a flat background across a gradient in raster order."""
     image = np.asarray(image)
     flat = image.ravel()
-    sort_idx = np.argsort(flat, kind="stable")
-    cdf = np.empty_like(flat, dtype=np.float64)
-    cdf[sort_idx] = (np.arange(1, flat.size + 1)) / flat.size
+    sorted_flat = np.sort(flat, kind="stable")
+    cdf = np.searchsorted(sorted_flat, flat, side="right") / flat.size
     eq = cdf.reshape(image.shape)
     return _intensity_scaling(eq)
 

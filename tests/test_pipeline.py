@@ -585,3 +585,32 @@ def test_sextractor_aperture_sums_rejects_out_of_frame():
     with pytest.raises(ValueError, match="inside"):
         sextractor_aperture_sums(arr, np.array([-1]), np.array([10]),
                                  3, 10, 10)
+
+
+def test_content_key_hashes_nested_arrays_by_content():
+    """Arrays nested in containers must hash by CONTENT: the old
+    json-default=str path summarized big arrays as '[0 0 ... 0]',
+    colliding different inputs onto one cache key."""
+    from fluorosequencingimageanalysis_tpu.utils.checkpoint import (
+        content_key)
+
+    a = np.zeros(10000, np.int64)
+    b = a.copy()
+    b[5000] = 7  # hidden inside the '...' of the truncated repr
+    assert content_key({"mask": a}) != content_key({"mask": b})
+    assert content_key({"mask": a}) == content_key({"mask": a.copy()})
+    assert content_key([a, 1]) != content_key([b, 1])
+
+
+def test_histogram_equalization_equal_pixels_equal_output():
+    """equalize_hist semantics: equal input values -> one gray level."""
+    from fluorosequencingimageanalysis_tpu.utils.visualize import (
+        _histogram_equalization)
+
+    rng = np.random.default_rng(0)
+    img = np.full((32, 32), 400, np.uint16)  # flat background
+    img[4:8, 4:8] = 3000
+    out = _histogram_equalization(img)
+    bg = out[img == 400]
+    assert (bg == bg[0]).all()
+    assert (out[img == 3000] > bg[0]).all()
