@@ -596,6 +596,29 @@ def bench_v8(T=100_000, F=12, K=5, beta_sigma=0.2, host_sample=150):
     return T / dt, 1.0 / host_dt
 
 
+def measure_link_bandwidth(mb=32, iters=3):
+    """Host->device upload bandwidth (MB/s) of this session's link.
+
+    The transfer-bound configs (config 4's 134 MB frame upload and the
+    timetrace movie) sit at this link's upload ceiling, and the tunnel's
+    bandwidth swings several-fold between health phases. Reporting the
+    measured link speed alongside those metrics makes runs comparable:
+    fields/s moves with MB/s, not with the compute pipeline."""
+    import jax
+
+    host = np.zeros(mb * 1024 * 1024 // 2, np.uint16)
+    best = float("inf")
+    for i in range(iters + 1):
+        t0 = time.perf_counter()
+        x = jax.device_put(host)
+        np.asarray(x[:1])  # host fetch as the completion barrier
+        dt = time.perf_counter() - t0
+        if i > 0:  # first round pays allocator/program warmup
+            best = min(best, dt)
+        del x
+    return mb / best
+
+
 def main():
     F, C = 8, 4
     stack = make_stack(F, C)
@@ -614,10 +637,17 @@ def main():
     exp_fields_per_sec, n_rows, stages = bench_experiment_tpu(exp_stack)
     cpu_floor_seconds, cpu_ref_est_seconds = bench_experiment_cpu(
         exp_stack[0])
+    link_mbps = measure_link_bandwidth()
+    # What THIS link's upload bandwidth alone permits for this stack
+    # (134 MB of uint16 frames / 32 fields): the config is at its ceiling
+    # when value ~= this number.
+    mb_per_field = exp_stack[0].nbytes / (1024 * 1024)
     print(json.dumps({
         "metric": "experiment_fields_per_sec",
         "value": round(exp_fields_per_sec, 2),
         "unit": "fields/s",
+        "link_MBps": round(link_mbps, 1),
+        "upload_ceiling_fields_per_sec": round(link_mbps / mb_per_field, 2),
         # Conservative measured floor: the CPU stand-in uses OUR
         # vectorized host tracker (50-100x the reference's walk).
         "vs_baseline": round(exp_fields_per_sec * cpu_floor_seconds, 1),
@@ -649,6 +679,7 @@ def main():
         "value": round(tt_tps, 1),
         "unit": "traces/s",
         "vs_baseline": round(tt_tps / tt_host_tps, 1),
+        "link_MBps": round(link_mbps, 1),
         "shape": f"T=24 512x512 movie, {tt_n} traces "
                  "(detect + LC track + photometry + step fits)",
     }))

@@ -1,0 +1,64 @@
+"""Worker process for tests/test_multihost.py (not a pytest module).
+
+Invoked as::
+
+    python multihost_worker.py <process_id> <num_processes> <port> <out.npz>
+                               [<f_local>]
+
+Each worker gets 4 virtual CPU devices, joins the Gloo cluster, contributes
+a deterministic slice of the shared synthetic stack, runs the multi-host
+experiment step, and saves the host-replicated gathered results.
+
+test_multihost.py also imports :func:`synthetic_stack` from here for its
+single-process oracle, so the stack definition cannot drift between the
+two sides; everything process-specific stays inside :func:`main`.
+"""
+
+import os
+import sys
+
+import numpy as np
+
+
+def synthetic_stack(F, C=2, H=64, W=64, seed=0):
+    """Shared by the workers and the in-process oracle — same bits."""
+    rng = np.random.default_rng(seed)
+    stack = rng.normal(100.0, 3.0, (F, C, H, W))
+    hh, ww = np.mgrid[0:5, 0:5]
+    psf = 800.0 * np.exp(-((hh - 2.2) ** 2 + (ww - 2.4) ** 2) / 2.0)
+    for f in range(F):
+        for (h, w) in [(12, 12), (30, 40), (50, 20), (20, 52)]:
+            stack[f, :, h - 2:h + 3, w - 2:w + 3] += psf
+    return stack.astype(np.float32)
+
+
+def main(argv):
+    pid, nproc, port, out_path = (int(argv[1]), int(argv[2]), argv[3],
+                                  argv[4])
+    f_local = int(argv[5]) if len(argv) > 5 else 4
+
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    os.environ["JAX_PLATFORMS"] = "cpu"
+
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from fluorosequencingimageanalysis_tpu.parallel import multihost
+
+    multihost.initialize(coordinator_address=f"127.0.0.1:{port}",
+                         num_processes=nproc, process_id=pid)
+    assert jax.process_count() == nproc
+    assert len(jax.devices()) == 4 * nproc
+
+    full = synthetic_stack(F=f_local * nproc)
+    local = full[pid * f_local:(pid + 1) * f_local]
+    out = multihost.run_experiment_step(
+        local, max_candidates=64, num_iters=20, upsample_factor=5)
+    np.savez(out_path, **{k: np.asarray(v) for k, v in out.items()})
+
+
+if __name__ == "__main__":
+    main(sys.argv)

@@ -1,0 +1,98 @@
+"""Multi-host (multi-process) execution of the sharded experiment step.
+
+Validates the DCN scaling design (parallel/multihost.py): two REAL worker
+processes, each with 4 virtual CPU devices, join one jax.distributed
+cluster (Gloo), contribute disjoint field shards, and run the SAME
+``experiment_step_sharded`` program over the global 8-device mesh. Both
+hosts' gathered results must match each other AND a single-process oracle
+run over the concatenated stack — the multi-host path adds machinery, not
+semantics.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def _run_workers(tmp_path, nproc=2, f_local=4):
+    port = _free_port()
+    worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    outs, procs = [], []
+    for pid in range(nproc):
+        out = str(tmp_path / f"worker_{pid}.npz")
+        outs.append(out)
+        procs.append(subprocess.Popen(
+            [sys.executable, worker, str(pid), str(nproc), str(port), out,
+             str(f_local)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True))
+    logs = []
+    for p in procs:
+        try:
+            stdout, _ = p.communicate(timeout=900)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        logs.append(stdout)
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, f"worker failed:\n{log[-4000:]}"
+    return [dict(np.load(o)) for o in outs]
+
+
+def _oracle(F):
+    import jax.numpy as jnp
+    from multihost_worker import synthetic_stack
+    from fluorosequencingimageanalysis_tpu.parallel.mesh import (
+        experiment_step_sharded, make_mesh)
+    stack = synthetic_stack(F=F)
+    out = experiment_step_sharded(jnp.asarray(stack), make_mesh(1),
+                                  max_candidates=64, num_iters=20,
+                                  upsample_factor=5)
+    return {k: np.asarray(v) for k, v in out.items()}
+
+
+@pytest.mark.slow
+def test_two_process_experiment_step_matches_single_process(tmp_path):
+    results = _run_workers(tmp_path, nproc=2, f_local=4)
+    oracle = _oracle(F=8)
+
+    # Both hosts see the identical replicated global result.
+    for key in results[0]:
+        np.testing.assert_array_equal(results[0][key], results[1][key],
+                                      err_msg=f"hosts disagree on {key}")
+
+    got = results[0]
+    assert got["params"].shape == oracle["params"].shape
+    np.testing.assert_allclose(got["offsets_h"], oracle["offsets_h"],
+                               atol=1e-5)
+    np.testing.assert_allclose(got["params"], oracle["params"],
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(got["keep"], oracle["keep"])
+    np.testing.assert_allclose(got["photometry"], oracle["photometry"],
+                               rtol=1e-4, atol=1e-2)
+
+
+@pytest.mark.slow
+def test_two_process_padding_roundtrip(tmp_path):
+    """F_local=3 forces the data-axis padding path (3 % 4 != 0): padded
+    rows must be dropped and real fields returned in process order."""
+    results = _run_workers(tmp_path, nproc=2, f_local=3)
+    oracle = _oracle(F=6)
+    got = results[0]
+    assert got["params"].shape[0] == 6
+    np.testing.assert_allclose(got["params"], oracle["params"],
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(got["keep"], oracle["keep"])
