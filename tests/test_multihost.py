@@ -24,14 +24,14 @@ def _free_port():
         return s.getsockname()[1]
 
 
-def _run_workers(tmp_path, nproc=2, f_local=4):
+def _run_workers_once(tmp_path, nproc, f_local, attempt):
     port = _free_port()
     worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
     outs, procs = [], []
     for pid in range(nproc):
-        out = str(tmp_path / f"worker_{pid}.npz")
+        out = str(tmp_path / f"worker_{pid}_a{attempt}.npz")
         outs.append(out)
         procs.append(subprocess.Popen(
             [sys.executable, worker, str(pid), str(nproc), str(port), out,
@@ -48,8 +48,21 @@ def _run_workers(tmp_path, nproc=2, f_local=4):
             raise
         logs.append(stdout)
     for p, log in zip(procs, logs):
-        assert p.returncode == 0, f"worker failed:\n{log[-4000:]}"
+        if p.returncode != 0:
+            raise RuntimeError(f"worker failed:\n{log[-4000:]}")
     return [dict(np.load(o)) for o in outs]
+
+
+def _run_workers(tmp_path, nproc=2, f_local=4):
+    # One retry on a fresh port: under a loaded machine the cluster join
+    # can time out, and the bind-then-release port probe can race another
+    # process. A real semantic regression fails both attempts.
+    try:
+        return _run_workers_once(tmp_path, nproc, f_local, attempt=0)
+    except RuntimeError as first:
+        import warnings
+        warnings.warn(f"multihost attempt 0 failed, retrying once: {first}")
+        return _run_workers_once(tmp_path, nproc, f_local, attempt=1)
 
 
 def _oracle(F):
