@@ -53,6 +53,11 @@ def initialize(coordinator_address=None, num_processes=None, process_id=None,
     global _INITIALIZED
     if _INITIALIZED:
         return
+    # Already initialized by the host program (a launcher, another
+    # library): a plain no-op. is_initialized() is safe pre-XLA.
+    if jax.distributed.is_initialized():
+        _INITIALIZED = True
+        return
     # NOTE: no jax.* backend queries before this call — jax.distributed
     # must run before anything initializes XLA (even jax.process_count()).
     try:
@@ -60,8 +65,12 @@ def initialize(coordinator_address=None, num_processes=None, process_id=None,
             coordinator_address=coordinator_address,
             num_processes=num_processes, process_id=process_id,
             local_device_ids=local_device_ids)
-    except RuntimeError as e:  # already initialized by the host program
-        if "already" not in str(e).lower():
+    except ValueError:
+        # Auto-detect found no cluster (jax raises
+        # "coordinator_address should be defined"): on a plain
+        # single-process machine that IS the promised no-op. An explicit
+        # coordinator that fails to parse must still raise.
+        if coordinator_address is not None or num_processes is not None:
             raise
     _INITIALIZED = True
 
@@ -133,6 +142,18 @@ def run_experiment_step(local_fields, mesh=None, gather=True, **step_kwargs):
             f"({nproc}) so every process owns whole data-axis shards")
     share = n_data // nproc
     f_local = local.shape[0]
+    if nproc > 1:
+        # The keep-index math below assumes every process contributed the
+        # SAME field count; a mismatch that still lands on a consistent
+        # global shape would return silently wrong, host-divergent rows.
+        # One tiny DCN allgather turns that into a loud error.
+        from jax.experimental import multihost_utils
+        counts = np.asarray(
+            multihost_utils.process_allgather(np.int64(f_local)))
+        if not (counts == f_local).all():
+            raise ValueError(
+                "run_experiment_step needs the same F_local on every "
+                f"process; got per-process field counts {counts.tolist()}")
     pad = (-f_local) % share
     if pad:
         local = np.concatenate(

@@ -11,6 +11,18 @@ from __future__ import annotations
 import numpy as np
 from scipy.optimize import least_squares
 
+# Planted-spot PSF shared by the image-level closure tests
+# (test_closure_full_stack.py, test_closure_timetrace.py) so the two
+# suites can never drift to different spot models.
+PLANT_SIGMA = 1.3
+
+
+def planted_unit_psf(radius=9, sigma=PLANT_SIGMA):
+    """Unit-amplitude separable Gaussian PSF for rendering planted spots."""
+    d = np.arange(-radius, radius + 1, dtype=np.float64)
+    g = np.exp(-(d ** 2) / (2 * sigma ** 2))
+    return np.outer(g, g)
+
 
 def gauss2d_oracle(params, shape=(5, 5)):
     """Reference-convention 2D Gaussian on index grids (float64 NumPy).

@@ -14,17 +14,10 @@ intensities, and the v8 scorer must decode the fluor counts.
 """
 
 import numpy as np
+from oracles import planted_unit_psf
 
 from fluorosequencingimageanalysis_tpu import Pipeline
 from fluorosequencingimageanalysis_tpu.parallel.mesh import make_mesh
-
-SIGMA = 1.3
-
-
-def _unit_kernel(radius=9):
-    d = np.arange(-radius, radius + 1, dtype=np.float64)
-    g = np.exp(-(d ** 2) / (2 * SIGMA ** 2))
-    return np.outer(g, g)
 
 
 def _render_experiment(rng, F=2, C=6, H=128, W=128, beta=30000.0,
@@ -36,7 +29,7 @@ def _render_experiment(rng, F=2, C=6, H=128, W=128, beta=30000.0,
     (7x7 crown, background cancelled by the brim median) reads the planted
     lognormal intensity exp(log beta + log k + N(0, beta_sigma)).
     """
-    unit = _unit_kernel()
+    unit = planted_unit_psf()
     r = unit.shape[0] // 2
     u_crown = unit[r - 3:r + 4, r - 3:r + 4].sum()
     # Cumulative integer drift per cycle (what registration must recover).

@@ -13,17 +13,10 @@ bleach frame.
 """
 
 import numpy as np
+from oracles import planted_unit_psf
 
 from fluorosequencingimageanalysis_tpu import Pipeline
 from fluorosequencingimageanalysis_tpu.parallel.mesh import make_mesh
-
-SIGMA = 1.3
-
-
-def _unit_kernel(radius=9):
-    d = np.arange(-radius, radius + 1, dtype=np.float64)
-    g = np.exp(-(d ** 2) / (2 * SIGMA ** 2))
-    return np.outer(g, g)
 
 
 def _render_movie(rng, T=72, H=96, W=96, beta=20000.0, noise=8.0):
@@ -33,7 +26,7 @@ def _render_movie(rng, T=72, H=96, W=96, beta=20000.0, noise=8.0):
     known frames; per-frame amplitude is k(t)*beta with 1% multiplicative
     jitter, scaled so the mexican-hat crown reads k(t)*beta.
     """
-    unit = _unit_kernel()
+    unit = planted_unit_psf()
     r = unit.shape[0] // 2
     u_crown = unit[r - 3:r + 4, r - 3:r + 4].sum()
     movie = rng.normal(400.0, noise, (T, H, W))

@@ -29,13 +29,15 @@ def _run_workers_once(tmp_path, nproc, f_local, attempt):
     worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    f_locals = (f_local if isinstance(f_local, (list, tuple))
+                else [f_local] * nproc)
     outs, procs = [], []
     for pid in range(nproc):
         out = str(tmp_path / f"worker_{pid}_a{attempt}.npz")
         outs.append(out)
         procs.append(subprocess.Popen(
             [sys.executable, worker, str(pid), str(nproc), str(port), out,
-             str(f_local)],
+             str(f_locals[pid])],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             text=True))
     logs = []
@@ -59,7 +61,7 @@ def _run_workers(tmp_path, nproc=2, f_local=4):
     # process. A real semantic regression fails both attempts.
     try:
         return _run_workers_once(tmp_path, nproc, f_local, attempt=0)
-    except RuntimeError as first:
+    except (RuntimeError, subprocess.TimeoutExpired) as first:
         import warnings
         warnings.warn(f"multihost attempt 0 failed, retrying once: {first}")
         return _run_workers_once(tmp_path, nproc, f_local, attempt=1)
@@ -109,3 +111,59 @@ def test_two_process_padding_roundtrip(tmp_path):
     np.testing.assert_allclose(got["params"], oracle["params"],
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_array_equal(got["keep"], oracle["keep"])
+
+
+@pytest.mark.slow
+def test_unequal_field_counts_raise(tmp_path):
+    """Unequal F_local across processes must fail LOUDLY (the keep-index
+    math assumes equality; a consistent global shape would otherwise
+    return silently host-divergent rows)."""
+    with pytest.raises(RuntimeError) as exc:
+        _run_workers_once(tmp_path, nproc=2, f_local=[3, 4], attempt=0)
+    assert "same F_local" in str(exc.value), str(exc.value)[-2000:]
+
+
+def test_initialize_single_process_is_noop(tmp_path):
+    """initialize() with no arguments on a machine with no cluster
+    environment must be the documented no-op (jax's auto-detect raises
+    ValueError('coordinator_address should be defined'), which the
+    wrapper absorbs), and a second call must also be a no-op."""
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS",)}
+    env["JAX_PLATFORMS"] = "cpu"
+    code = (
+        "import sys; sys.path.insert(0, sys.argv[1])\n"
+        "from fluorosequencingimageanalysis_tpu.parallel import multihost\n"
+        "multihost.initialize()\n"
+        "multihost.initialize()\n"
+        "import jax\n"
+        "assert jax.process_count() == 1\n"
+        "print('single-process ok')\n")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run([sys.executable, "-c", code, repo],
+                          env=env, capture_output=True, text=True,
+                          timeout=300)
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "single-process ok" in proc.stdout
+
+
+def test_initialize_explicit_bad_coordinator_still_raises():
+    """An explicit-but-broken cluster spec must NOT be swallowed by the
+    single-process fallback."""
+    env = {k: v for k, v in os.environ.items() if k not in ("XLA_FLAGS",)}
+    env["JAX_PLATFORMS"] = "cpu"
+    code = (
+        "import sys; sys.path.insert(0, sys.argv[1])\n"
+        "from fluorosequencingimageanalysis_tpu.parallel import multihost\n"
+        "try:\n"
+        "    multihost.initialize(num_processes=2, process_id=0)\n"
+        "except (ValueError, RuntimeError) as e:\n"
+        "    print('raised', type(e).__name__)\n"
+        "else:\n"
+        "    print('no error')\n")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run([sys.executable, "-c", code, repo],
+                          env=env, capture_output=True, text=True,
+                          timeout=300)
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "raised" in proc.stdout, proc.stdout
