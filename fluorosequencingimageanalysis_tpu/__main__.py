@@ -108,7 +108,8 @@ def _cmd_fluor_counts(args):
     if args.auto_calibrate:
         signals, total, none_count, fit_info, calibration = \
             pipe.fluor_counts_calibrated(
-                args.tracks_csv, channel=args.channel, beta=args.beta,
+                args.tracks_csv, channel=args.channel or "ch1",
+                beta=args.beta,
                 beta_sigma=args.beta_sigma, truncate=args.truncate,
                 ddif=args.ddif, max_possible=args.max_possible,
                 allow_multidrop=not args.no_multidrop,
@@ -119,7 +120,11 @@ def _cmd_fluor_counts(args):
         calibration = None
         signals, total, none_count, fit_info = pipe.fluor_counts(
             args.tracks_csv, beta=args.beta, beta_sigma=args.beta_sigma,
-            alpha_adjust=args.alpha_adjust)
+            alpha_adjust=args.alpha_adjust,
+            # Manual mode honors --channel too: a multi-channel
+            # experiment CSV raises otherwise (one beta cannot apply
+            # across channels), with no other CLI way to restrict it.
+            **({"channels": [args.channel]} if args.channel else {}))
     if args.signals_pkl:
         with open(args.signals_pkl, "wb") as fh:
             pickle.dump(signals, fh)
@@ -465,8 +470,10 @@ def build_parser():
                          "as in the reference)")
     fc.add_argument("--alpha-adjust", type=float, default=0.0,
                     help="(manual mode) subtract this zero level")
-    fc.add_argument("--channel", default="ch1",
-                    help="(auto-calibrate) channel to read from the CSV")
+    fc.add_argument("--channel", default=None,
+                    help="channel to read from the CSV (auto-calibrate "
+                         "default: ch1; manual default: all — required "
+                         "there when the CSV holds multiple channels)")
     fc.add_argument("--truncate", type=int, default=0,
                     help="(auto-calibrate) head-truncate cycles for the "
                          "last-drop beta estimate")

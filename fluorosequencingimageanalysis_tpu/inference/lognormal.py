@@ -170,7 +170,7 @@ def lognormal_fit_v8_from_csv(path, beta, beta_sigma, max_possible=5,
                               max_deviation=3, quench_factors=None,
                               downstep_filtered=False, head_truncate=0,
                               tail_truncate=0, alpha_adjust=0.0,
-                              mesh=None):
+                              channels=None, mesh=None):
     """End-to-end arrays path: track CSV -> batched v8 fit, dict-free.
 
     The reference pipeline is CSV -> photometries dict -> one Pool task per
@@ -180,6 +180,11 @@ def lognormal_fit_v8_from_csv(path, beta, beta_sigma, max_possible=5,
     aggregated output. Falls back to the dict reader when the native parser
     is unavailable.
 
+    ``channels``: optional iterable of channel names to keep — the way to
+    fluor-count one channel of a multi-channel experiment CSV (a single
+    beta/quench calibration cannot apply across channels, so mixed
+    channels raise).
+
     Returns (signals, total_count, none_count, all_fit_info) with the same
     structure as photometries_lognormal_fit_v8.
     """
@@ -187,12 +192,20 @@ def lognormal_fit_v8_from_csv(path, beta, beta_sigma, max_possible=5,
     arrs = read_track_photometries_arrays(
         path, downstep_filtered=downstep_filtered,
         head_truncate=head_truncate, tail_truncate=tail_truncate)
+    if arrs is not None and channels is not None:
+        chans = set(channels)
+        keep = np.asarray([c in chans for c in arrs["channels"]], bool)
+        if not keep.all():
+            arrs = {k: (np.asarray(v)[keep] if not isinstance(v, list)
+                        else [x for x, m in zip(v, keep) if m])
+                    for k, v in arrs.items()}
     if arrs is None:
         from .photometries import (alpha_adjust_photometries,
                                    read_track_photometries_csv)
         photometries, _ = read_track_photometries_csv(
             path, downstep_filtered=downstep_filtered,
-            head_truncate=head_truncate, tail_truncate=tail_truncate)
+            head_truncate=head_truncate, tail_truncate=tail_truncate,
+            channels=list(channels) if channels is not None else None)
         if alpha_adjust:
             photometries = alpha_adjust_photometries(photometries,
                                                      alpha_adjust)

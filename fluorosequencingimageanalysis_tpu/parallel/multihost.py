@@ -68,9 +68,13 @@ def initialize(coordinator_address=None, num_processes=None, process_id=None,
     except ValueError:
         # Auto-detect found no cluster (jax raises
         # "coordinator_address should be defined"): on a plain
-        # single-process machine that IS the promised no-op. An explicit
-        # coordinator that fails to parse must still raise.
-        if coordinator_address is not None or num_processes is not None:
+        # single-process machine that IS the promised no-op. ANY explicit
+        # argument means the caller intended a real cluster (e.g.
+        # process_id given but coordinator_address forgotten) — swallowing
+        # that would silently degrade a multi-host launch into independent
+        # single-process runs with host-divergent results.
+        if (coordinator_address is not None or num_processes is not None
+                or process_id is not None or local_device_ids is not None):
             raise
     _INITIALIZED = True
 

@@ -87,10 +87,15 @@ def _lc_track_scan(movie, trunc0_h, trunc0_w, round0_h, round0_w,
         e_mean = jnp.mean(edge, axis=-1)
         e_std = jnp.std(edge, axis=-1)
         sn = (jnp.max(sl.reshape(sl.shape[0], 25), axis=-1) - e_mean) / e_std
-        good = in_bounds & cand_fits & (sn >= s_n_cutoff)
+        # NaN S/N (flat slice: e_std == 0 and max == mean, e.g. saturated
+        # uint16 regions) KEEPS the candidate, because the host gate is
+        # "fall back if s_n < cutoff" (flexlibrary.py:1247) and NaN < x is
+        # False — so the gate must be ~(sn < cutoff), not (sn >= cutoff).
+        sn_fails = sn < s_n_cutoff
+        good = in_bounds & cand_fits & ~sn_fails
         fb_fits = ((2 <= round_h) & (round_h < H - 2) &
                    (2 <= round_w) & (round_w < W - 2))
-        fallback = in_bounds & cand_fits & (sn < s_n_cutoff) & fb_fits
+        fallback = in_bounds & cand_fits & sn_fails & fb_fits
         present = good | fallback
         rec_h = jnp.where(good, rc_h, jnp.where(fallback, round_h, -1))
         rec_w = jnp.where(good, rc_w, jnp.where(fallback, round_w, -1))

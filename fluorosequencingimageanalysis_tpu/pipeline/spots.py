@@ -245,7 +245,13 @@ class Image:
             hit = cache.get(id(spot))
         if hit is None or hit[0] is not spot:
             radius = self._spot_radius(spot, method, kwargs)
-            return self._host_photometry(spot, method, kwargs, radius)
+            value = self._host_photometry(spot, method, kwargs, radius)
+            # Cache the un-listed spot too (identity-pinned like every
+            # entry): otherwise each repeat query on a spot outside
+            # self.spots would rebuild the FULL batched cache above just
+            # to miss again — N queries costing N whole-image dispatches.
+            cache[id(spot)] = (spot, value)
+            return value
         return hit[1]
 
     def photometry_cache_clear(self):

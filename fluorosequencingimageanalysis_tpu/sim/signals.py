@@ -89,18 +89,22 @@ def random_signal(peptide, p=1.0, b=0.0, u=0.0, windows={}):
         prev_ideal = ideal
         drops.append((ideal + cumulative_delay, acid))
 
+    # Exposure-position sets are per-color constants of this call — build
+    # each once (this function is the Monte-Carlo inner loop; rebuilding
+    # them per drop dominated the pure-Python sampler's profile).
+    exposed = {acid: _exposure_positions(windows[acid]) for acid in windows}
+
     # Head photobleaching: a fluor may instead die at an exposure of its
     # color strictly before its Edman drop.
     for i, (position, acid) in enumerate(drops):
-        exposures = sorted(x for x in _exposure_positions(windows[acid])
-                           if x < position - 1)
+        exposures = sorted(x for x in exposed[acid] if x < position - 1)
         bleach = _sample_bleach_position(exposures, b)
         if bleach is not None:
             drops[i] = (bleach, acid)
 
     # Tail fluors never leave the slide: photobleaching only.
     for acid in windows:
-        exposures = sorted(_exposure_positions(windows[acid]))
+        exposures = sorted(exposed[acid])
         for _ in range(tail.count(acid)):
             bleach = _sample_bleach_position(exposures, b)
             if bleach is not None:
@@ -109,8 +113,8 @@ def random_signal(peptide, p=1.0, b=0.0, u=0.0, windows={}):
     # Windowing: keep drops whose position AND prior position are exposed
     # for their color; dedupe, sort by position.
     observable = {gap for gap in drops
-                  if gap[0] in _exposure_positions(windows[gap[1]])
-                  and gap[0] - 1 in _exposure_positions(windows[gap[1]])}
+                  if gap[0] in exposed[gap[1]]
+                  and gap[0] - 1 in exposed[gap[1]]}
     return tuple(sorted(observable, key=lambda g: g[0]))
 
 

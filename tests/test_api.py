@@ -1,6 +1,7 @@
 """High-level Pipeline facade tests."""
 
 import numpy as np
+import pytest
 
 from fluorosequencingimageanalysis_tpu import Pipeline, PipelineConfig
 from fluorosequencingimageanalysis_tpu.config import StepfitConfig
@@ -178,3 +179,51 @@ def test_run_timetrace_honors_window_radius_config():
     refits = pipe.stepfit(out["photometries"])
     for i, hw in enumerate(zip(out["traces"]["h"], out["traces"]["w"])):
         assert out["step_fits"][hw].trace == refits[i][3], i
+
+
+def test_fluor_counts_csv_channel_filter(tmp_path):
+    """A multi-channel track CSV raises without a channel restriction
+    (one beta cannot calibrate two channels) and fits exactly the
+    selected channel's rows with ``channels=[...]`` — on the native
+    arrays path AND equal to a physically single-channel CSV."""
+    import csv
+    import math
+    rng = np.random.default_rng(7)
+    beta = 30000.0
+
+    def write(path, channels_per_row):
+        with open(path, "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["CHANNEL", "FIELD", "H", "W", "CATEGORY"] +
+                       [f"FRAME {i}" for i in range(4)])
+            for t, ch in enumerate(channels_per_row):
+                seq = (1, 1, 0, 0) if ch == "ch1" else (1, 1, 1, 0)
+                ints = [int(rng.lognormal(math.log(beta), 0.2)) if v
+                        else int(abs(rng.normal(300, 50))) for v in seq]
+                w.writerow([ch, 0, 10 + t, 20,
+                            str(tuple(bool(v) for v in seq))] + ints)
+
+    rows = ["ch1", "ch2"] * 8
+    mixed = str(tmp_path / "mixed.csv")
+    write(mixed, rows)
+    pipe = Pipeline()
+    with pytest.raises(NotImplementedError, match="channels"):
+        pipe.fluor_counts(mixed, beta=beta, beta_sigma=0.2)
+    signals, total, none_count, info = pipe.fluor_counts(
+        mixed, beta=beta, beta_sigma=0.2, channels=["ch1"])
+    assert total == 8
+    assert all(i[0] == "ch1" for i in info)
+
+    # Equal to reading a CSV that only ever contained ch1 (same rng rows).
+    rng = np.random.default_rng(7)
+    write(str(tmp_path / "both.csv"), rows)  # replay the interleaved draws
+    rng = np.random.default_rng(7)
+    only = str(tmp_path / "ch1_only.csv")
+    with open(str(tmp_path / "both.csv")) as src, open(only, "w") as dst:
+        lines = src.read().splitlines(True)
+        dst.write(lines[0])
+        dst.writelines(ln for ln in lines[1:] if ln.startswith("ch1"))
+    signals2, total2, _, info2 = pipe.fluor_counts(
+        only, beta=beta, beta_sigma=0.2)
+    assert total2 == total and signals2 == signals
+    assert [i[:4] for i in info2] == [i[:4] for i in info]

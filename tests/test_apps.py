@@ -712,3 +712,41 @@ def test_module_cli_remainder_correct(tmp_path, monkeypatch):
         rows = list(csv.reader(open(out)))
         assert rows[0][:5] == ["CHANNEL", "FIELD", "H", "W", "CATEGORY"]
         assert len(rows) == 8
+
+
+def test_module_cli_fluor_counts_channel_flag(tmp_path):
+    """Manual-mode fluor-counts honors --channel: a multi-channel track
+    CSV is restricted to the requested channel instead of raising the
+    one-beta-cannot-span-channels error (which it still does without
+    the flag)."""
+    import contextlib
+    import io
+    import json as json_module
+    import math
+    from fluorosequencingimageanalysis_tpu.__main__ import main as cli_main
+
+    rng = np.random.default_rng(9)
+    beta = 30000.0
+    path = str(tmp_path / "tracks.csv")
+    with open(path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["CHANNEL", "FIELD", "H", "W", "CATEGORY"] +
+                   [f"FRAME {i}" for i in range(4)])
+        for t in range(12):
+            ch = "ch1" if t % 2 == 0 else "ch2"
+            seq = (1, 1, 0, 0)
+            ints = [int(rng.lognormal(math.log(beta), 0.2)) if v
+                    else int(abs(rng.normal(300, 50))) for v in seq]
+            w.writerow([ch, 0, 10 + t, 20,
+                        "(True, True, False, False)"] + ints)
+
+    with pytest.raises(NotImplementedError, match="channels"):
+        cli_main(["fluor-counts", path, "--beta", "30000"])
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = cli_main(["fluor-counts", path, "--beta", "30000",
+                       "--channel", "ch1"])
+    assert rc == 0
+    info = json_module.loads(buf.getvalue())
+    assert info["traces"] == 6

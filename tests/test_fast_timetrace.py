@@ -338,3 +338,46 @@ def test_lc_track_mesh_sharded_equals_single_device():
         np.testing.assert_array_equal(x, y, err_msg=name)
         np.testing.assert_array_equal(x, z, err_msg=name + " (device)")
     assert a[2][1:].any()  # tracks actually survived past frame 0
+
+
+def test_run_timetrace_saturated_flat_region_matches_class_path(tmp_path):
+    """NaN S/N must KEEP the candidate, like the host gate. A tracked
+    spot whose 5x5 slice goes exactly flat (saturated camera region:
+    edge std == 0 AND max == mean) makes illumina_s_n 0/0 = NaN; the
+    reference's gate is "fall back if s_n < cutoff" (flexlibrary.py:1247)
+    and NaN < x is False, so the candidate spot survives. The scan
+    tracker's gate must be ~(sn < cutoff) — (sn >= cutoff) silently
+    dropped these frames."""
+    rng = np.random.default_rng(21)
+    T, H, W = 8, 64, 64
+    hh, ww = np.indices((H, W)).astype(np.float32)
+    movie = rng.normal(400.0, 6.0, (T, H, W)).astype(np.float32)
+    for f in range(T):
+        # Interior anchor spot (keeps the experiment non-trivial).
+        movie[f] += 3000 * np.exp(
+            -(((hh - 44.3) ** 2) + ((ww - 44.6) ** 2)) / (2 * 1.3 ** 2))
+        # The test spot: normal in frame 0, saturated-flat neighborhood
+        # afterwards (every pixel the tracker can see is the same value).
+        if f == 0:
+            movie[f] += 3000 * np.exp(
+                -(((hh - 20.2) ** 2) + (
+                    (ww - 20.4) ** 2)) / (2 * 1.3 ** 2))
+        else:
+            movie[f, 8:33, 8:33] = 50000.0
+    header_ref, rows_ref = class_path_csv(movie, tmp_path)
+    out = Pipeline().run_timetrace(movie,
+                                   csv_path=str(tmp_path / "fast.csv"),
+                                   max_candidates=64, chung_kennedy=1)
+    with open(tmp_path / "fast.csv") as fh:
+        reader = csv.reader(fh)
+        header_fast = next(reader)
+        rows_fast = list(reader)
+    _compare_csvs(header_ref, rows_ref, header_fast, rows_fast)
+    # The scenario must actually hit the NaN gate: the flat-region
+    # track stays PRESENT through the saturated frames.
+    h0 = np.asarray(out["traces"]["h"], float)
+    w0 = np.asarray(out["traces"]["w"], float)
+    sat = (np.abs(h0 - 20.2) < 2) & (np.abs(w0 - 20.4) < 2)
+    assert sat.any(), "planted saturated spot was not detected"
+    assert out["traces"]["present"][1:, sat].all(), \
+        "NaN-S/N frames must keep the candidate like the host gate"

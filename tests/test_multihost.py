@@ -167,3 +167,27 @@ def test_initialize_explicit_bad_coordinator_still_raises():
                           timeout=300)
     assert proc.returncode == 0, proc.stdout + proc.stderr
     assert "raised" in proc.stdout, proc.stdout
+
+
+def test_initialize_partial_spec_still_raises():
+    """process_id given WITHOUT coordinator/num_processes is a broken
+    multi-host launch, not a single-process machine: swallowing jax's
+    ValueError here would silently degrade every host to an independent
+    1-process run with host-divergent results."""
+    env = {k: v for k, v in os.environ.items() if k not in ("XLA_FLAGS",)}
+    env["JAX_PLATFORMS"] = "cpu"
+    code = (
+        "import sys; sys.path.insert(0, sys.argv[1])\n"
+        "from fluorosequencingimageanalysis_tpu.parallel import multihost\n"
+        "try:\n"
+        "    multihost.initialize(process_id=0)\n"
+        "except (ValueError, RuntimeError) as e:\n"
+        "    print('raised', type(e).__name__)\n"
+        "else:\n"
+        "    print('no error')\n")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run([sys.executable, "-c", code, repo],
+                          env=env, capture_output=True, text=True,
+                          timeout=300)
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "raised" in proc.stdout, proc.stdout

@@ -614,3 +614,37 @@ def test_histogram_equalization_equal_pixels_equal_output():
     bg = out[img == 400]
     assert (bg == bg[0]).all()
     assert (out[img == 3000] > bg[0]).all()
+
+
+def test_unlisted_spot_photometry_cached(monkeypatch):
+    """A spot NOT in image.spots must not rebuild the full batched
+    photometry cache on every repeat query (regression: each call paid a
+    whole-image device dispatch just to miss again). The host value is
+    cached identity-pinned like listed entries."""
+    rng = np.random.default_rng(4)
+    img_arr = _frame_with_spots(rng, [(20, 20), (40, 45)])
+    image = Image(image=img_arr)
+    for (h, w) in [(20, 20), (40, 45)]:
+        image.spots.append(Spot(image, h, w, 5))
+    foreign = Spot(image, 30, 30, 5)  # never appended to image.spots
+
+    calls = {"n": 0}
+    real = Image._compute_photometries
+
+    def counting(self, method, kwargs):
+        calls["n"] += 1
+        return real(self, method, kwargs)
+
+    monkeypatch.setattr(Image, "_compute_photometries", counting)
+    v1 = foreign.photometry(method="mexican_hat")
+    v2 = foreign.photometry(method="mexican_hat")
+    assert v1 == v2
+    assert calls["n"] == 1, "repeat foreign queries must hit the cache"
+    ref = _mexican_hat_oracle(img_arr.astype(np.float64), 30, 30)
+    np.testing.assert_allclose(v1, ref, rtol=1e-5)
+    # Listed spots still served from the same rebuilt cache.
+    v_listed = image.spots[0].photometry(method="mexican_hat")
+    assert calls["n"] == 1
+    np.testing.assert_allclose(
+        v_listed, _mexican_hat_oracle(img_arr.astype(np.float64), 20, 20),
+        rtol=1e-5)
