@@ -1038,6 +1038,23 @@ class Pipeline:
                        "original_beta_sigma": float(original_bs)}
         return signals, total, none_count, fit_info, calibration
 
+    def per_cycle_gmm(self, photometries, min_fluors=1, max_fluors=5,
+                      n_init=10, n_iter=100, cycles=None, lower_bound=None,
+                      seed=0):
+        """BIC-selected per-cycle intensity GMMs, every (cycle,
+        component-count, restart) model fitted in ONE batched device
+        program (ops/gmm_batch.py) — the TPU-native form of the
+        reference's nested Pool fan-out (_per_cycle_gmm_MP,
+        MCsimlib.py:3307-3375). Returns (all_fit_scores, all_fits,
+        raw_photometries) in the reference's structure, with
+        BatchedGMM1D fits (means_/covars_/weights_/bic)."""
+        from .inference.gmm import per_cycle_gmm_batched
+        with self._stage("api/per_cycle_gmm"):
+            return per_cycle_gmm_batched(
+                photometries, min_fluors=min_fluors, max_fluors=max_fluors,
+                n_init=n_init, n_iter=n_iter, cycles=cycles,
+                lower_bound=lower_bound, seed=seed, mesh=self.mesh)
+
     # -- simulation ----------------------------------------------------------
 
     def simulate_signals(self, peptides, p, b, u, windows, sample_size=100,

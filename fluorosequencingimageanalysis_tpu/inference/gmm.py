@@ -173,6 +173,173 @@ def _gmm_adjust(photometries, mu_zero, sigma_zero, mu_one, sigma_one,
     return out, coeffs
 
 
+class BatchedGMM1D:
+    """One fitted 1D mixture from the batched device EM, with the
+    sklearn-facing surface the reference code consumes (means_, covars_,
+    weights_, bic/aic/score/predict).
+
+    The reference passes old-sklearn GMM objects around after fitting
+    (MCsimlib.py:3251 returns means_, jupyter_development reads
+    means_/covars_/weights_); this is the same contract over plain numpy
+    — scoring is exact mixture math, no refit."""
+
+    def __init__(self, weights, means, variances, loglik, n_samples):
+        k = len(weights)
+        self.weights_ = np.asarray(weights, np.float64)
+        self.means_ = np.asarray(means, np.float64).reshape(k, 1)
+        self.covariances_ = np.asarray(variances, np.float64)
+        self.covars_ = self.covariances_  # old-sklearn alias
+        self.n_components = k
+        self._loglik = float(loglik)
+        self._n_samples = int(n_samples)
+
+    def _n_parameters(self):
+        # Full-covariance 1D mixture: k means + k variances + k-1 weights
+        # (sklearn GaussianMixture._n_parameters).
+        return 3 * self.n_components - 1
+
+    def score_samples(self, X):
+        x = np.asarray(X, np.float64).reshape(-1, 1)
+        var = self.covariances_.reshape(1, -1)
+        logp = (np.log(np.maximum(self.weights_, 1e-300)).reshape(1, -1)
+                - 0.5 * (np.log(2 * np.pi * var)
+                         + (x - self.means_.reshape(1, -1)) ** 2 / var))
+        m = logp.max(axis=1, keepdims=True)
+        return (m + np.log(np.exp(logp - m).sum(axis=1, keepdims=True)))[:, 0]
+
+    def score(self, X):
+        return float(np.mean(self.score_samples(X)))
+
+    def predict(self, X):
+        x = np.asarray(X, np.float64).reshape(-1, 1)
+        var = self.covariances_.reshape(1, -1)
+        logp = (np.log(np.maximum(self.weights_, 1e-300)).reshape(1, -1)
+                - 0.5 * (np.log(2 * np.pi * var)
+                         + (x - self.means_.reshape(1, -1)) ** 2 / var))
+        return logp.argmax(axis=1)
+
+    def bic(self, X):
+        X = np.asarray(X)
+        return (-2.0 * self.score(X) * X.shape[0]
+                + self._n_parameters() * np.log(X.shape[0]))
+
+    def aic(self, X):
+        X = np.asarray(X)
+        return -2.0 * self.score(X) * X.shape[0] + 2 * self._n_parameters()
+
+
+def _collect_raw(photometries, cycle):
+    return [intensity
+            for channel, cdict in photometries.items()
+            for field, fdict in cdict.items()
+            for (h, w), (category, intensities, row) in fdict.items()
+            for i, intensity in enumerate(intensities)
+            if cycle is None or i == cycle]
+
+
+def gmm_photometries_batched(photometries, min_fluors=1, max_fluors=5,
+                             covariance_type="full", n_init=10, n_iter=100,
+                             force_num_fluors=None, cycle=None,
+                             raw_photometries=None, lower_bound=None,
+                             seed=0, mesh=None):
+    """TPU-native _gmm_photometries: every (num_fluors, restart) model of
+    the BIC selection fits in ONE batched device program
+    (ops/gmm_batch.py) instead of the reference's one-GMM-per-Pool-task
+    loop (MCsimlib.py:3209-3304). Same return contract:
+    (fluor_means, best_fit, best_num_fluors, best_bic, all_fits, raw)
+    with BatchedGMM1D standing in for the sklearn estimator.
+    dpgmm (BayesianGaussianMixture) stays on the sklearn path
+    (_gmm_photometries) — it is not an EM-batchable model."""
+    if raw_photometries is None and len(photometries) > 1:
+        raise NotImplementedError("Currently puts all photometries together, "
+                                  "can't handle multiple channels at once.")
+    if covariance_type != "full":
+        raise ValueError("batched GMM fits 1D full covariances; got "
+                         + str(covariance_type))
+    if force_num_fluors is not None:
+        min_fluors = max_fluors = force_num_fluors
+    if raw_photometries is None:
+        raw_photometries = _collect_raw(photometries, cycle)
+    else:
+        raw_photometries = list(raw_photometries)
+    if lower_bound is not None:
+        raw = np.array([[p] for p in raw_photometries if p >= lower_bound])
+    else:
+        raw = np.array([[p] for p in raw_photometries])
+
+    from ..ops.gmm_batch import gmm_fit_batched
+    nfs = list(range(min_fluors, max_fluors + 1))
+    res = gmm_fit_batched([raw[:, 0]], ks=[nf + 1 for nf in nfs],
+                          n_init=n_init, n_iter=n_iter, seed=seed,
+                          mesh=mesh)
+    all_fits = []
+    best_fit, best_num_fluors, best_bic = None, None, 10 ** 10
+    for j, nf in enumerate(nfs):
+        k = nf + 1
+        fit = BatchedGMM1D(res["weights"][0, j, :k], res["means"][0, j, :k],
+                           res["vars"][0, j, :k], res["loglik"][0, j],
+                           res["counts"][0])
+        bic = float(res["bic"][0, j])
+        all_fits.append((fit, bic))
+        if bic < best_bic:
+            best_fit, best_num_fluors, best_bic = fit, nf, bic
+    fluor_means = [x for x in best_fit.means_]
+    return (fluor_means, best_fit, best_num_fluors, best_bic, all_fits, raw)
+
+
+def per_cycle_gmm_batched(photometries, min_fluors=1, max_fluors=5,
+                          covariance_type="full", n_init=10, n_iter=100,
+                          cycles=None, lower_bound=None, seed=0, mesh=None):
+    """TPU-native _per_cycle_gmm_MP: ALL cycles x component counts x
+    restarts fit as one device program — the reference's nested Pool
+    fan-out (MCsimlib.py:3307-3375) collapsed to a single dispatch.
+    Same return contract: (all_fit_scores, all_fits, raw_photometries)
+    keyed by cycle, with BatchedGMM1D fits."""
+    if len(photometries) > 1:
+        raise NotImplementedError("Currently puts all photometries together, "
+                                  "can't handle multiple channels at once.")
+    if covariance_type != "full":
+        raise ValueError("batched GMM fits 1D full covariances; got "
+                         + str(covariance_type))
+    if cycles is None:
+        cdict = next(iter(photometries.values()))
+        fdict = next(iter(cdict.values()))
+        category, intensities, row = next(iter(fdict.values()))
+        cycles = tuple(range(len(intensities)))
+    raw_photometries = {cycle: np.array(_collect_raw(photometries, cycle))
+                        for cycle in cycles}
+    groups = []
+    for cycle in cycles:
+        arr = raw_photometries[cycle]
+        groups.append(arr[arr >= lower_bound] if lower_bound is not None
+                      else arr)
+
+    from ..ops.gmm_batch import gmm_fit_batched
+    nfs = list(range(min_fluors, max_fluors + 1))
+    res = gmm_fit_batched(groups, ks=[nf + 1 for nf in nfs], n_init=n_init,
+                          n_iter=n_iter, seed=seed, mesh=mesh)
+    all_fits = {}
+    all_fit_scores = {}
+    for g, cycle in enumerate(cycles):
+        fits = []
+        best = (None, None, 10 ** 10, None)
+        for j, nf in enumerate(nfs):
+            k = nf + 1
+            fit = BatchedGMM1D(res["weights"][g, j, :k],
+                               res["means"][g, j, :k],
+                               res["vars"][g, j, :k],
+                               res["loglik"][g, j], res["counts"][g])
+            fits.append(fit)
+            bic = float(res["bic"][g, j])
+            if bic < best[2]:
+                best = (fit, nf, bic, [x for x in fit.means_])
+        all_fits[cycle] = tuple(fits)
+        all_fit_scores[cycle] = (
+            best[0], best[1], best[2],
+            tuple(sorted(best[3], key=lambda m: float(np.ravel(m)[0]))))
+    return all_fit_scores, all_fits, raw_photometries
+
+
 def _cluster_fit(intensities, max_num_drops=3, zero_level=5000,
                  integer_deviation=1.4, **kwargs):
     """Unusable in the reference (MCsimlib.py:2723-2725)."""
