@@ -18,7 +18,6 @@ from __future__ import annotations
 
 import ctypes
 import os
-import subprocess
 import threading
 
 import numpy as np
@@ -33,19 +32,8 @@ _load_failed = False
 
 
 def _build() -> bool:
-    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-           _SRC, "-o", _SO]
-    try:
-        subprocess.run(cmd, check=True, capture_output=True, timeout=300)
-        return True
-    except Exception:
-        try:  # portable fallback without -march=native
-            subprocess.run(["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-                            _SRC, "-o", _SO],
-                           check=True, capture_output=True, timeout=300)
-            return True
-        except Exception:
-            return False
+    from ._build import build_shared
+    return build_shared(_SRC, _SO, [["-O3", "-march=native"], ["-O3"]])
 
 
 def _load():

@@ -11,7 +11,6 @@ from __future__ import annotations
 
 import ctypes
 import os
-import subprocess
 import threading
 
 import numpy as np
@@ -26,15 +25,8 @@ _load_failed = False
 
 
 def _build() -> bool:
-    for flags in (["-O3", "-march=native"], ["-O2"]):
-        try:
-            subprocess.run(["g++", *flags, "-shared", "-fPIC", "-std=c++17",
-                            _SRC, "-o", _SO],
-                           check=True, capture_output=True, timeout=300)
-            return True
-        except Exception:
-            continue
-    return False
+    from ._build import build_shared
+    return build_shared(_SRC, _SO, [["-O3", "-march=native"], ["-O2"]])
 
 
 def _load():

@@ -10,7 +10,6 @@ from __future__ import annotations
 
 import ctypes
 import os
-import subprocess
 import threading
 
 import numpy as np
@@ -25,15 +24,8 @@ _load_failed = False
 
 
 def _build() -> bool:
-    for extra in (["-march=native"], []):
-        cmd = (["g++", "-O3"] + extra +
-               ["-shared", "-fPIC", "-std=c++17", _SRC, "-o", _SO])
-        try:
-            subprocess.run(cmd, check=True, capture_output=True, timeout=300)
-            return True
-        except Exception:
-            continue
-    return False
+    from ._build import build_shared
+    return build_shared(_SRC, _SO, [["-O3", "-march=native"], ["-O3"]])
 
 
 def _load():

@@ -46,6 +46,11 @@ def chung_kennedy_batch(traces, window_lengths=(2, 4, 8, 16), M=10, p=2):
     """
     lum = jnp.asarray(traces)
     N, T = lum.shape
+    if T <= 2:
+        # Same loud error as the host chain (stepfitting.py:417 /
+        # stepfitting_library.py:1130): with <= 2 frames the one-sided
+        # predictors would silently swap the two samples instead.
+        raise ValueError("luminosities must have len(luminosities) > 2")
     L = jnp.arange(T)
     # Exclusive prefix sums: c[:, i] = sum(lum[:, :i]).
     c = jnp.concatenate([jnp.zeros((N, 1), lum.dtype),
@@ -142,6 +147,14 @@ def sliding_t_masks(traces, window_radius=6, p_threshold=0.001):
     seq = jnp.asarray(traces)
     N, T = seq.shape
     f = jnp.arange(T)
+    # Center each trace before the cumulative sums: Welch's t is
+    # shift-invariant, but the (sum_sq - sum^2/n) variance form is NOT
+    # numerically — at real photometry magnitudes (DC ~6e4, steps ~1e3)
+    # the f32 cumsum-of-squares cancels catastrophically and flips
+    # borderline step bits vs the float64 host chain (stepfitting.py
+    # rejects the same form on float64 for the same reason). Centered,
+    # the squares are O(step^2) and the masks match the host exactly.
+    seq = seq - jnp.mean(seq, axis=1, keepdims=True)
     c = jnp.concatenate([jnp.zeros((N, 1), seq.dtype),
                          jnp.cumsum(seq, axis=1)], axis=1)
     c2 = jnp.concatenate([jnp.zeros((N, 1), seq.dtype),

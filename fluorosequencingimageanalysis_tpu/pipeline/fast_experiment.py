@@ -44,6 +44,20 @@ import numpy as np
 from ..utils.rounding import py2_round
 from .tracking import accumulate_offsets, _py2_round_array as _py2_round_arr
 
+# Composite (image, rh, rw) -> collision-free int64 key. The shift keeps
+# quirk-kept negative/out-of-frame coordinates positive (|rh|, |rw| <
+# 2^20) and img * M * M stays below 2^63. The psfs-dict builder
+# (_spot_lists) and the present-frame value lookup (_lookup_spot_values)
+# MUST pack identically for searchsorted resolution to hold — hence one
+# shared helper.
+_KEY_SHIFT = np.int64(1 << 20)
+_KEY_M = np.int64(1 << 21)
+
+
+def _pack_spot_keys(img, rh, rw):
+    img = np.asarray(img, np.int64)
+    return (img * _KEY_M + (rh + _KEY_SHIFT)) * _KEY_M + (rw + _KEY_SHIFT)
+
 
 def _spot_lists(out, F, C, H, W, spot_size=5, with_values=False):
     """Device-step outputs -> per-(field, cycle) integer spot arrays.
@@ -98,11 +112,8 @@ def _spot_lists(out, F, C, H, W, spot_size=5, with_values=False):
     # psfs-dict setdefault FIRST: the first candidate wins a shared
     # (rh, rw) key within its image — and keys are (rh, rw) pairs, never
     # flattened mod W (a flat rh*W+rw key aliases when a quirk-kept
-    # spot's rw falls outside [0, W)). The composite below is exact:
-    # |rh|, |rw| < 2^20 (SHIFT keeps them positive) and img*M*M < 2^63.
-    SHIFT = np.int64(1 << 20)
-    M = np.int64(1 << 21)
-    key = (img * M + (rh + SHIFT)) * M + (rw + SHIFT)
+    # spot's rw falls outside [0, W)).
+    key = _pack_spot_keys(img, rh, rw)
     # np.unique(return_index) yields each key's FIRST occurrence in
     # array order == first in candidate order within its image.
     _, first = np.unique(key, return_index=True)
@@ -130,16 +141,20 @@ def _spot_lists(out, F, C, H, W, spot_size=5, with_values=False):
 
 
 def _link_field(rh_by_cycle, rw_by_cycle, frame_shape, offsets,
-                candidate_radius=2):
+                candidate_radius=2, cum=None):
     """Native greedy linking + vectorized trace assembly for one field.
 
+    ``cum``: optional precomputed accumulate_offsets(offsets) (callers
+    that already hold it avoid the recompute; ``offsets`` is still
+    needed for the pure-python fallback tracker).
     Returns (pos (T, C, 2) int64, present (T, C) bool) with traces ordered
     like the reference's extraction walk (head frame, then bin raster).
     """
     from ..native.tracklink import greedy_link, have_native
 
     C = len(rh_by_cycle)
-    cum = np.asarray(accumulate_offsets(offsets), dtype=np.float64)
+    if cum is None:
+        cum = np.asarray(accumulate_offsets(offsets), dtype=np.float64)
     H, W = frame_shape
     # Discard dropouts BEFORE linking, like greedy_particle_tracking /
     # the class path (discard_dropouts, flexlibrary.py:625-677): a spot
@@ -153,8 +168,14 @@ def _link_field(rh_by_cycle, rw_by_cycle, frame_shape, offsets,
         rh, rw = rh_by_cycle[c], rw_by_cycle[c]
         if len(rh) == 0:
             continue
-        gh = rh[:, None] + (cum[c, 0] - cum[:, 0])[None, :]   # (n, C)
-        gw = rw[:, None] + (cum[c, 1] - cum[:, 1])[None, :]
+        # Float op order IS the spec: the reference computes
+        # (h + spot_offset) first, THEN subtracts each frame offset
+        # (apply_offset -> unapply_offset, flexlibrary.py:658-664), and
+        # tracking.discard_dropouts vectorizes that same grouping. A
+        # knife-edge spot within 1 ulp of a bound can otherwise be kept
+        # by one path and dropped by the other.
+        gh = (rh[:, None] + cum[c, 0]) - cum[:, 0][None, :]   # (n, C)
+        gw = (rw[:, None] + cum[c, 1]) - cum[:, 1][None, :]
         ok = ((gh >= 0) & (gh < H - 0.5) &
               (gw >= 0) & (gw < W - 0.5)).all(axis=1)
         if not ok.all():
@@ -349,8 +370,6 @@ def _lookup_spot_values(rhs, rws, vals, C, field_of, pos, cats, default):
     quirk-kept spots with negative/out-of-frame coordinates still form
     valid keys (flat rh*W+rw keys would alias).
     """
-    SHIFT = np.int64(1 << 20)
-    M = np.int64(1 << 21)
     F = len(rhs)
     skeys, svals = [], []
     for f in range(F):
@@ -358,8 +377,7 @@ def _lookup_spot_values(rhs, rws, vals, C, field_of, pos, cats, default):
             rh = rhs[f][c]
             if len(rh) == 0:
                 continue
-            key = ((np.int64(f * C + c) * M + (rh + SHIFT)) * M
-                   + (rws[f][c] + SHIFT))
+            key = _pack_spot_keys(f * C + c, rh, rws[f][c])
             skeys.append(key)
             svals.append(np.asarray(vals[f][c], np.float64))
     out = np.full(pos.shape[:2], default, np.float64)
@@ -370,8 +388,7 @@ def _lookup_spot_values(rhs, rws, vals, C, field_of, pos, cats, default):
     order = np.argsort(skeys)
     skeys, svals = skeys[order], svals[order]
     img_of = (field_of[:, None] * C + np.arange(C)[None, :]).astype(np.int64)
-    qkey = ((img_of * M + (pos[:, :, 0] + SHIFT)) * M
-            + (pos[:, :, 1] + SHIFT))
+    qkey = _pack_spot_keys(img_of, pos[:, :, 0], pos[:, :, 1])
     qi = np.clip(np.searchsorted(skeys, qkey), 0, len(skeys) - 1)
     hit = cats & (skeys[qi] == qkey)
     if not np.array_equal(hit, cats):  # every present position must match
@@ -439,8 +456,6 @@ def run_experiment_stack(stack, offsets_h, offsets_w, spot_arrays,
     Returns a list of per-field row lists, each row (category, h0, w0,
     photometries (C,)) in reference order.
     """
-    import jax.numpy as jnp
-
     if photometry_method not in FAST_PHOTOMETRY_METHODS:
         raise ValueError(
             "run_experiment supports photometry methods "
@@ -463,7 +478,7 @@ def run_experiment_stack(stack, offsets_h, offsets_w, spot_arrays,
                 for c in range(C)]
         cum = np.asarray(accumulate_offsets(offs), dtype=np.float64)
         pos, present = _link_field(rhs[f], rws[f], (H, W), offs,
-                                   candidate_radius)
+                                   candidate_radius, cum=cum)
         filled, valid = _fill_traces(pos, present, cum, (H, W),
                                      photometry_radius=window_radius)
         all_pos.append(filled[valid])

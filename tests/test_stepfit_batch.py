@@ -246,3 +246,42 @@ def test_stepfit_postpass_rejects_frame0_step():
     mask[1, 0] = 1
     with pytest.raises(ValueError, match="frame 0"):
         stepchain.stepfit_postpass(raw, mask, 0.01, 0)
+
+
+def test_sliding_t_masks_f32_high_dc_matches_host():
+    """Regression: the (sum_sq - sum^2/n) window variance from float32
+    cumsums cancels catastrophically at real photometry magnitudes
+    (DC ~6e4, steps ~1e3), flipping borderline step bits vs the float64
+    host chain. Centering each trace before the cumulative sums (Welch's
+    t is shift-invariant) must make the f32 masks match the host's
+    p-values exactly on this confirmed-failing workload."""
+    import jax.numpy as jnp
+    from fluorosequencingimageanalysis_tpu import stepfitting as sf
+    from fluorosequencingimageanalysis_tpu.ops.stepfit_batch import (
+        sliding_t_masks)
+
+    rng = np.random.default_rng(17)
+    N, T, radius = 300, 60, 5
+    base = 60000.0
+    traces = np.full((N, T), base) + rng.normal(0, 700.0, (N, T))
+    traces[:, T // 2:] -= 1200.0  # borderline step at p ~ 0.01
+    traces_f32 = traces.astype(np.float32)
+
+    masks = np.asarray(sliding_t_masks(jnp.asarray(traces_f32),
+                                       window_radius=radius + 1,
+                                       p_threshold=0.01))
+    # Host oracle mask, same f32-rounded data (the dtype the device
+    # sees), float64 math like the reference chain.
+    seq = traces_f32.astype(np.float64)
+    mismatches = 0
+    for i in range(N):
+        for f in range(T):
+            left = seq[i, max(f - radius, 0):f]
+            right = seq[i, f:f + radius]
+            if len(left) < radius:
+                want = False
+            else:
+                _, p = sf._welch_t(list(left), list(right))
+                want = p < 0.01
+            mismatches += want != bool(masks[i, f])
+    assert mismatches == 0, f"{mismatches} mask bits differ from host"
