@@ -107,7 +107,12 @@ def detect_and_fit_batch(images, median_filter_size=5,
     center_h = params[:, :, 2] + hs.astype(params.dtype) - 2.5
     center_w = params[:, :, 3] + ws.astype(params.dtype) - 2.5
 
-    passed = valid & (r2 >= r_2_threshold)
+    # ~(r2 < thr), NOT (r2 >= thr): the reference's gate is "discard if
+    # r_2 < threshold" (pflib.py:465-467), and a NaN R^2 (flat saturated
+    # patch: ss_tot == ss_res == 0) fails that comparison — the fit is
+    # KEPT. consolidate treats NaN scores deterministically (never beaten,
+    # never beating), matching the isolated-spot reference outcome.
+    passed = valid & ~(r2 < r_2_threshold)
     keep = jax.vmap(
         lambda ch, cw, r, p: consolidate(ch, cw, r, p,
                                          radius=consolidation_radius))(
@@ -261,6 +266,10 @@ def find_peptide_centers(image, median_filter_size=5, c_std=2.0,
     fetch. Returns (h0, w0, fits, count): float centers and 7-tuple fits
     (h_0, w_0, H, A, sigma_h, sigma_w, theta — indices 0-6 of the psfs
     tuple) per unique rounded key, plus the true candidate count."""
+    if consolidation_radius < 2:
+        # find_peptides / reference guard (pflib.py:431-432): key-
+        # uniqueness of the rounded-center dedup requires radius >= 2.
+        raise ValueError("consolidation_radius must be at least 2")
     image = jnp.asarray(image)
     if image.dtype != jnp.float32:
         image = image.astype(jnp.float32)  # raw camera dtypes cast on device
@@ -315,8 +324,13 @@ def _psfs_from_arrays(image, idx, params, center_h, center_w, rm, r2, sn,
         bucket = pow2_bucket(n, 1 << 20)
         if bucket != n:
             pp = np.concatenate([pp, np.ones((bucket - n, 7), pp.dtype)])
-        fit_imgs = np.asarray(
-            _fit_images_jit(jnp.asarray(pp, jnp.float64)))[:n]
+        # Honest dtype request: without x64 jax silently canonicalizes a
+        # float64 ask down to float32, so the tested configuration
+        # (conftest enables x64) would differ from production. Same
+        # pattern as ops/registration.py:124.
+        dt = (jnp.float64 if jax.config.read("jax_enable_x64")
+              else jnp.float32)
+        fit_imgs = np.asarray(_fit_images_jit(jnp.asarray(pp, dt)))[:n]
     for j, i in enumerate(idx):
         h, w = int(cand_h[i]), int(cand_w[i])
         sub_img = image[h - 2:h + 3, w - 2:w + 3].astype(np.int64)
@@ -354,6 +368,11 @@ def find_peptides_batch(images, median_filter_size=5, correlation_matrix=None,
     """
     import jax
     from ..ops.candidates import resolve_gather_strategy
+    if consolidation_radius < 2:
+        # Same guard as find_peptides / the reference (pflib.py:431-432):
+        # below 2 the rounded-key-uniqueness invariant of the psfs dict
+        # no longer holds, and the dedup would silently drop spots.
+        raise ValueError("consolidation_radius must be at least 2")
     images = np.asarray(images)
     if use_pallas is None:
         use_pallas = jax.default_backend() in ("tpu", "axon")
@@ -494,7 +513,9 @@ def _detect_and_fit_monte_carlo(image, median_filter_size=5,
 
     center_h = params[:, 2] + hs.astype(dt) - 2.5
     center_w = params[:, 3] + ws.astype(dt) - 2.5
-    passed = valid & (r2 >= r_2_threshold)
+    # ~(r2 < thr): NaN R^2 is KEPT, like the reference's discard-if-less
+    # gate (pflib.py:465-467) — see detect_and_fit_batch.
+    passed = valid & ~(r2 < r_2_threshold)
     # Candidate-window gate matters HERE: MC centers drift up to
     # ~2.5 px, so center distance alone could compare fits the reference
     # never pits against each other (pflib.py:491-495).

@@ -49,15 +49,23 @@ class HashableArray:
 
 
 def median_filter_2d(image, size: int):
-    """Square median filter with scipy-'reflect' (jnp 'symmetric') boundary."""
-    r_lo = (size - 1) // 2
-    r_hi = size // 2
+    """Square median filter with scipy-'reflect' (jnp 'symmetric') boundary.
+
+    Even sizes follow scipy.ndimage.median_filter exactly — the
+    reference calls it directly (pflib.py:244) — which means TWO
+    conventions beyond the naive form: the extra tap sits on the
+    NEGATIVE side (window offsets -(size//2) .. size//2 - 1), and the
+    "median" is scipy's rank filter at rank n//2 (the UPPER median of an
+    even-count window, not the middle-two average). For odd sizes both
+    reduce to the ordinary centered median."""
+    r_lo = size // 2
+    r_hi = (size - 1) // 2
     padded = jnp.pad(image, ((r_lo, r_hi), (r_lo, r_hi)), mode="symmetric")
     h, w = image.shape
     views = [padded[i:i + h, j:j + w]
              for i in range(size) for j in range(size)]
     stacked = jnp.stack(views, axis=0)
-    return jnp.median(stacked, axis=0)
+    return jnp.sort(stacked, axis=0)[(size * size) // 2]
 
 
 def correlate_2d_same(image, kernel):

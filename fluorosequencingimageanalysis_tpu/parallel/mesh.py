@@ -95,6 +95,13 @@ def experiment_step_sharded(stack, mesh, median_filter_size=5, c_std=2.0,
                      never silently: check spot_overflow)
       spot_overflow: [F, C] bool, spot_count > max_spots
       photometry:    [F, C, S] photometries at the kept spots
+      photometry_interior: [F, C, S] bool — False where the spot sits
+                     within the photometry window radius of the frame
+                     border, so the static-shape kernel measured a
+                     CLIPPED (shifted) window instead of the
+                     reference's in-place truncation; re-measure those
+                     on host (ops.photometry.*_host) if exact edge
+                     values matter
     """
     from ..models.detect import detect_and_fit_batch
     from ..ops.registration import phase_correlate_stack
@@ -166,7 +173,7 @@ def experiment_step_sharded(stack, mesh, median_filter_size=5, c_std=2.0,
     # cand_count contract — no silent truncation.
     if max_spots is None:
         # Never above max_candidates: top_k(k > n) is an invalid program.
-        max_spots = min(max(min(max_candidates, 512), 8), max_candidates)
+        max_spots = min(max_candidates, 512)
     elif max_spots > max_candidates:
         raise ValueError(
             f"max_spots={max_spots} exceeds max_candidates="
@@ -174,7 +181,13 @@ def experiment_step_sharded(stack, mesh, median_filter_size=5, c_std=2.0,
             "bucket, so it can never hold more entries")
     keep_flat = keep.reshape(F * C, max_candidates)
     spot_count = jnp.sum(keep_flat, axis=-1, dtype=jnp.int32)
-    score = jnp.where(keep_flat, res.r2.reshape(F * C, -1), -jnp.inf)
+    # NaN R^2 fits are KEPT by the reference's gate (saturated-flat
+    # patches; models/detect.py) — rank them below every finite R^2 in
+    # the bucket (a deterministic order; NaN inside top_k would both
+    # poison the sort and read as invalid under the > -inf test).
+    r2_flat = res.r2.reshape(F * C, -1)
+    r2_rank = jnp.where(jnp.isnan(r2_flat), -jnp.inf, r2_flat)
+    score = jnp.where(keep_flat, jnp.maximum(r2_rank, -1e30), -jnp.inf)
     top_score, top_idx = jax.lax.top_k(score, max_spots)
     spot_valid = top_score > -jnp.inf
     ch_flat = res.center_h.reshape(F * C, -1)
@@ -187,18 +200,11 @@ def experiment_step_sharded(stack, mesh, median_filter_size=5, c_std=2.0,
     # (device->host bytes are the config-4 critical path on serial
     # links): Py2-rounded int16 centers, int16 candidate indices, and a
     # tri-state validity that folds in the Spot.__init__ box quirk.
-    # Rounding is half-AWAY-FROM-ZERO via |x|: for |x| < 2^23,
-    # |x| - floor(|x|) is exact in f32 (Sterbenz for |x| >= 1, identity
-    # below 1), so the >= 0.5 comparison reproduces the host's float64
-    # py2_round of the same float32 value bit-for-bit — including
-    # negative quirk-kept centers, where a naive floor(x + 0.5) would
-    # round half-cases toward +inf instead.
-    s_abs_h, s_abs_w = jnp.abs(sh), jnp.abs(sw)
-    f_ah, f_aw = jnp.floor(s_abs_h), jnp.floor(s_abs_w)
-    r_ah = f_ah + (s_abs_h - f_ah >= 0.5)
-    r_aw = f_aw + (s_abs_w - f_aw >= 0.5)
-    rh_i = jnp.where(sh < 0, -r_ah, r_ah).astype(jnp.int32)
-    rw_i = jnp.where(sw < 0, -r_aw, r_aw).astype(jnp.int32)
+    # py2_round_device_i32 rounds halves AWAY FROM ZERO, bit-for-bit the
+    # host float64 py2_round of the same float32 value (see its docs).
+    from ..utils.rounding import py2_round_device_i32
+    rh_i = py2_round_device_i32(sh)
+    rw_i = py2_round_device_i32(sw)
     # Spot.__init__ validity (fast_experiment._spot_lists semantics):
     # plain 5x5 box on the ROUNDED center, or the reference's buggy
     # fallback that admits an out-of-box spot unless (h_0 outside AND
@@ -225,9 +231,15 @@ def experiment_step_sharded(stack, mesh, median_filter_size=5, c_std=2.0,
         # sigma_h * sigma_w * 1e6 (sigmas).
         p_flat = res.params.reshape(F * C, max_candidates, 7)
         pk = jax.vmap(lambda p, i: jnp.take(p, i, axis=0))(p_flat, top_idx)
-        phot = 1e6 * pk[..., 4] * pk[..., 5]
+        # Multiplication order IS the reference's left-to-right
+        # float(scaling)*gf[3]*gf[4]*gf[5] / *gf[4]*gf[5]
+        # (flexlibrary.py:212-241): FP multiply is not reassociation-
+        # safe, and the host paths use the same grouping.
         if photometry_method == "gaussian_volume":
-            phot = phot * pk[..., 1]
+            phot = 1e6 * pk[..., 1] * pk[..., 4] * pk[..., 5]
+        else:
+            phot = 1e6 * pk[..., 4] * pk[..., 5]
+        phot_interior = jnp.ones(phot.shape, bool)
     else:
         r = {"mexican_hat": photometry_radius, "simple": 2,
              "maximum": 5}[photometry_method]
@@ -239,6 +251,14 @@ def experiment_step_sharded(stack, mesh, median_filter_size=5, c_std=2.0,
         # (flexlibrary.py:90-101 spot identity).
         rch = jnp.clip(rh_i, r, H - r - 1)
         rcw = jnp.clip(rw_i, r, W - r - 1)
+        # Static shapes force the clip, so a kept spot within r of the
+        # border is measured at a SHIFTED window center — unlike the
+        # reference, which truncates the window in place
+        # (flexlibrary.py:172-210). Never silently: photometry_interior
+        # marks which bucket values are true-center measurements.
+        # (run_experiment discards such trace positions via its own
+        # window check and re-measures with the exact host fallbacks.)
+        phot_interior = (rch == rh_i) & (rcw == rw_i)
 
         if photometry_method == "mexican_hat":
             def phot_one(img, hs, ws):
@@ -272,4 +292,5 @@ def experiment_step_sharded(stack, mesh, median_filter_size=5, c_std=2.0,
         "spot_count": spot_count.reshape(F, C),
         "spot_overflow": (spot_count > max_spots).reshape(F, C),
         "photometry": phot,
+        "photometry_interior": phot_interior.reshape(F, C, max_spots),
     }

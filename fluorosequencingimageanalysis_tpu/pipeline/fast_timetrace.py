@@ -60,9 +60,7 @@ def _lc_track_scan(movie, trunc0_h, trunc0_w, round0_h, round0_w,
         return img[hs[:, None, None] + dd[None, :, None],
                    ws[:, None, None] + dd[None, None, :]]
 
-    def py2round_i32(x):
-        f = jnp.floor(x)
-        return (f + (x - f >= 0.5)).astype(jnp.int32)
+    from ..utils.rounding import py2_round_device_i32
 
     def step(state, img):
         trunc_h, trunc_w, round_h, round_w = state
@@ -72,11 +70,18 @@ def _lc_track_scan(movie, trunc0_h, trunc0_w, round0_h, round0_w,
         tw = jnp.clip(trunc_w, r, W - r - 1)
         patches = gather(img, th, tw, r)
         total = jnp.sum(patches.reshape(patches.shape[0], -1), axis=-1)
-        idx = jnp.arange(d, dtype=jnp.float32)
+        # CENTERED index weights: with raw offsets 0..d-1 the f32 moment
+        # sum of a bright uint16 window exceeds 2^24 (65535 * 49 * 6 ~
+        # 1.9e7) and rounds, so a symmetric blob whose exact centroid is
+        # x.5 can flip the Py2 rounding below vs the host's float64
+        # center_of_mass. Centered (idx - r in [-r, r]), every partial
+        # sum of an integer-valued movie stays under 2^24 at the default
+        # search_radius — both moments are then EXACT in f32.
+        idx = jnp.arange(d, dtype=jnp.float32) - r
         ch = jnp.sum(patches * idx[None, :, None], axis=(-2, -1)) / total
         cw = jnp.sum(patches * idx[None, None, :], axis=(-2, -1)) / total
-        rc_h = py2round_i32(ch + th.astype(jnp.float32) - r)
-        rc_w = py2round_i32(cw + tw.astype(jnp.float32) - r)
+        rc_h = py2_round_device_i32(ch + th.astype(jnp.float32))
+        rc_w = py2_round_device_i32(cw + tw.astype(jnp.float32))
         cand_fits = ((2 <= rc_h) & (rc_h < H - 2) &
                      (2 <= rc_w) & (rc_w < W - 2))
         # Illumina S/N of the 5x5 slice at the rounded centroid
@@ -358,11 +363,15 @@ def timetrace_photometries(movie, rec_h, rec_w, present, method,
                 f_idx[interior], hs[interior], ws[interior], method,
                 win_r, photometry_brim, 1, chunk)
             out[n_idx[interior], f_idx[interior]] = vals
-        movie_np = None
+        # Fetch ONLY the frames that have edge positions (the fused path's
+        # pattern): np.asarray(movie) would pull the entire movie across
+        # the link to read a handful of border patches.
+        frame_cache = {}
         for k in np.nonzero(~interior)[0]:
-            if movie_np is None:
-                movie_np = np.asarray(movie)
-            img = movie_np[f_idx[k]]
+            f = int(f_idx[k])
+            if f not in frame_cache:
+                frame_cache[f] = np.asarray(movie[f])
+            img = frame_cache[f]
             h, w = int(hs[k]), int(ws[k])
             if method == "mexican_hat":
                 v = phot_ops.mexican_hat_host(img, h, w,

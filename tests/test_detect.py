@@ -35,6 +35,19 @@ def _synthetic_field(rng, shape=(128, 128), n_spots=12, background=400.0,
     return img, truths
 
 
+def test_median_filter_matches_scipy_even_size():
+    """Even window sizes put the extra tap on the NEGATIVE side, like
+    scipy's origin convention (regression: it sat on the positive side,
+    shifting the background estimate one pixel for even sizes)."""
+    rng = np.random.default_rng(8)
+    img = rng.normal(400, 10, (48, 48))
+    for size in (2, 4, 6):
+        ours = np.asarray(median_filter_2d(img, size))
+        theirs = scipy_median_filter(img, size, mode="reflect")
+        np.testing.assert_allclose(ours, theirs, rtol=1e-12,
+                                   err_msg=f"size={size}")
+
+
 def test_median_filter_matches_scipy():
     rng = np.random.default_rng(0)
     img = rng.integers(0, 5000, (64, 64)).astype(np.float64)
@@ -328,3 +341,35 @@ def test_find_candidates_batch_pallas_honors_parameters():
                                             use_pallas=True)
     for a, b in zip(ref, via_pallas_flag):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_nan_r2_fit_is_kept_like_reference(monkeypatch):
+    """A fit with NaN R^2 (constant patch: ss_tot == ss_res == 0) passes
+    the reference's discard-if-less gate (pflib.py:465-467: NaN < thr is
+    False) — the spot is KEPT. Regression: (r2 >= thr) silently dropped
+    it. The candidate finder is stubbed so a constant-image patch
+    actually reaches the fit (the real candidate map zeroes flat tops)."""
+    import jax.numpy as jnp
+    from fluorosequencingimageanalysis_tpu.models import detect as det
+
+    def fake_candidates(images, **kw):
+        B = images.shape[0]
+        mc = kw["max_candidates"]
+        hs = jnp.full((B, mc), 16, jnp.int32)
+        ws = jnp.full((B, mc), 16, jnp.int32)
+        valid = jnp.zeros((B, mc), bool).at[:, 0].set(True)
+        return hs, ws, valid, jnp.ones((B,), jnp.int32)
+
+    monkeypatch.setattr(det, "find_candidates_batch", fake_candidates)
+    # All-zero image: the LM amplitude initializes AT its lower bound
+    # ((max - mean) / 3 = 0) and stays pegged, so the fit is EXACTLY the
+    # data -> ss_res = ss_tot = 0 -> r2 = NaN, deterministically (a
+    # nonzero constant leaves a sub-ulp residual whose f32 rounding
+    # flips between NaN and -inf).
+    img = np.zeros((32, 32), np.float32)
+    res = det.detect_and_fit_batch(jnp.asarray(img[None]), max_candidates=3,
+                                   num_iters=8, use_pallas=False)
+    r2 = float(np.asarray(res.r2)[0, 0])
+    assert np.isnan(r2), f"constant patch should fit exactly (r2={r2})"
+    assert bool(np.asarray(res.keep)[0, 0]), \
+        "NaN-R^2 fit must be kept like the reference"
