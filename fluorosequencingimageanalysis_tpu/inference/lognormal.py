@@ -189,6 +189,18 @@ def lognormal_fit_v8_from_csv(path, beta, beta_sigma, max_possible=5,
     structure as photometries_lognormal_fit_v8.
     """
     from ..native.trackcsv import read_track_photometries_arrays
+
+    def _take(arrs, idx):
+        """Row-filter every column of the arrays dict (bool mask or
+        integer index array; list columns filter positionally)."""
+        sel = np.asarray(idx)
+        pick = ((lambda v: [x for x, m in zip(v, sel) if m])
+                if sel.dtype == bool
+                else (lambda v: [v[i] for i in sel]))
+        return {k: (np.asarray(v)[sel] if not isinstance(v, list)
+                    else pick(v))
+                for k, v in arrs.items()}
+
     arrs = read_track_photometries_arrays(
         path, downstep_filtered=downstep_filtered,
         head_truncate=head_truncate, tail_truncate=tail_truncate)
@@ -196,9 +208,7 @@ def lognormal_fit_v8_from_csv(path, beta, beta_sigma, max_possible=5,
         chans = set(channels)
         keep = np.asarray([c in chans for c in arrs["channels"]], bool)
         if not keep.all():
-            arrs = {k: (np.asarray(v)[keep] if not isinstance(v, list)
-                        else [x for x, m in zip(v, keep) if m])
-                    for k, v in arrs.items()}
+            arrs = _take(arrs, keep)
     if arrs is None:
         from .photometries import (alpha_adjust_photometries,
                                    read_track_photometries_csv)
@@ -241,10 +251,7 @@ def lognormal_fit_v8_from_csv(path, beta, beta_sigma, max_possible=5,
             seen.add(k)
             keep.append(i)
     if len(keep) != n:
-        keep = np.asarray(keep)
-        arrs = {k: (np.asarray(v)[keep] if not isinstance(v, list)
-                    else [v[i] for i in keep])
-                for k, v in arrs.items()}
+        arrs = _take(arrs, np.asarray(keep))
         n = len(keep)
     intensities = arrs["intensities"].astype(np.float64) - alpha_adjust
     categories = arrs["categories"]
@@ -254,9 +261,15 @@ def lognormal_fit_v8_from_csv(path, beta, beta_sigma, max_possible=5,
         allow_upsteps=allow_upsteps, max_deviation=max_deviation,
         mesh=mesh)
 
+    # fit_info carries the same VALUES AND TYPES as the dict path: the
+    # CSV reader parses ints, so with no alpha adjustment the rows hold
+    # Python ints (float64 of an int64 is exact, so the scorer saw
+    # identical numbers); an adjustment makes them floats on both paths.
+    meta_ints = (arrs["intensities"].tolist() if alpha_adjust == 0
+                 else intensities.tolist())
     meta = [(arrs["channels"][i], int(arrs["fields"][i]),
              int(arrs["hs"][i]), int(arrs["ws"][i]),
              int(arrs["rows"][i]), tuple(categories[i].tolist()),
-             tuple(intensities[i].tolist())) for i in range(n)]
+             tuple(meta_ints[i])) for i in range(n)]
     return _decode_and_aggregate(meta, best_seqs, found, best_ls,
                                  log_fluor_means, beta_sigma, max_possible)

@@ -130,7 +130,6 @@ def _init_params(z_groups, n_valid, ks, n_init, K, rng):
                 w0[g, b, :k] = 1.0 / k
                 if r == 0:
                     pos = ((np.arange(k) + 0.5) / k * (zv.size - 1))
-                    mu0[g, b, :k] = zv[pos.astype(int)]
                 else:
                     # Random QUANTILE positions (sorted): restarts stay
                     # spread over the data mass instead of occasionally
@@ -138,7 +137,11 @@ def _init_params(z_groups, n_valid, ks, n_init, K, rng):
                     # closes the worst-restart gap vs kmeans-seeded
                     # sklearn at over-parameterized k.
                     pos = np.sort(rng.random(k)) * (zv.size - 1)
-                    mu0[g, b, :k] = zv[pos.astype(int)]
+                # ROUND, don't truncate: with truncation a size-k group
+                # seeds every mean at index 0 (n=2, k=2: quantiles 0.25
+                # and 0.75 both floor to 0) and the symmetric EM never
+                # separates them; rounding reaches the last data point.
+                mu0[g, b, :k] = zv[np.floor(pos + 0.5).astype(int)]
     return w0, mu0, var0, comp_mask
 
 
@@ -174,6 +177,15 @@ def gmm_fit_batched(groups, ks, n_init=10, n_iter=100, reg=1e-6,
     ks = [int(k) for k in ks]
     if not ks or min(ks) < 1:
         raise ValueError("ks must be positive component counts")
+    short = [g for g, arr in enumerate(groups) if arr.size < max(ks)]
+    if short:
+        # sklearn raises the same way ("n_samples >= n_components"); a
+        # k-component mixture of fewer points would silently return a
+        # collapsed degenerate fit.
+        raise ValueError(
+            f"groups {short} have fewer data points than the largest "
+            f"component count ({max(ks)}); a mixture needs n_samples >= "
+            "n_components")
     G = len(groups)
     J = len(ks)
     K = max(ks)

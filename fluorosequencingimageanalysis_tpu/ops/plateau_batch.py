@@ -7,14 +7,31 @@ preference for fewer plateaus (MCsimlib.py:2597-2673; host port:
 inference/photometries.py:_plateau_fit). That is O(T^d) numpy calls per
 trace, per trace.
 
-Here the heavy part runs once for ALL traces: the T^d product collapses to
-the ~sum_k C(T-1, k) distinct segmentations, whose segment-mean fits and
-R^2 scores for every trace are two einsums on device. The reference's
-sequential selection rule (including its revisit order and the
-``delta_r_2`` asymmetry for larger fits) is then replayed exactly, but
-vectorized across traces — T^d scalar steps each updating (N,) arrays.
+Here the heavy part runs once for ALL traces: the T^d product collapses
+to the ~sum_k C(T-1, k) distinct segmentations, scored for every trace at
+once; the reference's sequential selection rule (including its revisit
+order and the ``delta_r_2`` asymmetry for larger fits) is then replayed
+exactly, vectorized across traces — T^d scalar steps each updating (N,)
+arrays.
 
-Output is bit-compatible with _plateau_fit per trace.
+Two scoring backends:
+
+- ``scores='exact'`` (default): host numpy, BIT-IDENTICAL to the
+  per-trace ``_plateau_fit`` scoring. Exactness hinges on numpy reduction
+  order: ``np.mean(x[:, l:h], axis=1)`` and ``(...).sum(axis=-1)`` on a
+  row-contiguous array run the same pairwise reduction per row as the
+  scalar ``np.mean(row[l:h])`` / ``np.sum(...)`` calls the host makes, so
+  every score matches to the last ulp — and so does every order-dependent
+  selection, including mathematical ties (integer-valued photometries
+  make exact score ties common).
+- ``scores='device'``: the jitted einsum scorer — the TPU path for very
+  large N. Segment means come from one matmul, so summation ORDER differs
+  from the host in the last ulp; on a mathematically tied pair of
+  segmentations the strict-> replay may therefore keep a different
+  equally-scoring fit than the reference (everything else, including the
+  single-plateau score — forced to its mathematically exact 0 — is
+  equivalent). Scores are chunked over rows; only (N, C) arrays ever
+  materialize.
 """
 
 from __future__ import annotations
@@ -47,16 +64,11 @@ def _segmentations(T, max_num_drops):
     return order, np.asarray(ids, dtype=np.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("T", "max_num_drops"))
-def _scores_all_combos(x, T, max_num_drops):
-    """Segment-mean fits + R^2 for every trace x every segmentation.
-
-    x: (N, T). Returns (r2 (N, C), seg_means (N, C, T) as the fit values,
-    n_segs (C,), downstep_ok (N, C)).
-    """
+@functools.lru_cache(maxsize=64)
+def _combo_structure(T, max_num_drops):
+    """(seg_id (C, T) int32, n_segs (C,) int32) for the deduped combos."""
     combos, _ = _segmentations(T, max_num_drops)
     C = len(combos)
-    # seg_id[c, t]: which segment frame t belongs to in combo c.
     seg_id = np.zeros((C, T), dtype=np.int32)
     n_segs = np.zeros((C,), dtype=np.int32)
     for c, starts in enumerate(combos):
@@ -64,8 +76,63 @@ def _scores_all_combos(x, T, max_num_drops):
         for s in range(len(starts)):
             seg_id[c, bounds[s]:bounds[s + 1]] = s
         n_segs[c] = len(starts)
+    return seg_id, n_segs
+
+
+def _scores_host(x, T, max_num_drops):
+    """Bit-exact host scoring: (r2 (N, C) float64, n_segs, downstep_ok).
+
+    Reproduces _plateau_fit's arithmetic per combo: distinct segments
+    (at most T*(T+1)/2 across all combos) get their np.mean once for all
+    traces; fits assemble by gather (no arithmetic); residual/total sums
+    reduce along the contiguous axis exactly like the scalar np.sum
+    calls.
+    """
+    combos, _ = _segmentations(T, max_num_drops)
+    N = x.shape[0]
+    C = len(combos)
+    seg_means = {}
+    for starts in combos:
+        bounds = list(starts) + [T]
+        for lo, hi in zip(bounds[:-1], bounds[1:]):
+            if (lo, hi) not in seg_means:
+                seg_means[(lo, hi)] = np.mean(x[:, lo:hi], axis=1)
+    tot = ((x - np.mean(x, axis=1, keepdims=True)) ** 2).sum(axis=1)
+    r2 = np.empty((N, C), np.float64)
+    n_segs = np.zeros((C,), np.int32)
+    downstep_ok = np.empty((N, C), bool)
+    fit = np.empty_like(x)
+    for c, starts in enumerate(combos):
+        bounds = list(starts) + [T]
+        n_segs[c] = len(starts)
+        ok = np.ones(N, bool)
+        prev = None
+        for lo, hi in zip(bounds[:-1], bounds[1:]):
+            m = seg_means[(lo, hi)]
+            fit[:, lo:hi] = m[:, None]
+            if prev is not None:
+                # host _check_no_downsteps: any(p1[0] < p2[0]) fails
+                ok &= ~(prev < m)
+            prev = m
+        res = ((x - fit) ** 2).sum(axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            r2[:, c] = 1.0 - res / tot
+        downstep_ok[:, c] = ok
+    return r2, n_segs, downstep_ok
+
+
+@functools.partial(jax.jit, static_argnames=("T", "max_num_drops"))
+def _scores_device(x, T, max_num_drops):
+    """Device einsum scoring for one row chunk: (r2, downstep_ok).
+
+    The (N, C, T) fit tensor lives only inside the fusion (not an
+    output), so memory stays O(N*C). The single-segment combo's score is
+    forced to its mathematically exact 0 (fit == row mean implies
+    res == tot; einsum rounding would otherwise leave ~1e-16, which
+    flips the reference's adjusted-R^2 boundary at exactly -1).
+    """
+    seg_id, n_segs = _combo_structure(T, max_num_drops)
     max_segs = int(seg_id.max()) + 1
-    # membership[c, t, s] one-hot; averaging matrix A[c, t, u].
     x = jnp.asarray(x)
     member = (seg_id[:, :, None] ==
               np.arange(max_segs)[None, None, :]).astype(x.dtype)
@@ -73,46 +140,62 @@ def _scores_all_combos(x, T, max_num_drops):
     avg = member / np.maximum(seg_len, 1.0)[:, None, :]         # (C, T, S)
     member_j = jnp.asarray(member)
     avg_j = jnp.asarray(avg)
-    # per-trace per-combo segment means: (N, C, S)
-    seg_mean = jnp.einsum("nt,cts->ncs", x, avg_j)
-    # fit values back on the frame grid: (N, C, T)
-    fit = jnp.einsum("ncs,cts->nct", seg_mean, member_j)
+    seg_mean = jnp.einsum("nt,cts->ncs", x, avg_j)              # (N, C, S)
+    fit = jnp.einsum("ncs,cts->nct", seg_mean, member_j)        # fused
     res = jnp.sum((x[:, None, :] - fit) ** 2, axis=-1)          # (N, C)
     tot = jnp.sum((x - jnp.mean(x, axis=1, keepdims=True)) ** 2,
                   axis=1)                                       # (N,)
     r2 = 1.0 - res / tot[:, None]
-    # downstep check on adjacent segment means (only real segments count):
-    real = jnp.asarray((np.arange(max_segs)[None, :, None] + 1 <
-                        n_segs[None, None, :]).astype(bool))    # (1,S-1?,C)
+    single = jnp.asarray(n_segs == 1)
+    r2 = jnp.where(single[None, :], 0.0, r2)
     up = seg_mean[:, :, :-1] < seg_mean[:, :, 1:]               # (N, C, S-1)
     pair_real = jnp.asarray(
         (np.arange(max_segs - 1)[None, :] < (n_segs - 1)[:, None])
         .astype(bool))                                          # (C, S-1)
     downstep_ok = ~jnp.any(up & pair_real[None, :, :], axis=-1)
-    del real
-    return r2, fit, jnp.asarray(n_segs), downstep_ok
+    return r2, downstep_ok
+
+
+def _all_scores(x, T, max_num_drops, scores, chunk=4096):
+    """(r2 (N, C) float64, n_segs (C,), downstep_ok (N, C)) via the
+    selected backend; the device backend is row-chunked."""
+    if scores == "exact":
+        return _scores_host(x, T, max_num_drops)
+    if scores != "device":
+        raise ValueError("scores must be 'exact' or 'device'")
+    _, n_segs = _combo_structure(T, max_num_drops)
+    r2_parts, ok_parts = [], []
+    pending = []
+    for lo in range(0, x.shape[0], chunk):
+        pending.append(_scores_device(jnp.asarray(x[lo:lo + chunk]), T,
+                                      max_num_drops))
+    for r2_c, ok_c in pending:
+        r2_parts.append(np.asarray(r2_c, dtype=np.float64))
+        ok_parts.append(np.asarray(ok_c))
+    return (np.concatenate(r2_parts), n_segs, np.concatenate(ok_parts))
 
 
 def plateau_fit_batched(intensities, max_num_drops,
                         include_original_intensities=False,
                         downsteps_only=False, use_adjusted_r_2=False,
-                        delta_r_2=0.05, original_intensities_only=True):
+                        delta_r_2=0.05, original_intensities_only=True,
+                        scores="exact"):
     """Batched _plateau_fit over an (N, T) intensity array.
 
     Returns a list of N ``(best_fit, best_r_2)`` tuples identical to
     inference.photometries._plateau_fit on each row (same output format
-    switches, same order-dependent selection).
+    switches, same order-dependent selection) — bit-identical with
+    ``scores='exact'`` (the default; see module docstring for the
+    'device' backend's tie caveat). Rows where every segmentation is
+    rejected reproduce the host behavior faithfully, including its
+    TypeError when an output-formatting flag would iterate the None fit.
     """
     if include_original_intensities and original_intensities_only:
         raise Exception
     x = np.asarray(intensities, dtype=np.float64)
     N, T = x.shape
     combos, product_ids = _segmentations(T, max_num_drops)
-    r2, fit, n_segs, downstep_ok = _scores_all_combos(
-        jnp.asarray(x), T, max_num_drops)
-    r2 = np.asarray(r2, dtype=np.float64)
-    n_segs = np.asarray(n_segs)
-    downstep_ok = np.asarray(downstep_ok)
+    r2, n_segs, downstep_ok = _all_scores(x, T, max_num_drops, scores)
 
     score = r2
     if use_adjusted_r_2:
@@ -153,8 +236,12 @@ def plateau_fit_batched(intensities, max_num_drops,
             best_fit = [[v for v in row.tolist()]]
             br = -1 if use_adjusted_r_2 else 1.0
         elif best_id[i] < 0:
-            out.append((None, -1))
-            continue
+            # Host parity: best_fit stays None and falls through the SAME
+            # formatting branches — iterating it raises the host's exact
+            # TypeError when a formatting flag is set, and both-flags-off
+            # returns (None, -1) like the host does.
+            best_fit = None
+            br = -1
         else:
             starts = combos[best_id[i]]
             bounds = list(starts) + [T]
@@ -185,21 +272,19 @@ def plateau_fit_batched(intensities, max_num_drops,
 
 
 def all_plateau_fits_batched(intensities, max_num_drops,
-                             storage_r_2_cutoff=0.7):
+                             storage_r_2_cutoff=0.7, scores="exact"):
     """Batched _all_plateau_fits over an (N, T) array
     (MCsimlib.py:2676-2720; host port inference/photometries.py).
 
-    Scores every segmentation for every trace on device once, then emits —
-    in the reference's raw product order, duplicates included — every fit
-    whose R^2 clears the cutoff, in the reference's
-    ``(fit_with_originals, r_2, adj_r_2)`` tuple format.
+    Scores every segmentation for every trace once (bit-exactly with the
+    default backend), then emits — in the reference's raw product order,
+    duplicates included — every fit whose R^2 clears the cutoff, in the
+    reference's ``(fit_with_originals, r_2, adj_r_2)`` tuple format.
     """
     x = np.asarray(intensities, dtype=np.float64)
     N, T = x.shape
     combos, product_ids = _segmentations(T, max_num_drops)
-    r2, _, n_segs, _ = _scores_all_combos(jnp.asarray(x), T, max_num_drops)
-    r2 = np.asarray(r2, dtype=np.float64)
-    n_segs = np.asarray(n_segs)
+    r2, n_segs, _ = _all_scores(x, T, max_num_drops, scores)
     k = 2.0 * n_segs - 1.0
     with np.errstate(divide="ignore", invalid="ignore"):
         adj = 1.0 - (1.0 - r2) * (T - 1.0) / (T - k - 1.0)[None, :]

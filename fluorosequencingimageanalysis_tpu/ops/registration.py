@@ -62,9 +62,16 @@ def phase_correlate_jit(ref_image, reg_image, upsample_factor: int = 1):
     mid_col = jnp.floor(jnp.asarray(cols / 2.0))
 
     cross = jnp.fft.ifft2(ref_f * jnp.conj(reg_f))
-    # NumPy argmax on complex orders by real part (reference
-    # behavior at phase_correlate.py:73-74); match it.
-    amax = jnp.argmax(cross.real)
+    # NumPy argmax on complex orders LEXICOGRAPHICALLY: by real part,
+    # then by imaginary part on exact real ties (reference behavior at
+    # phase_correlate.py:73-74). Plain argmax(cross.real) would take the
+    # first flat index on tied real parts (periodic/calibration-grid
+    # images), shifting the integer peak by half the period. Two-pass:
+    # find the max real, then argmax of imag restricted to those ties —
+    # equal-imag ties fall back to the first flat index, like numpy.
+    max_real = jnp.max(cross.real)
+    amax = jnp.argmax(jnp.where(cross.real == max_real, cross.imag,
+                                -jnp.inf))
     row_max = amax // cols
     col_max = amax % cols
     row_shift = jnp.where(row_max > mid_row, row_max - rows, row_max)
@@ -90,7 +97,11 @@ def phase_correlate_jit(ref_image, reg_image, upsample_factor: int = 1):
                                 dftshift - row_shift * u,
                                 dftshift - col_shift * u)) / \
         (mid_row * mid_col * u ** 2)
-    amax_up = jnp.argmax(cross_up.real)
+    # Lexicographic complex argmax (real, then imag) like the reference's
+    # np.argmax on the complex array — see the integer-peak argmax above.
+    max_real_up = jnp.max(cross_up.real)
+    amax_up = jnp.argmax(jnp.where(cross_up.real == max_real_up,
+                                   cross_up.imag, -jnp.inf))
     row_up = (amax_up // up_px).astype(row_shift.dtype) - dftshift
     col_up = (amax_up % up_px).astype(col_shift.dtype) - dftshift
     row_shift = row_shift + row_up / u

@@ -184,3 +184,17 @@ def test_pipeline_per_cycle_gmm_front_door():
     # Cycle 0 is all-ON: its top component mean sits at the fluor level.
     assert max(float(np.ravel(m)[0]) for m in fm) == pytest.approx(
         30000, rel=0.05)
+
+
+def test_tiny_group_raises_and_small_group_separates():
+    """Regression: truncating quantile positions seeded every mean at
+    data point 0 for size~k groups, and the symmetric EM never separated
+    them (silent collapsed fit). Now: fewer points than components
+    raises loudly (sklearn's n_samples >= n_components rule), and a
+    k-sized group genuinely separates."""
+    with pytest.raises(ValueError, match="n_samples >= n_components"):
+        gmm_fit_batched([np.array([100.0, 200.0])], ks=[2, 3])
+    res = gmm_fit_batched([np.array([100.0, 200.0])], ks=[2], n_init=2,
+                          n_iter=50)
+    m = np.sort(res["means"][0, 0, :2])
+    np.testing.assert_allclose(m, [100.0, 200.0], atol=1.0)

@@ -275,6 +275,11 @@ def test_lognormal_fit_v8_from_csv(tmp_path):
     assert total_a == total_b == 30
     assert none_a == none_b
     assert sig_a == sig_b
+    # fit_info parity includes the intensity TYPES: both paths emit the
+    # CSV reader's parsed ints with no alpha adjustment (regression: the
+    # native path reported float64, so hashed/CSV'd fit_info differed by
+    # whether the native toolchain was present).
+    assert info_a == info_b
     # the dominant fitted signals match the planted sequences
     top = max(sig_a, key=sig_a.get)
     assert top[0] in (((("A", 1), ("A", 3))), ((("A", 2),),))

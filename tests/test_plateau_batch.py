@@ -3,6 +3,7 @@
 import time
 
 import numpy as np
+import pytest
 
 from fluorosequencingimageanalysis_tpu.inference.photometries import (
     _plateau_fit)
@@ -86,3 +87,68 @@ def test_all_plateau_fits_batched_matches_host():
             rflat = [(m, o) for p in rf for (m, o) in p]
             bflat = [(m, o) for p in bf for (m, o) in p]
             np.testing.assert_allclose(np.asarray(rflat), np.asarray(bflat))
+
+
+def test_exact_scoring_matches_host_on_ties_and_rejections():
+    """The review's confirmed divergence repros: mathematically tied
+    segmentations (integer-like data makes exact ties common) and the
+    adjusted-R^2 == -1 rejection boundary must replay the host's exact
+    selection — the 'exact' backend reproduces the host's numpy
+    reduction order, so scores AND ties are bit-identical."""
+    from fluorosequencingimageanalysis_tpu.inference.photometries import (
+        _plateau_fit)
+    from fluorosequencingimageanalysis_tpu.ops.plateau_batch import (
+        plateau_fit_batched)
+
+    rows = [
+        [0.0, 3.0, 0.0, 2.8, 1.6, 0.0],    # confirmed tie repro
+        [1.0, 3.0, 0.0, 0.0, 2.0, 8.4, 0.0],
+        [5.0, 5.0, 1.0, 1.0, 3.0, 3.0, 0.0],  # integer plateaus: many ties
+        [2.0, 2.0, 2.0, 1.0, 1.0, 1.0, 0.0],
+    ]
+    for kwargs in ({"max_num_drops": 1},
+                   {"max_num_drops": 3, "use_adjusted_r_2": True},
+                   {"max_num_drops": 2, "downsteps_only": True}):
+        for i, row in enumerate(rows):
+            batched = plateau_fit_batched(
+                np.asarray([row], dtype=np.float64), **kwargs)
+            host = _plateau_fit(tuple(row), **kwargs)
+            assert batched[0][0] == host[0], (i, kwargs)
+            assert batched[0][1] == host[1] or (
+                np.isnan(batched[0][1]) and np.isnan(host[1])), (i, kwargs)
+
+    # T=3 adjusted-R^2: single-plateau adj == -1 exactly, never > -1 —
+    # every combo rejected. Host raises TypeError iterating the None fit
+    # (original_intensities_only formatting); the batched path must too.
+    # Strictly-rising trace + downsteps_only + adjusted R^2: the single
+    # plateau scores exactly -1 (never > -1) and every split is an
+    # upstep — ALL combos rejected.
+    bad = np.asarray([[0.0, 1.0, 2.0]])
+    reject_kw = dict(max_num_drops=1, use_adjusted_r_2=True,
+                     downsteps_only=True)
+    with pytest.raises(TypeError):
+        _plateau_fit((0.0, 1.0, 2.0), **reject_kw)
+    with pytest.raises(TypeError):
+        plateau_fit_batched(bad, **reject_kw)
+    # Both-formatting-flags-off: host RETURNS (None, -1); so must we.
+    host_none = _plateau_fit((0.0, 1.0, 2.0),
+                             original_intensities_only=False, **reject_kw)
+    got = plateau_fit_batched(bad, original_intensities_only=False,
+                              **reject_kw)
+    assert got[0] == host_none == (None, -1)
+
+
+def test_device_scoring_single_plateau_exact_zero():
+    """The device backend forces the no-drop combo's R^2 to its exact 0
+    so the adjusted-R^2 rejection boundary at exactly -1 matches the
+    host (einsum rounding left ~1e-16, admitting fits the host
+    rejects)."""
+    from fluorosequencingimageanalysis_tpu.ops.plateau_batch import (
+        _all_scores, _segmentations)
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(100.0, 30.0, (16, 3))
+    combos, _ = _segmentations(3, 1)
+    r2, n_segs, _ = _all_scores(x, 3, 1, "device")
+    single = [c for c, starts in enumerate(combos) if len(starts) == 1]
+    assert (r2[:, single] == 0.0).all()
