@@ -123,7 +123,13 @@ int trk_greedy_link(const double* h, const double* w,
                 if (dh < 0 || dh >= H || dw < 0 || dw >= W) continue;
                 const int32_t d = dgrid[static_cast<int64_t>(dh) * W + dw];
                 if (d < 0) continue;
-                const double dist = std::hypot(h[a] - h[d], w[a] - w[d]);
+                // sqrt(dh*dh + dw*dw), NOT std::hypot: the reference's
+                // scipy euclidean uses the plain form, and hypot's
+                // compensated algorithm bit-differs on knife-edge pairs
+                // (the Python tracker and the test oracle match this).
+                const double ddh = h[a] - h[d];
+                const double ddw = w[a] - w[d];
+                const double dist = std::sqrt(ddh * ddh + ddw * ddw);
                 if (dist < candidate_radius)
                     pairs.push_back({dist, a_rank, ci, cell, a, d});
             }

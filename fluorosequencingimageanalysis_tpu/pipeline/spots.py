@@ -152,7 +152,14 @@ class Spot:
             # (pflib.py:275-277), not yield a number the gates act on.
             raise ValueError("sub_img must be square, but has shape " +
                              str(sl))
-        edge = np.concatenate([sl[0, :], sl[-1, :], sl[1:-1, 0], sl[1:-1, -1]])
+        # Element ORDER matters for bit parity: the reference builds
+        # top row, bottom row, then (left, right) PER interior row
+        # (pflib.py:278-280); numpy's pairwise mean/std are order-
+        # sensitive, and the value feeds the discrete s_n < cutoff
+        # tracking gate. sl[1:-1, [0, -1]].ravel() is exactly that
+        # per-row interleaving.
+        edge = np.concatenate([sl[0, :], sl[-1, :],
+                               sl[1:-1, [0, -1]].ravel()])
         return float((sl.max() - edge.mean()) / edge.std())
 
 
@@ -217,10 +224,10 @@ class Image:
 
     @staticmethod
     def _required_radius(method, kwargs):
+        # 'simple' never reaches here: _spot_radius short-circuits it to
+        # the per-spot (size - 1) // 2 rule before consulting this table.
         if method == "mexican_hat":
             return kwargs.get("radius", 9)
-        if method == "simple":
-            return 2
         if method == "maximum":
             return kwargs.get("radius", 5)
         return 0

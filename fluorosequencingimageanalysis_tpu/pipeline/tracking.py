@@ -201,8 +201,15 @@ def greedy_particle_tracking(frame_spots, frame_shape, candidate_radius=2,
             if ai.size == 0:
                 continue
             dv = didx[ai]
-            dist = np.hypot(a_pos[ai, 0] - d_pos[dv, 0],
-                            a_pos[ai, 1] - d_pos[dv, 1])
+            # sqrt(dh^2 + dw^2) with separate roundings, NOT np.hypot:
+            # the reference's scipy euclidean computes sqrt(((u-v)**2)
+            # .sum()) (flexlibrary.py:52, :906), and hypot's compensated
+            # algorithm bit-differs on ~17% of pairs — enough to flip a
+            # dist < candidate_radius gate or the distance-sorted greedy
+            # order on knife-edge pairs.
+            ddh = a_pos[ai, 0] - d_pos[dv, 0]
+            ddw = a_pos[ai, 1] - d_pos[dv, 1]
+            dist = np.sqrt(ddh * ddh + ddw * ddw)
             m = dist < candidate_radius
             if m.any():
                 parts.append((ai[m], dv[m], dist[m],
@@ -318,13 +325,12 @@ def luminosity_centroid_particle_tracking(frames, initial_spots,
                                           offsets=None):
     """Fast centroid-following tracking for timetrace movies.
 
-    Parity: /root/reference/flexlibrary.py:1172-1317. Batched per frame: all
-    live spot windows are gathered and their centroids + S/N computed in one
-    device dispatch; the per-spot gating logic stays on host.
+    Parity: /root/reference/flexlibrary.py:1172-1317. Vectorized per frame:
+    all live spot windows are gathered and their float64 centroids computed
+    in one host pass (bit-identical to scipy center_of_mass per window);
+    the per-spot gating logic stays on host.
     """
     from .spots import Spot
-    from ..ops.photometry import luminosity_centroid_batch
-    import jax.numpy as jnp
 
     if not all(spot.parent_Image is frames[0] for spot in initial_spots):
         raise ValueError("All initial_spots must be in frames[0].")
@@ -344,18 +350,30 @@ def luminosity_centroid_particle_tracking(frames, initial_spots,
                      for (oh, ow) in centers]
         idx = [i for i, ok in enumerate(in_bounds) if ok]
         if idx:
-            hs = jnp.asarray([centers[i][0] for i in idx], jnp.int32)
-            ws = jnp.asarray([centers[i][1] for i in idx], jnp.int32)
-            # No S/N here: the gate below measures it at the ROUNDED
-            # centroid on the spot's own slice, so this window's S/N
-            # would be discarded. The per-spot host gate is the
-            # oracle-faithful compat form (flexlibrary.py:1247); the
-            # flagship movie path batches the whole walk in one lax.scan
-            # (pipeline/fast_timetrace.py).
-            ch, cw, _ = luminosity_centroid_batch(
-                jnp.asarray(frame.image, jnp.float32), hs, ws,
-                radius=search_radius, with_sn=False)
-            ch, cw = np.asarray(ch), np.asarray(cw)
+            # Host float64 centroids, vectorized over the live spots —
+            # bit-identical to the reference's per-window
+            # scipy.ndimage.center_of_mass (flexlibrary.py:1232-1235):
+            # sum(window * grid) / sum(window) with numpy's pairwise
+            # reduction per contiguous window, then the reference's
+            # (c + o) - search_radius grouping. A device f32 batch here
+            # rounded the moment sums of bright uint16 windows (> 2^24)
+            # and carried ~6e-5 ulp at image coordinates — enough to
+            # flip half-case Py2 rounding on this oracle-faithful compat
+            # path. (The flagship movie path is the lax.scan tracker in
+            # pipeline/fast_timetrace.py.)
+            hs = np.asarray([centers[i][0] for i in idx])
+            ws = np.asarray([centers[i][1] for i in idx])
+            dd = np.arange(-search_radius, search_radius + 1)
+            img64 = np.asarray(frame.image, dtype=np.float64)
+            wins = img64[hs[:, None, None] + dd[None, :, None],
+                         ws[:, None, None] + dd[None, None, :]]
+            grid = np.arange(d, dtype=np.float64)
+            m = len(idx)
+            tot = wins.reshape(m, -1).sum(axis=1)
+            gh = (wins * grid[None, :, None]).reshape(m, -1).sum(axis=1) / tot
+            gw = (wins * grid[None, None, :]).reshape(m, -1).sum(axis=1) / tot
+            ch = (gh + hs) - search_radius
+            cw = (gw + ws) - search_radius
         lookup = {i: j for j, i in enumerate(idx)}
         new_prior = []
         for i, spot in enumerate(prior):

@@ -70,9 +70,15 @@ def _welch_t(left, right):
 
 
 def _plateau_squared_residuals(luminosities, plateau):
+    # Builtin sequential sum, NOT np.sum: the reference's
+    # ``sum([(lum - height)**2 ...])`` (stepfitting_library.py:80) adds
+    # left-to-right, while numpy's pairwise reduction pairs differently —
+    # bit-different residuals flip near-tied split/merge decisions
+    # (the <=-last-tie-wins rule, _best_split's <, the Kerssemakers S
+    # ranking), forking the whole fit chain from the reference.
     start, stop, height = plateau
-    seg = np.asarray(luminosities[start:stop + 1], dtype=float)
-    return float(np.sum((seg - height) ** 2))
+    return float(sum([(lum - height) ** 2
+                      for lum in luminosities[start:stop + 1]]))
 
 
 def _plateaus_squared_residuals(luminosities, plateaus):
@@ -101,7 +107,7 @@ def _split_plateau(luminosities, plateau, forbidden_splits=None,
                  np.min(np.asarray(luminosities, dtype=float)))
     big = len(luminosities) * span ** 2
     best = (None, big, None, big, 2 * big)
-    # Per-split np.mean / np.sum((seg - mean)**2): the reference's exact
+    # Per-split np.mean + sequential residual sums: the reference's exact
     # float-op order. A prefix-sum form (left_sq - left_sum^2/k) was
     # tried and dropped — at photometry magnitudes (~6e4, squared sums
     # ~1e11) it loses 2-3 digits to cancellation, and near-tied split
@@ -362,17 +368,14 @@ def sliding_t_fitter(luminosity_sequence, window_radius=20, p_threshold=0.001,
         from scipy.signal import medfilt
         seq = list(medfilt(seq, kernel_size=median_filter_size))
     step_positions_by_radius = []
-    ftp_by_radius = []
     for radius in range(5, window_radius):
         step_positions_by_radius.append([])
-        ftp_by_radius.append({})
         for f in range(len(seq)):
             left = seq[f - radius:f]
             right = seq[f:f + radius]
-            t, p = _welch_t(left, right)
+            _t, p = _welch_t(left, right)
             if p < p_threshold:
                 step_positions_by_radius[-1].append(f)
-                ftp_by_radius[-1].setdefault(f, (t, p))
     if step_positions_by_radius:
         step_intersection = set(step_positions_by_radius[0])
     else:
@@ -446,10 +449,14 @@ def chung_kennedy_filter(luminosities, window_lengths=tuple(range(2, 17)),
                 if L + M >= n - 1:
                     front_window = front_window[:-1]
                     b_preds = b_preds[:-1]
-                b_diff = float(np.sum((np.array(rear_window) -
-                                       np.array(f_preds)) ** 2))
-                f_diff = float(np.sum((np.array(front_window) -
-                                       np.array(b_preds)) ** 2))
+                # Builtin sequential sum like the reference
+                # (stepfitting_library.py:1194-1196) — np.sum's pairwise
+                # pairing bit-differs on these <= M=10 element windows,
+                # rippling into the predictor weights.
+                b_diff = float(sum((np.array(rear_window) -
+                                    np.array(f_preds)) ** 2))
+                f_diff = float(sum((np.array(front_window) -
+                                    np.array(b_preds)) ** 2))
                 if b_diff != 0 and f_diff != 0:
                     front_w[w][L] = b_diff ** -p
                     back_w[w][L] = f_diff ** -p

@@ -114,9 +114,11 @@ def greedy_particle_tracking_oracle(frame_spots, frame_shape,
                 dh += lo_h
                 dw += lo_w
                 d_spt = dbin["spt"]
-                distance = math.hypot(
-                    (a_spt.h + cum[aaf][0]) - (d_spt.h + cum[f][0]),
-                    (a_spt.w + cum[aaf][1]) - (d_spt.w + cum[f][1]))
+                # scipy euclidean form (sqrt of the squared sums),
+                # exactly as the reference computes distances.
+                _ddh = (a_spt.h + cum[aaf][0]) - (d_spt.h + cum[f][0])
+                _ddw = (a_spt.w + cum[aaf][1]) - (d_spt.w + cum[f][1])
+                distance = math.sqrt(_ddh * _ddh + _ddw * _ddw)
                 if distance < candidate_radius:
                     pairs.append((a_spt, aaf, ah, aw, d_spt, f, dh, dw,
                                   distance))
