@@ -110,8 +110,10 @@ def detect_and_fit_batch(images, median_filter_size=5,
     # ~(r2 < thr), NOT (r2 >= thr): the reference's gate is "discard if
     # r_2 < threshold" (pflib.py:465-467), and a NaN R^2 (flat saturated
     # patch: ss_tot == ss_res == 0) fails that comparison — the fit is
-    # KEPT. consolidate treats NaN scores deterministically (never beaten,
-    # never beating), matching the isolated-spot reference outcome.
+    # KEPT. consolidate ranks NaN scores at -inf, so a NaN fit survives
+    # when isolated and loses to any rival (the reference's scan deletes
+    # exactly one member of every rival pair even under NaN comparisons;
+    # see ops/consolidate._score).
     passed = valid & ~(r2 < r_2_threshold)
     keep = jax.vmap(
         lambda ch, cw, r, p: consolidate(ch, cw, r, p,

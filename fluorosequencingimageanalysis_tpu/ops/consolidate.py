@@ -23,10 +23,25 @@ import jax.numpy as jnp
 from jax import lax
 
 
+def _score(r2, valid):
+    """Canonical ranking score: invalid AND NaN entries map to -inf.
+
+    NaN R^2 (flat/saturated patches, kept by the reference's fit filter)
+    compares false both ways under IEEE, which would make a NaN fit and
+    its rival mutually non-suppressing — but the reference's scan
+    (pflib.py:507-511) deletes exactly ONE member of any rival pair under
+    every dict order (a NaN comparison always takes the delete-self
+    branch). Ranking NaN at -inf (index tie-break) deterministically
+    picks the finite survivor — one of the reference's reachable
+    outcomes — and exactly one member of an all-NaN rival group.
+    """
+    neg_inf = jnp.array(-jnp.inf, r2.dtype)
+    return jnp.where(valid & ~jnp.isnan(r2), r2, neg_inf)
+
+
 def _rank(centers_h, centers_w, r2, valid):
     """Descending-r2 ordering (invalids last), shared by both backends."""
-    neg_inf = jnp.array(-jnp.inf, r2.dtype)
-    score = jnp.where(valid, r2, neg_inf)
+    score = _score(r2, valid)
     order = jnp.argsort(-score, stable=True)
     n = r2.shape[0]
     inv = jnp.zeros((n,), dtype=order.dtype).at[order].set(jnp.arange(n))
@@ -75,8 +90,7 @@ def consolidate(centers_h, centers_w, r2, valid, radius=4.0,
     # TPU sort + permutation gathers entirely. The barrier forces XLA to
     # materialize adj once instead of refusing the O(N^2) distance
     # computation into every while-loop round.
-    neg_inf = jnp.array(-jnp.inf, r2.dtype)
-    score = jnp.where(v, r2, neg_inf)
+    score = _score(r2, v)
     higher = (score[None, :] > score[:, None]) | \
         ((score[None, :] == score[:, None]) & (idx[None, :] < idx[:, None]))
     adj = (d2 <= r2_sq) & higher & v[None, :]

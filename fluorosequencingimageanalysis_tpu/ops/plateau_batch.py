@@ -25,13 +25,20 @@ Two scoring backends:
   selection, including mathematical ties (integer-valued photometries
   make exact score ties common).
 - ``scores='device'``: the jitted einsum scorer — the TPU path for very
-  large N. Segment means come from one matmul, so summation ORDER differs
-  from the host in the last ulp; on a mathematically tied pair of
-  segmentations the strict-> replay may therefore keep a different
-  equally-scoring fit than the reference (everything else, including the
-  single-plateau score — forced to its mathematically exact 0 — is
-  equivalent). Scores are chunked over rows; only (N, C) arrays ever
-  materialize.
+  large N. Scoring runs in float64 only when ``jax_enable_x64`` is set;
+  in the production TPU configuration (x64 unset — TPUs have no f64
+  units) it runs in float32. Rows are mean-centered on host in f64
+  first (R^2 and the downstep comparisons are shift-invariant), which
+  keeps the f32 scores at ~1e-6 relative accuracy at raw photometry
+  magnitudes instead of losing ~7 digits to cancellation — but
+  NEAR-TIED segmentations (within that error), not just mathematically
+  tied ones, may still select differently than the host under f32. In
+  f64 the divergence window is the last ulp (summation ORDER differs
+  from the host's, so exact mathematical ties may keep a different
+  equally-scoring fit; everything else, including the single-plateau
+  score — forced to its mathematically exact 0 — is equivalent). Use
+  the default ``'exact'`` whenever bit parity matters. Scores are
+  chunked over rows; only (N, C) arrays ever materialize.
 """
 
 from __future__ import annotations
@@ -125,11 +132,16 @@ def _scores_host(x, T, max_num_drops):
 def _scores_device(x, T, max_num_drops):
     """Device einsum scoring for one row chunk: (r2, downstep_ok).
 
-    The (N, C, T) fit tensor lives only inside the fusion (not an
-    output), so memory stays O(N*C). The single-segment combo's score is
-    forced to its mathematically exact 0 (fit == row mean implies
-    res == tot; einsum rounding would otherwise leave ~1e-16, which
-    flips the reference's adjusted-R^2 boundary at exactly -1).
+    ``x`` arrives mean-centered per row and in the compute dtype the
+    caller resolved explicitly (f64 under x64, f32 in production — see
+    _all_scores); R^2 and the segment-mean downstep comparisons are
+    shift-invariant, and centering is what keeps f32 scoring accurate at
+    raw photometry magnitudes. The (N, C, T) fit tensor lives only
+    inside the fusion (not an output), so memory stays O(N*C). The
+    single-segment combo's score is forced to its mathematically exact 0
+    (fit == row mean implies res == tot; einsum rounding would otherwise
+    leave ~1e-16, which flips the reference's adjusted-R^2 boundary at
+    exactly -1).
     """
     seg_id, n_segs = _combo_structure(T, max_num_drops)
     max_segs = int(seg_id.max()) + 1
@@ -156,19 +168,32 @@ def _scores_device(x, T, max_num_drops):
     return r2, downstep_ok
 
 
-def _all_scores(x, T, max_num_drops, scores, chunk=4096):
+def _all_scores(x, T, max_num_drops, scores, chunk=4096, dtype=None):
     """(r2 (N, C) float64, n_segs (C,), downstep_ok (N, C)) via the
-    selected backend; the device backend is row-chunked."""
+    selected backend; the device backend is row-chunked.
+
+    ``dtype`` pins the device compute dtype (tests force the production
+    float32 configuration under the x64-enabled suite); by default it is
+    resolved EXPLICITLY from ``jax_enable_x64`` rather than relying on
+    jnp.asarray's silent downcast. Rows are mean-centered on host in f64
+    before the cast — an identity for R^2 and the downstep comparisons —
+    so f32 scoring does not cancel away its mantissa on large-magnitude
+    photometries."""
     if scores == "exact":
         return _scores_host(x, T, max_num_drops)
     if scores != "device":
         raise ValueError("scores must be 'exact' or 'device'")
+    if dtype is None:
+        dtype = jnp.float64 if jax.config.read("jax_enable_x64") \
+            else jnp.float32
     _, n_segs = _combo_structure(T, max_num_drops)
+    xc = x - x.mean(axis=1, keepdims=True)
     r2_parts, ok_parts = [], []
     pending = []
     for lo in range(0, x.shape[0], chunk):
-        pending.append(_scores_device(jnp.asarray(x[lo:lo + chunk]), T,
-                                      max_num_drops))
+        pending.append(_scores_device(
+            jnp.asarray(xc[lo:lo + chunk], dtype=dtype), T,
+            max_num_drops))
     for r2_c, ok_c in pending:
         r2_parts.append(np.asarray(r2_c, dtype=np.float64))
         ok_parts.append(np.asarray(ok_c))

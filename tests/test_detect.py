@@ -171,6 +171,28 @@ def test_consolidate_fixpoint_equals_scan():
         assert not a[~np.asarray(valid)].any()
 
 
+def test_consolidate_nan_rival_pairs():
+    """NaN-R^2 fits rank at -inf: exactly one member of every rival pair
+    survives (the reference's scan deletes exactly one under ANY dict
+    order, pflib.py:507-511 — a NaN comparison takes the delete-self
+    branch), the finite member wins a NaN/finite pair, and an isolated
+    NaN fit is kept. Fixpoint and scan backends must agree. Regression:
+    NaN compared false both ways in the priority predicate, so a
+    NaN/finite rival pair kept BOTH spots."""
+    import jax.numpy as jnp
+    from fluorosequencingimageanalysis_tpu.ops.consolidate import (
+        consolidate, _consolidate_scan)
+    # [finite, NaN] rivals; [NaN, NaN] rivals; one isolated NaN.
+    ch = jnp.asarray([10.0, 11.0, 50.0, 51.0, 100.0])
+    cw = jnp.asarray([10.0, 11.0, 50.0, 51.0, 100.0])
+    r2 = jnp.asarray([0.9, np.nan, np.nan, np.nan, np.nan])
+    valid = jnp.ones(5, bool)
+    a = np.asarray(consolidate(ch, cw, r2, valid, radius=4.0))
+    b = np.asarray(_consolidate_scan(ch, cw, r2, valid, radius=4.0))
+    assert (a == b).all()
+    assert a.tolist() == [True, False, True, False, True]
+
+
 def test_hierarchical_extraction_equals_flat():
     """The two-stage blocked top-k extraction must select the same
     candidate set as the flat top_k, including the overflow fallback."""

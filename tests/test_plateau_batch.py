@@ -152,3 +152,45 @@ def test_device_scoring_single_plateau_exact_zero():
     r2, n_segs, _ = _all_scores(x, 3, 1, "device")
     single = [c for c, starts in enumerate(combos) if len(starts) == 1]
     assert (r2[:, single] == 0.0).all()
+
+
+def test_device_scoring_f32_production_configuration():
+    """The production configuration (jax_enable_x64 unset: TPUs have no
+    f64 units) scores in float32. With host-side f64 row centering the
+    f32 scores must stay within ~1e-5 of the exact host scores at raw
+    photometry magnitudes, and the selected fits must match the host on
+    non-tied data. Regression: the device backend silently downcast
+    uncentered f64 rows, cancelling ~7 digits at magnitude ~6e4 — and
+    only the x64 (test-suite) configuration was ever exercised."""
+    import jax
+    from fluorosequencingimageanalysis_tpu.ops.plateau_batch import (
+        _all_scores, plateau_fit_batched)
+
+    rng = np.random.default_rng(7)
+    T = 8
+    # Raw-magnitude stepped traces: the cancellation-prone regime.
+    levels = rng.integers(1, 4, 32)
+    x = np.empty((32, T))
+    for i in range(32):
+        drop = rng.integers(2, T - 1)
+        x[i, :drop] = 30000.0 * levels[i]
+        x[i, drop:] = 30000.0 * (levels[i] - 1)
+        x[i] += rng.normal(0, 400.0, T)
+    exact, _, ok_e = _all_scores(x, T, 2, "exact")
+    f32, _, ok_32 = _all_scores(x, T, 2, "device", dtype=np.float32)
+    finite = np.isfinite(exact)
+    assert (np.abs(f32 - exact)[finite] < 1e-5).all(), \
+        np.abs(f32 - exact)[finite].max()
+    assert (ok_e == ok_32).all()
+
+    # End-to-end under the REAL production dtype resolution: disable x64
+    # around the device-scored fit and require host-identical selection.
+    host_fits = plateau_fit_batched(x, 2, scores="exact")
+    jax.config.update("jax_enable_x64", False)
+    try:
+        dev_fits = plateau_fit_batched(x, 2, scores="device")
+    finally:
+        jax.config.update("jax_enable_x64", True)
+    for (hf, hr), (df, dr) in zip(host_fits, dev_fits):
+        assert hf == df
+        assert abs(hr - dr) < 1e-5
