@@ -28,6 +28,9 @@ from .config import PipelineConfig
 _NATIVE_STACK_DTYPES = ("float32", "uint8", "uint16", "int16", "int32")
 
 
+_SESSION_MESH = object()  # lazy "use the session mesh" default sentinel
+
+
 def _normalize_stack(stack):
     """Host-side dtype normalization for an image stack (see
     _NATIVE_STACK_DTYPES); jax.Arrays pass through untouched."""
@@ -156,8 +159,14 @@ class Pipeline:
         from .parallel.mesh import experiment_step_sharded, shard_fields
 
         stack = _normalize_stack(stack)
-        if stack.ndim != 4:
-            raise ValueError("stack must be [fields, cycles, H, W]")
+        if stack.ndim != 4 or stack.shape[0] == 0:
+            raise ValueError("stack must be a non-empty [fields, cycles, "
+                             f"H, W] array (got shape {stack.shape})")
+        if keys is not None:
+            # Materialize once: a one-shot iterable would be exhausted by
+            # the store key's sorted(keys) and then filter out EVERY
+            # output in compute(), caching an empty dict for this key.
+            keys = tuple(keys)
         det = self.config.detect
         reg = self.config.registration
         phot = self.config.photometry
@@ -427,6 +436,11 @@ class Pipeline:
         # MultifieldMultichannelSequenceExperiment.__init__); the CSV
         # frame header depends on it.
         stacks = {ch: _normalize_stack(s) for ch, s in stacks.items()}
+        for ch, s in stacks.items():
+            if s.ndim != 4 or s.shape[0] == 0:
+                raise ValueError(
+                    f"channel {ch!r}: stack must be a non-empty "
+                    f"[fields, cycles, H, W] array (got shape {s.shape})")
         cycle_counts = {s.shape[1] for s in stacks.values()}
         if len(cycle_counts) != 1:
             raise ValueError("every channel must have the same cycle "
@@ -643,7 +657,7 @@ class Pipeline:
 
     def run_timetrace(self, movie, csv_path=None, search_radius=3,
                       s_n_cutoff=3.0, max_candidates=None,
-                      photometry_min=None, mirror_start=None,
+                      photometry_min="config", mirror_start=None,
                       chung_kennedy=None, p_threshold=None,
                       include_step_fits=True, include_intermediates=True):
         """The movie workflow, one call: first-frame detect -> batched
@@ -667,9 +681,13 @@ class Pipeline:
                 intermediate columns).
             search_radius / s_n_cutoff: LC tracking parameters
                 (flexlibrary lc_create_traces defaults).
-            photometry_min / mirror_start / chung_kennedy / p_threshold:
-                step-fit chain parameters; None means
-                config.stepfit's values.
+            mirror_start / chung_kennedy / p_threshold: step-fit chain
+                parameters; None means config.stepfit's values.
+            photometry_min: floor applied to the per-frame photometries
+                before step fitting (flexlibrary stepfit_tracks'
+                photometry_min); defaults to
+                config.photometry.photometry_min, pass None to disable
+                flooring regardless of config.
 
         Returns a dict: traces {h, w, present, rec_h, rec_w},
         photometries (N, T), step_fits, step_fit_intermediates,
@@ -688,6 +706,8 @@ class Pipeline:
         chung_kennedy = (sf.chung_kennedy if chung_kennedy is None
                          else chung_kennedy)
         p_threshold = sf.p_threshold if p_threshold is None else p_threshold
+        if isinstance(photometry_min, str):  # the "config" sentinel
+            photometry_min = phot.photometry_min
 
         movie = _normalize_stack(movie)
         if movie.ndim != 3:
@@ -906,10 +926,16 @@ class Pipeline:
         """
         ln = self.config.lognormal
         if quench_factors is None:
-            quench_factors = (0.0,) * (ln.max_possible + 2)
+            # config.lognormal.quench_factors when set, else no quenching
+            # (the reference's quench_factor=0 default).
+            quench_factors = (tuple(ln.quench_factors) or
+                              (0.0,) * (ln.max_possible + 2))
         # mesh=None in kwargs opts out of mesh sharding; default is the
-        # session mesh.
-        mesh = kwargs.pop("mesh", self.mesh)
+        # session mesh, resolved LAZILY so an explicit opt-out never
+        # triggers device discovery.
+        mesh = kwargs.pop("mesh", _SESSION_MESH)
+        if mesh is _SESSION_MESH:
+            mesh = self.mesh
         with self._stage("api/fluor_counts"):
             if isinstance(tracks, str):
                 from .inference.lognormal import lognormal_fit_v8_from_csv
@@ -1059,15 +1085,23 @@ class Pipeline:
 
     def simulate_signals(self, peptides, p, b, u, windows, sample_size=100,
                          random_seed=None):
-        """Monte-Carlo signal trie (native C++ sampler when available)."""
+        """Monte-Carlo signal trie (native C++ sampler when available).
+
+        Availability is probed explicitly (``have_native()``) rather than
+        by catching exceptions from the native call: a runtime error from
+        the native sampler is a real bug/input problem and must surface,
+        not silently rerun on the Python fallback with a different RNG
+        stream."""
         with self._stage("api/simulate_signals"):
             try:
-                from .native import monte_carlo_trie_native
+                from .native import have_native, monte_carlo_trie_native
+            except ImportError:
+                have_native = None
+            if have_native is not None and have_native():
                 return monte_carlo_trie_native(
                     peptides, p, b, u, windows, sample_size=sample_size,
                     random_seed=random_seed)
-            except Exception:
-                from .sim.signals import monte_carlo_trie
-                return monte_carlo_trie(peptides, p, b, u, windows,
-                                        sample_size=sample_size,
-                                        random_seed=random_seed)
+            from .sim.signals import monte_carlo_trie
+            return monte_carlo_trie(peptides, p, b, u, windows,
+                                    sample_size=sample_size,
+                                    random_seed=random_seed)

@@ -126,7 +126,11 @@ def main(argv=None):
 
     on_offs = jd.grab_ON_OFFS(original_all_fit_info, alpha_adjust=0)
 
-    if not args.no_adjustment and on_offs:
+    # Unconditional like the reference (lognormal_fitter_v2.py:187-193):
+    # with empty ON_OFFS the adjustment is a no-op that passes the RAW
+    # (un-alpha-adjusted) photometries through — the else branch is only
+    # for --no_adjustment.
+    if not args.no_adjustment:
         adj_photometries = jd.ON_OFF_adjust_photometries(
             photometries=photometries, ON_OFFS=on_offs, alpha=alpha)
     else:

@@ -227,3 +227,97 @@ def test_fluor_counts_csv_channel_filter(tmp_path):
         only, beta=beta, beta_sigma=0.2)
     assert total2 == total and signals2 == signals
     assert [i[:4] for i in info2] == [i[:4] for i in info]
+
+
+def test_run_stack_one_shot_keys_iterable(tmp_path):
+    """keys may be a one-shot iterable: it must be materialized before
+    the store key consumes it. Regression: sorted(keys) drained the
+    iterator, compute() filtered out every output, and an EMPTY dict was
+    cached under the same key later list-callers compute."""
+    from fluorosequencingimageanalysis_tpu.utils.checkpoint import \
+        ArtifactStore
+    from fluorosequencingimageanalysis_tpu.parallel.mesh import make_mesh
+    store = ArtifactStore(str(tmp_path / "store"), use_orbax=False)
+    pipe = Pipeline(mesh=make_mesh(1), store=store)
+    stack = _stack()
+    out = pipe.run_stack(stack, max_candidates=64,
+                         keys=iter(["spot_h", "keep"]))
+    assert set(out.keys()) == {"spot_h", "keep"}
+    # The cached entry serves the equivalent list-keys call.
+    out2 = pipe.run_stack(stack, max_candidates=64, keys=["spot_h", "keep"])
+    assert set(out2.keys()) == {"spot_h", "keep"}
+    np.testing.assert_array_equal(out["spot_h"], out2["spot_h"])
+
+
+def test_empty_field_stacks_raise_loudly():
+    """Zero-field stacks raise a clear ValueError instead of an opaque
+    IndexError deep in the group generator."""
+    from fluorosequencingimageanalysis_tpu.parallel.mesh import make_mesh
+    pipe = Pipeline(mesh=make_mesh(1))
+    empty = np.zeros((0, 4, 64, 64), np.float32)
+    with pytest.raises(ValueError, match="non-empty"):
+        pipe.run_stack(empty)
+    with pytest.raises(ValueError, match="non-empty"):
+        pipe.run_experiment(empty)
+
+
+def test_fluor_counts_honors_config_quench_factors(tmp_path):
+    """config.lognormal.quench_factors must reach the fit when the call
+    omits quench_factors (it was silently replaced by zeros)."""
+    import csv
+    import math
+    from fluorosequencingimageanalysis_tpu.config import LognormalConfig
+
+    beta = 30000.0
+    path = str(tmp_path / "tracks.csv")
+    rng = np.random.default_rng(5)
+    with open(path, "w", newline="") as fh:
+        w = csv.writer(fh)
+        w.writerow(["CHANNEL", "FIELD", "H", "W", "CATEGORY"] +
+                   [f"FRAME {i}" for i in range(4)])
+        for t in range(6):
+            seq = (1, 1, 0, 0)
+            ints = [int(rng.lognormal(math.log(2 * beta), 0.1)) if v
+                    else int(abs(rng.normal(300, 50))) for v in seq]
+            w.writerow(["ch1", 0, 10 + t, 20,
+                        str(tuple(bool(v) for v in seq))] + ints)
+
+    # Strong quenching shifts every expected log-intensity, changing the
+    # decoded signals/fit info vs the zero-quench default
+    # (quench_factors[i] quenches count i+1: MCsimlib.py:5514-5516).
+    q = (0.0, 1.5, 1.5, 1.5, 1.5, 1.5, 1.5)
+    cfg = PipelineConfig(lognormal=LognormalConfig(quench_factors=q))
+    base = Pipeline().fluor_counts(path, beta=beta, beta_sigma=0.2,
+                                   mesh=None)
+    via_cfg = Pipeline(cfg).fluor_counts(path, beta=beta, beta_sigma=0.2,
+                                         mesh=None)
+    explicit = Pipeline().fluor_counts(path, beta=beta, beta_sigma=0.2,
+                                       quench_factors=q, mesh=None)
+    assert via_cfg[3] == explicit[3]
+    assert via_cfg[3] != base[3]
+
+
+def test_run_timetrace_honors_config_photometry_min():
+    """config.photometry.photometry_min must floor the timetrace
+    photometries (the documented fallback silently did nothing)."""
+    from fluorosequencingimageanalysis_tpu.config import PhotometryConfig
+
+    rng = np.random.default_rng(1)
+    T, H, W = 6, 64, 64
+    movie = rng.normal(400.0, 5.0, (T, H, W)).astype(np.float32)
+    hh, ww = np.mgrid[0:H, 0:W].astype(np.float64)
+    movie += (3000.0 * np.exp(-(((hh - 30.0) ** 2) + ((ww - 32.0) ** 2)) /
+                              (2 * 1.3 ** 2))).astype(np.float32)[None]
+    floor = 1e7  # above every raw photometry: flooring is unmistakable
+    cfg = PipelineConfig(photometry=PhotometryConfig(photometry_min=floor))
+    out = Pipeline(cfg).run_timetrace(movie, max_candidates=32,
+                                      include_step_fits=False,
+                                      include_intermediates=False)
+    assert out["trace_count"] >= 1
+    assert (out["photometries"] >= floor).all()
+    # Explicit None disables flooring regardless of config.
+    out2 = Pipeline(cfg).run_timetrace(movie, max_candidates=32,
+                                       photometry_min=None,
+                                       include_step_fits=False,
+                                       include_intermediates=False)
+    assert (out2["photometries"] < floor).any()
