@@ -56,6 +56,17 @@ _KEY_M = np.int64(1 << 21)
 
 def _pack_spot_keys(img, rh, rw):
     img = np.asarray(img, np.int64)
+    rh = np.asarray(rh)
+    rw = np.asarray(rw)
+    # Collision-freedom needs |rh|, |rw| < 2^20. Bounded LM centers live
+    # within half a pixel of their candidate (and the MC fitter within
+    # ~2.5 px), so this cannot trip on real fits — but enforce it loudly
+    # rather than silently aliasing keys across images if a future fit
+    # path ever emits a wild quirk-kept coordinate.
+    if rh.size and (max(np.abs(rh).max(), np.abs(rw).max()) >=
+                    int(_KEY_SHIFT)):
+        raise ValueError("spot coordinate exceeds the 2^20 key packing "
+                         "range — wild fit center?")
     return (img * _KEY_M + (rh + _KEY_SHIFT)) * _KEY_M + (rw + _KEY_SHIFT)
 
 
@@ -92,8 +103,13 @@ def _spot_lists(out, F, C, H, W, spot_size=5, with_values=False):
         h0 = np.asarray(out["spot_h"])[fi, ci, si]
         w0 = np.asarray(out["spot_w"])[fi, ci, si]
         cand = np.asarray(out["spot_cand_idx"])[fi, ci, si]
-        rh = _py2_round_arr(h0)
-        rw = _py2_round_arr(w0)
+        # Round in float64 like the class path's int(py2_round(float(h)))
+        # and the compact device path (py2_round_device_i32, bit-matched
+        # to host float64): f32 `x + 0.5` can round a just-below-half
+        # center UP at the tie (e.g. 0.49999997), flipping the integer
+        # identity of knife-edge spots.
+        rh = _py2_round_arr(h0.astype(np.float64))
+        rw = _py2_round_arr(w0.astype(np.float64))
         # Spot.__init__ validity: plain 5x5 fit on the rounded center,
         # or the reference's buggy fallback that lets an out-of-box spot
         # through unless (h_0 outside AND w_0 inside).
@@ -306,8 +322,7 @@ def _fill_traces(pos, present, cum, frame_shape, spot_radius=2,
                    np.where(has_n[:, :, None], val_interior, val_tail),
                    val_head)
     filled_f = np.where(present[:, :, None], pos.astype(np.float64), val)
-    filled = np.where(filled_f >= 0, np.floor(filled_f + 0.5),
-                      np.ceil(filled_f - 0.5)).astype(np.int64)
+    filled = _py2_round_arr(filled_f)
     # Present frames keep their exact integer positions.
     filled = np.where(present[:, :, None], pos, filled)
 

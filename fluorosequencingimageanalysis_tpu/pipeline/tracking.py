@@ -87,7 +87,13 @@ def discard_dropouts(spots, spot_cumulative_offsets, frame_cumulative_offsets,
 
 
 def _py2_round_array(x):
-    """Vectorized Python-2 rounding (halves away from zero)."""
+    """Vectorized Python-2 rounding (halves away from zero).
+
+    Always computes in float64 — the host contract is
+    int(py2_round(float(h))), and f32 `x + 0.5` can round a
+    just-below-half value UP at the tie (e.g. f32 0.49999997 + 0.5 ==
+    1.0), flipping the integer identity of knife-edge centers."""
+    x = np.asarray(x, np.float64)
     return np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5)).astype(
         np.int64)
 

@@ -724,3 +724,33 @@ def test_run_experiment_warns_on_candidate_overflow(caplog):
                          logger="fluorosequencingimageanalysis_tpu.api"):
         Pipeline().run_experiment(stack, max_candidates=8)
     assert any("max_candidates" in r.message for r in caplog.records)
+
+
+def test_py2_round_array_f32_knife_edge():
+    """_py2_round_array must round in float64 regardless of input dtype:
+    f32 `x + 0.5` rounds the just-below-half center 0.49999997 UP at the
+    f32 tie, while the host contract int(py2_round(float(x))) gives 0.
+    Regression: the float-bucket _spot_lists fallback rounded f32 centers
+    in f32, flipping knife-edge spot identities vs the compact path."""
+    x32 = np.float32(0.49999997)
+    assert float(np.float32(x32 + np.float32(0.5))) == 1.0  # the f32 trap
+    got = tracking._py2_round_array(np.asarray([x32], np.float32))
+    assert got.tolist() == [0]
+    assert int(tracking._py2_round(float(x32))) == 0
+    # Negative mirror and exact halves keep Py2 away-from-zero semantics.
+    vals = np.asarray([-0.5, 0.5, 1.5, -1.5, 2.49999988], np.float32)
+    assert tracking._py2_round_array(vals).tolist() == [-1, 1, 2, -2, 2]
+
+
+def test_pack_spot_keys_rejects_wild_coordinates():
+    """Coordinates at/above the 2^20 packing range must raise instead of
+    silently aliasing keys across images."""
+    from fluorosequencingimageanalysis_tpu.pipeline.fast_experiment import (
+        _pack_spot_keys)
+    ok = _pack_spot_keys(np.asarray([0]), np.asarray([5]), np.asarray([7]))
+    clash = _pack_spot_keys(np.asarray([1]), np.asarray([5]),
+                            np.asarray([7]))
+    assert ok[0] != clash[0]
+    with pytest.raises(ValueError, match="key packing"):
+        _pack_spot_keys(np.asarray([0]), np.asarray([(1 << 20) + 5]),
+                        np.asarray([7]))
