@@ -7,10 +7,13 @@ array programs: one experiment is a ``f32[fields, cycles, H, W]`` stack,
 sharded across an ICI mesh on two axes:
 
 - ``data``: fields — embarrassingly parallel, no cross-field communication;
-- ``model``: the per-field candidate bucket of the batched LM fit — the
-  FLOP-heavy stage — so a single hot field's fits also spread across chips
-  (the reference's load-balancer exists only because of MIMD raggedness;
-  under SIMD padding every field costs the same).
+- ``model``: extra parallelism for the detection + LM fit, the FLOP-heavy
+  stage. On a 1-field-shard mesh GSPMD shards the candidate bucket axis
+  over 'model'; on multi-chip data meshes the flattened (field, cycle)
+  image batch itself shards over BOTH axes (each chip detects a distinct
+  image subset), so 'model' devices never recompute another chip's fits.
+  (The reference's load-balancer exists only because of MIMD raggedness;
+  under SIMD padding every field costs the same.)
 
 XLA inserts the (minimal) collectives; the only cross-device data motion is
 the resharding around the fit stage and the final gather of fitted
@@ -66,35 +69,56 @@ def experiment_step_sharded(stack, mesh, median_filter_size=5, c_std=2.0,
                             r_2_threshold=0.7, consolidation_radius=4.0,
                             max_candidates=256, max_spots=None,
                             num_iters=30, theta_starts=1, use_pallas=None,
-                            upsample_factor=10,
+                            upsample_factor=20,
                             photometry_method="mexican_hat",
                             photometry_radius=9, photometry_brim=6,
                             photometry_min=None, gather_strategy="gather"):
     """One full experiment step over a [fields, cycles, H, W] stack.
 
     Stages (all inside one jitted program, partitioned over the mesh):
-      1. registration: phase-correlate consecutive cycles per field,
+      1. registration: phase-correlate consecutive cycles per field
+         (upsample_factor default 20 = the reference experiment
+         configuration, flexlibrary.py:1735-1739),
       2. detection + batched LM PSF fit on every (field, cycle) image
          (median_filter_size/c_std/r_2_threshold/consolidation_radius/
          theta_starts plumb straight into models.detect.detect_and_fit_batch),
       3. compaction of surviving spots into a [max_spots] bucket,
       4. photometry at the surviving spots only (photometry_method one of
-         'mexican_hat', 'simple', 'maximum', 'gaussian_volume'; a
-         photometry_min floor is applied when set, flexlibrary.py:3471).
+         'mexican_hat', 'simple', 'maximum', 'gaussian_volume', 'sigmas';
+         a photometry_min floor is applied when set, flexlibrary.py:3471
+         — with the reference's max(photometry_min, rp) semantics, so a
+         NaN photometry floors to photometry_min).
+
+    Multi-chip precondition: when the mesh's 'data' axis has more than one
+    device, F*C must divide evenly by the data-axis size (by data*model
+    when both axes are multi-device and F*C permits) — api.Pipeline pads
+    the fields axis for callers; direct callers must pad themselves.
 
     Returns a dict of sharded arrays:
       offsets_h/w:   [F, C] per-cycle offsets
       params:        [F, C, K, 7] PSF fits
       keep:          [F, C, K] surviving-fit mask
+      center_h/w:    [F, C, K] fitted centers in image coordinates
       cand_count:    [F, C] true candidate count (> max_candidates means
                      the weakest candidates were dropped)
-      spot_h/w:      [F, C, S] compacted surviving-spot centers
+      spot_h/w:      [F, C, S] compacted surviving-spot centers (float)
+      spot_cand_idx: [F, C, S] int32 candidate index of each bucket slot
       spot_valid:    [F, C, S]
+      spot_rh/rw:    [F, C, S] int16 Py2-rounded centers (the
+                     transfer-lean tracking identity; bit-matched to the
+                     host float64 py2_round)
+      spot_state:    [F, C, S] int8: 0 empty, 1 valid-but-Spot-rejected,
+                     2 tracked, 3 wild (non-finite or non-int16
+                     center on a kept fit — consumers must raise, like
+                     the reference's int(py2_round(nan)))
+      spot_cand_c:   [F, C, S] spot_cand_idx narrowed to int16 when
+                     max_candidates permits (the compact download)
       spot_count:    [F, C] surviving-fit count (> max_spots means the
                      lowest-R^2 survivors were dropped from the bucket —
                      never silently: check spot_overflow)
       spot_overflow: [F, C] bool, spot_count > max_spots
-      photometry:    [F, C, S] photometries at the kept spots
+      photometry:    [F, C, S] photometries at the kept spots (0 in
+                     empty slots)
       photometry_interior: [F, C, S] bool — False where the spot sits
                      within the photometry window radius of the frame
                      border, so the static-shape kernel measured a
@@ -122,16 +146,20 @@ def experiment_step_sharded(stack, mesh, median_filter_size=5, c_std=2.0,
         lambda frames: phase_correlate_stack(frames, upsample_factor))(stack)
 
     # 2. Detection + fit, batched over all (field, cycle) images in ONE
-    # lane-major LM call; the candidate bucket axis is sharded over
-    # 'model' so the LM FLOPs spread across the second mesh axis as well.
-    # On multi-chip meshes detection runs under shard_map over 'data'
-    # (fields are independent, so each chip detects its own shard — this is
-    # also how the fused Pallas kernel partitions, since custom calls are
-    # not auto-partitionable by GSPMD).
+    # lane-major LM call. On multi-chip meshes detection runs under
+    # shard_map with the flattened image batch sharded over BOTH mesh
+    # axes when F*C divides evenly (each chip fits a DISTINCT image
+    # subset — a 'model'-axis device never recomputes another chip's
+    # detection), falling back to 'data'-only sharding (images
+    # replicated over 'model') otherwise. shard_map rather than GSPMD
+    # because the fused Pallas candidate kernel is a custom call, which
+    # GSPMD cannot auto-partition. On a single-data-shard mesh GSPMD
+    # shards the candidate bucket axis of the fit over 'model' instead.
     imgs = stack.reshape(F * C, H, W)
     if use_pallas is None:
         use_pallas = jax.default_backend() in ("tpu", "axon")
     n_data = mesh.shape["data"]
+    n_model = mesh.shape["model"]
 
     def detect_shard(im):
         return detect_and_fit_batch(
@@ -152,11 +180,14 @@ def experiment_step_sharded(stack, mesh, median_filter_size=5, c_std=2.0,
         _kw = ("check_vma" if "check_vma" in
                inspect.signature(shard_map).parameters else "check_rep")
 
+        axes = (("data", "model")
+                if n_model > 1 and (F * C) % (n_data * n_model) == 0
+                else "data")
         example = jax.eval_shape(detect_shard, imgs)
         out_specs = jax.tree_util.tree_map(
-            lambda s: P(*(["data"] + [None] * (len(s.shape) - 1))), example)
+            lambda s: P(*([axes] + [None] * (len(s.shape) - 1))), example)
         res = shard_map(detect_shard, mesh=mesh,
-                        in_specs=P("data", None, None),
+                        in_specs=P(axes, None, None),
                         out_specs=out_specs, **{_kw: False})(imgs)
     else:
         res = detect_shard(imgs)
@@ -215,9 +246,20 @@ def experiment_step_sharded(stack, mesh, median_filter_size=5, c_std=2.0,
     in_h = (sh >= r_box) & (sh < H - r_box)
     in_w = (sw >= r_box) & (sw < W - r_box)
     quirk_keep = ok_plain | ~(~in_h & in_w)
-    # 0 = empty bucket slot, 1 = valid but Spot-rejected, 2 = tracked.
+    # 0 = empty bucket slot, 1 = valid but Spot-rejected, 2 = tracked,
+    # 3 = wild: a kept fit whose center is non-finite or outside int16
+    # range. int(py2_round(nan)) raises in the reference; narrowing such
+    # a center to int16 would instead WRAP it into a valid-looking
+    # coordinate (NaN -> i32 INT_MIN -> i16 0), silently tracking a
+    # phantom spot at (0, 0). Consumers of the compact layout must raise
+    # on state 3 (fast_experiment._spot_lists does).
+    wild = (~(jnp.isfinite(sh) & jnp.isfinite(sw)) |
+            (jnp.abs(rh_i) > 0x7FFF) | (jnp.abs(rw_i) > 0x7FFF))
+    rh_i = jnp.where(wild, 0, rh_i)
+    rw_i = jnp.where(wild, 0, rw_i)
     spot_state = (spot_valid.astype(jnp.int8) *
                   (1 + quirk_keep.astype(jnp.int8)))
+    spot_state = jnp.where(wild & spot_valid, jnp.int8(3), spot_state)
     cand_dtype = jnp.int16 if max_candidates <= 0x7FFF else jnp.int32
 
     # 4. Photometry at the (rounded) kept-spot centers.
@@ -273,8 +315,16 @@ def experiment_step_sharded(stack, mesh, median_filter_size=5, c_std=2.0,
                 return phot_ops.maximum_batch(img, hs, ws, radius=5)
         phot = jax.vmap(phot_one)(imgs, rch, rcw)
     if photometry_min is not None:
-        phot = jnp.maximum(phot, photometry_min)
-    phot = phot.reshape(F, C, max_spots) * spot_valid.reshape(F, C, -1)
+        # The reference floors via max(photometry_min, rp)
+        # (flexlibrary.py:1375-1376): Python max returns photometry_min
+        # whenever rp > photometry_min is False — INCLUDING rp = NaN.
+        # jnp.maximum would propagate the NaN instead.
+        phot = jnp.where(phot > photometry_min, phot, photometry_min)
+    # Zero empty bucket slots with a select, not a multiply: NaN * 0 is
+    # NaN under IEEE (the CPU backend), leaking fit garbage into slots
+    # the contract says are zeroed.
+    phot = jnp.where(spot_valid.reshape(F, C, -1),
+                     phot.reshape(F, C, max_spots), 0.0)
 
     return {
         "offsets_h": off_h, "offsets_w": off_w,

@@ -92,6 +92,15 @@ def _spot_lists(out, F, C, H, W, spot_size=5, with_values=False):
         # quirk into spot_state (0 empty, 1 valid-but-rejected,
         # 2 tracked) — int16/int8 downloads instead of float32.
         state = np.asarray(out["spot_state"])
+        if (state == 3).any():
+            # The device step flags kept fits whose center is non-finite
+            # or beyond int16 as state 3 instead of wrapping them into
+            # valid-looking coordinates; the reference's
+            # int(py2_round(h)) raises on the same input
+            # (flexlibrary.py:90-101).
+            raise ValueError(
+                "non-finite or wild fitted center on a kept spot "
+                "(spot_state == 3) — the reference would raise here")
         fi, ci, si = np.nonzero(state)
         rh = np.asarray(out["spot_rh"])[fi, ci, si].astype(np.int64)
         rw = np.asarray(out["spot_rw"])[fi, ci, si].astype(np.int64)

@@ -264,3 +264,64 @@ def test_experiment_step_max_spots_validation():
         with pytest.raises(ValueError, match="max_spots"):
             experiment_step_sharded(x, mesh, max_candidates=4,
                                     max_spots=16, num_iters=8)
+
+
+def test_experiment_step_2d_mesh_joint_image_sharding():
+    """With F*C divisible by data*model the flattened image batch shards
+    over BOTH axes (no 'model'-axis device recomputes detection), and
+    results still match the 1-device run. F=6, C=4 -> 24 images over a
+    4x2 mesh (divisible by 8 but NOT by... 24 % 8 == 0: joint path)."""
+    stack = _stack(F=6, C=4)
+    out1 = experiment_step_sharded(jnp.asarray(stack), make_mesh(1),
+                                   max_candidates=64, num_iters=20,
+                                   upsample_factor=5)
+    mesh = make_mesh(8, data_axis=4, model_axis=2)
+    # F=6 doesn't divide data_axis=4 for shard_fields... use F sharding
+    # that works: fields axis must split over 'data' (6 % 4 != 0), so
+    # replicate-free placement needs F % n_data == 0 — use plain
+    # device_put of the full array under the mesh instead.
+    x = jnp.asarray(stack)
+    with mesh:
+        out = experiment_step_sharded(x, mesh, max_candidates=64,
+                                      num_iters=20, upsample_factor=5)
+    np.testing.assert_allclose(np.asarray(out1["params"]),
+                               np.asarray(out["params"]),
+                               rtol=1e-4, atol=1e-4)
+    assert (np.asarray(out1["keep"]) == np.asarray(out["keep"])).all()
+
+
+def test_experiment_step_photometry_min_floor_and_zero_slots():
+    """photometry_min floors every VALID slot (reference
+    max(photometry_min, rp) semantics) and empty bucket slots stay
+    exactly 0 — selects, not multiplies, so NaN can never leak."""
+    stack = _stack(F=2)
+    mesh = make_mesh(1)
+    floor = 1e9  # above every planted photometry: flooring unmistakable
+    out = experiment_step_sharded(jnp.asarray(stack), mesh,
+                                  max_candidates=64, num_iters=20,
+                                  upsample_factor=5, photometry_min=floor)
+    phot = np.asarray(out["photometry"])
+    valid = np.asarray(out["spot_valid"])
+    assert valid.any()
+    assert (phot[valid] >= floor).all()
+    assert (phot[~valid] == 0.0).all()
+    assert np.isfinite(phot).all()
+
+
+def test_spot_lists_raises_on_wild_state():
+    """The compact-layout consumer must raise on spot_state == 3 (wild
+    center) like the reference's int(py2_round(nan))."""
+    import pytest
+    from fluorosequencingimageanalysis_tpu.pipeline.fast_experiment import (
+        _spot_lists)
+    F, C, S = 1, 2, 4
+    out = {
+        "spot_state": np.zeros((F, C, S), np.int8),
+        "spot_rh": np.zeros((F, C, S), np.int16),
+        "spot_rw": np.zeros((F, C, S), np.int16),
+        "spot_cand_c": np.zeros((F, C, S), np.int16),
+    }
+    out["spot_state"][0, 0, 0] = 2
+    out["spot_state"][0, 1, 1] = 3  # wild
+    with pytest.raises(ValueError, match="wild|non-finite"):
+        _spot_lists(out, F, C, 64, 64)
