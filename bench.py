@@ -1,13 +1,17 @@
 #!/usr/bin/env python
 """Benchmarks: the detect step AND the full experiment, per chip.
 
-Prints FIVE JSON lines; the driver parses the LAST one (the headline):
+Prints SIX JSON lines; the driver parses the LAST one (the headline):
 
   {"metric": "experiment_fields_per_sec", ...}        <- config 4 (full
       multi-field multi-cycle experiment: registration + detect/fit +
       tracking + trace interpolation + categories + track-photometries
       rows, via api.Pipeline.run_experiment at 32 fields x 8 cycles,
       ~2k spots/field, raw uint16 frames)
+  {"metric": "zstack_frames_per_sec", ...}            <- config 2 (z/time
+      stack: per-frame SExtractor mesh background estimation +
+      subtraction + batched multi-spot PSF fits, via
+      api.Pipeline.run_zstack at 32 512x512 uint16 frames)
   {"metric": "stepfit_traces_per_sec", ...}           <- config 3 (the
       timetrace step-fitting chain: Chung-Kennedy + sliding-t + refit +
       t-test merge, 4096 traces x 100 frames)
@@ -596,6 +600,72 @@ def bench_v8(T=100_000, F=12, K=5, beta_sigma=0.2, host_sample=150):
     return T / dt, 1.0 / host_dt
 
 
+def make_zstack(T=32, H=512, W=512, n_spots=800, seed=4):
+    """Config-2 workload (BASELINE.json): one field over a z/time axis —
+    a smooth, slowly-varying nonuniform background (the thing the
+    SExtractor mesh estimator exists to remove) + persistent PSF spots,
+    emitted as raw uint16 camera frames."""
+    rng = np.random.default_rng(seed)
+    yy, xx = np.indices((H, W)).astype(np.float32)
+    base = (600 + 0.4 * yy + 0.25 * xx
+            + 120 * np.exp(-(((yy - 200) ** 2 + (xx - 300) ** 2)
+                             / (2 * 150.0 ** 2))))
+    pos = rng.uniform(16, H - 16, (n_spots, 2)).astype(np.float32)
+    amp = rng.uniform(1500, 4000, n_spots).astype(np.float32)
+    field = np.zeros((H, W), np.float32)
+    for h, w, a in zip(pos[:, 0], pos[:, 1], amp):
+        lo_h, hi_h = max(0, int(h) - 6), min(H, int(h) + 7)
+        lo_w, hi_w = max(0, int(w) - 6), min(W, int(w) + 7)
+        field[lo_h:hi_h, lo_w:hi_w] += a * np.exp(
+            -(((yy[lo_h:hi_h, lo_w:hi_w] - h) ** 2) +
+              ((xx[lo_h:hi_h, lo_w:hi_w] - w) ** 2)) / (2 * 1.3 ** 2))
+    stack = np.empty((T, H, W), np.float32)
+    for t in range(T):
+        stack[t] = (base * (1.0 + 0.05 * np.sin(t / 4.0)) + field
+                    + rng.normal(0, 6, (H, W)))
+    return np.clip(stack, 0, 65535).astype(np.uint16)
+
+
+def bench_zstack(T=32, iters=3, max_fits=400):
+    """Config 2: per-frame background estimation + subtraction + batched
+    multi-spot PSF fits over a z/time stack, end-to-end through
+    api.Pipeline.run_zstack (raw uint16 upload -> device background +
+    detect + fit -> spot-bucket fetch).
+
+    CPU equivalent charged per frame: our vectorized host SExtractor
+    background (pipeline.spots._mesh_background — conservative: it is
+    the fast host implementation, not photutils' python setup) + the
+    scipy-equivalent per-candidate bounded LM fit loop on the
+    background-subtracted frame (bench_cpu_reference, fit cost scaled
+    from max_fits sampled fits)."""
+    from fluorosequencingimageanalysis_tpu.api import Pipeline
+    from fluorosequencingimageanalysis_tpu.pipeline.spots import \
+        _mesh_background
+
+    stack = make_zstack(T)
+    pipe = Pipeline()
+    # 8192 covers every candidate the noise floor raises (~6.8k/frame):
+    # the CPU equivalent below is charged for ALL of them, so the device
+    # path must fit all of them too (a 2048 bucket measures ~2x faster
+    # but silently drops the weakest 70%).
+    pipe.run_zstack(stack, max_candidates=8192)  # compile + warm
+    best = float("inf")
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        pipe.run_zstack(stack, max_candidates=8192)
+        best = min(best, time.perf_counter() - t0)
+    frames_per_sec = T / best
+
+    f0 = stack[0].astype(np.float64)
+    t0 = time.perf_counter()
+    bg = _mesh_background(f0, 10, 10)
+    bg_dt = time.perf_counter() - t0
+    fit_dt, n_cands = bench_cpu_reference(
+        (f0 - bg).astype(np.float32), max_fits=max_fits)
+    cpu_frames_per_sec = 1.0 / (bg_dt + fit_dt)
+    return frames_per_sec, cpu_frames_per_sec, n_cands
+
+
 def measure_link_bandwidth(mb=32, iters=3):
     """Host->device upload bandwidth (MB/s) of this session's link.
 
@@ -657,6 +727,18 @@ def main():
             exp_fields_per_sec * cpu_ref_est_seconds, 1),
         "rows": n_rows,
         "stages_sec": stages,
+    }))
+
+    # Config 2: z/time-stack background estimation + batched PSF fits.
+    z_fps, z_cpu_fps, z_cands = bench_zstack()
+    print(json.dumps({
+        "metric": "zstack_frames_per_sec",
+        "value": round(z_fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(z_fps / z_cpu_fps, 1),
+        "link_MBps": round(link_mbps, 1),
+        "shape": f"T=32 512x512 frames, ~{z_cands} candidates/frame "
+                 "(sextractor background + subtract + detect + PSF fits)",
     }))
 
     # Config 3: step fitting over many timetrace traces. vs_baseline is

@@ -22,6 +22,7 @@ Raw uint16 images upload as-is and cast on device.
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import json
 import os
 import pickle
@@ -352,6 +353,62 @@ def _cmd_detect(args):
                                               args.images))) else 1
 
 
+def _cmd_zstack(args):
+    """Background estimation + batched PSF fits over a z/time stack
+    (BASELINE config 2): per-frame SExtractor mesh backgrounds estimated
+    and subtracted on device, then one batched detect + fit program over
+    all frames (api.Pipeline.run_zstack). Writes a per-spot CSV and,
+    optionally, the background maps as .npy."""
+    import csv as csv_module
+
+    from .api import Pipeline
+    from .config import DetectConfig, PipelineConfig
+    from .utils.imageio import read_image_array
+
+    if len(args.frames) == 1 and args.frames[0].endswith(".npy"):
+        stack = np.load(args.frames[0])
+        if stack.ndim != 3:
+            raise SystemExit("--frames .npy must hold a [T, H, W] stack")
+    else:
+        stack = np.stack([read_image_array(p) for p in args.frames])
+    overrides = {}
+    if args.max_candidates is not None:
+        overrides["max_candidates"] = args.max_candidates
+    if args.c_std is not None:
+        overrides["c_std"] = args.c_std
+    if args.r2_threshold is not None:
+        overrides["r_2_threshold"] = args.r2_threshold
+    det = dataclasses.replace(DetectConfig(), **overrides)
+    store = None
+    if args.store:
+        from .utils.checkpoint import ArtifactStore
+        store = ArtifactStore(args.store)
+    pipe = Pipeline(PipelineConfig(detect=det), store=store)
+    out = pipe.run_zstack(stack, box_size=args.box_size,
+                          filter_size=args.filter_size,
+                          return_background=args.background_npy is not None)
+    if args.background_npy is not None:
+        np.save(args.background_npy, out["background"])
+    n_spots = 0
+    with open(args.output, "w", newline="") as fh:
+        w = csv_module.writer(fh)
+        w.writerow(["FRAME", "H", "W", "AMPLITUDE", "SIGMA_H", "SIGMA_W",
+                    "THETA", "RMSE", "R_2", "S_N"])
+        for t in range(stack.shape[0]):
+            for i in np.nonzero(out["keep"][t])[0]:
+                p = out["params"][t, i]
+                w.writerow([t, out["center_h"][t, i], out["center_w"][t, i],
+                            p[1], p[4], p[5], p[6], out["rmse"][t, i],
+                            out["r2"][t, i], out["s_n"][t, i]])
+                n_spots += 1
+    print(json.dumps({
+        "frames": int(stack.shape[0]), "spots": n_spots,
+        "candidates_per_frame": out["cand_count"].tolist(),
+        "output": args.output, "background_npy": args.background_npy},
+        default=str))
+    return 0
+
+
 def _cmd_remainder(args):
     """Remainder-based photometry correction of a track CSV (the
     remainder_correction app's methods 1-4), writing
@@ -595,6 +652,32 @@ def build_parser():
     det.add_argument("--r2-threshold", type=float, default=None,
                      help="PSF-fit R^2 acceptance threshold")
     det.set_defaults(func=_cmd_detect)
+
+    zs = sub.add_parser(
+        "zstack",
+        help="background estimation + batched PSF fits over a z/time "
+             "stack: per-frame SExtractor mesh background subtraction "
+             "on device, one batched detect/fit program, spots CSV out")
+    zs.add_argument("frames", nargs="+",
+                    help="frame image files (z or time order), or one "
+                         ".npy holding a [T, H, W] stack")
+    zs.add_argument("--output", default="zstack_spots.csv",
+                    help="per-spot CSV path")
+    zs.add_argument("--box-size", type=int, default=10,
+                    help="background mesh box size (pixels)")
+    zs.add_argument("--filter-size", type=int, default=10,
+                    help="background mesh median-filter size (boxes)")
+    zs.add_argument("--background-npy", default=None,
+                    help="also save the [T, H, W] background maps")
+    zs.add_argument("--max-candidates", type=int, default=None)
+    zs.add_argument("--c-std", type=float, default=None,
+                    help="candidate threshold sigma over the "
+                         "correlation-map mean")
+    zs.add_argument("--r2-threshold", type=float, default=None,
+                    help="PSF-fit R^2 acceptance threshold")
+    zs.add_argument("--store", default=None,
+                    help="artifact-store directory for run caching")
+    zs.set_defaults(func=_cmd_zstack)
 
     rc = sub.add_parser(
         "remainder-correct",

@@ -18,6 +18,8 @@ jit caching are internal.
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 
 from .config import PipelineConfig
@@ -347,6 +349,118 @@ class Pipeline:
                     for k in names}
             self.store.save(key, full, meta={"stage": "run_stack"})
 
+    def run_zstack(self, stack, box_size=10, filter_size=10,
+                   max_candidates=None, return_background=False,
+                   psfs=False, stack_key=None):
+        """Background estimation + batched PSF fits over a z/time stack
+        (BASELINE.json config 2: one field observed over a z or time axis).
+
+        Per-frame SExtractor mesh backgrounds (ops.background: sigma-
+        clipped mode boxes, median-filtered mesh, MXU spline-basis
+        upsample — the device redesign of the photutils recipe at
+        flexlibrary.py:446-486) are estimated and SUBTRACTED on device,
+        then every frame's spots are detected and PSF-fitted in one
+        batched program (models.detect.detect_and_fit_batch, the
+        pflib.py:284-520 redesign), with the frame axis sharded over the
+        session mesh. Nothing bounces through the host between the raw
+        camera frames and the fitted spot buckets.
+
+        ``stack``: [T, H, W] numpy array (any camera dtype — integer
+        frames upload raw and cast on device) or an already-device-
+        resident jax.Array.
+
+        Returns a dict of host numpy arrays — the SpotFindResult schema
+        batched over frames: cand_h/cand_w [T, K] int32, params [T, K, 7],
+        center_h/center_w/rmse/r2/s_n [T, K], keep/cand_valid [T, K] bool,
+        cand_count [T] int32 — plus "background" [T, H, W] float32 when
+        ``return_background`` and "psfs" (per-frame reference-contract
+        psfs dicts, built host-side from the background-subtracted
+        frames) when ``psfs``.
+        """
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from .models.detect import (_prep_correlation_matrix,
+                                    _psfs_from_arrays, detect_and_fit_batch)
+        from .ops.background import stack_background_jit
+
+        stack = _normalize_stack(stack)
+        if stack.ndim != 3 or stack.shape[0] == 0:
+            raise ValueError("stack must be a non-empty [frames, H, W] "
+                             f"array (got shape {stack.shape})")
+        det = self.config.detect
+        mc = max_candidates if max_candidates is not None \
+            else det.max_candidates
+        key = None
+        if self.store is not None and not psfs:
+            from .utils.checkpoint import content_key
+            if stack_key is None:
+                stack_key = content_key(np.asarray(stack))
+            key = content_key("run_zstack", stack_key, self.config.asdict(),
+                              box_size, filter_size, mc, return_background)
+            if self.store.exists(key):
+                return self.store.load(key)
+        T = stack.shape[0]
+        mesh = self.mesh
+        axis = mesh.axis_names[0]
+        n_dev = int(mesh.shape[axis])
+        pad = (-T) % n_dev
+        dev = jnp.asarray(stack) if not isinstance(stack, jax.Array) \
+            else stack
+        if pad:
+            # Even frame shards: padded rows replicate the last frame and
+            # are sliced off after the fetch.
+            dev = jnp.concatenate(
+                [dev, jnp.repeat(dev[-1:], pad, axis=0)], axis=0)
+        dev = jax.device_put(dev, NamedSharding(mesh, P(axis, None, None)))
+        use_pallas = det.use_pallas
+        if use_pallas is None:
+            use_pallas = jax.default_backend() in ("tpu", "axon")
+        with self._stage("api/run_zstack"):
+            background = stack_background_jit(
+                dev, box_size=box_size, filter_size=filter_size)
+            subtracted = dev.astype(jnp.float32) - background
+            res = detect_and_fit_batch(
+                subtracted,
+                median_filter_size=det.median_filter_size,
+                correlation_matrix=_prep_correlation_matrix(None),
+                c_std=float(det.c_std),
+                r_2_threshold=float(det.r_2_threshold),
+                consolidation_radius=float(det.consolidation_radius),
+                max_candidates=mc, num_iters=det.num_iters,
+                use_pallas=bool(use_pallas),
+                gather_strategy=self._gather_strategy())
+            # Overlap the device->host copies of every requested output.
+            fetch = dict(res._asdict())
+            if return_background or psfs:
+                fetch["background"] = background
+            if psfs:
+                fetch["subtracted"] = subtracted
+            for v in fetch.values():
+                v.copy_to_host_async()
+            out = {k: np.asarray(v)[:T] for k, v in fetch.items()}
+        counts = out["cand_count"]
+        if (counts > mc).any():
+            logging.getLogger(__name__).warning(
+                "run_zstack: %d frame(s) exceed max_candidates=%d; the "
+                "weakest-correlation candidates were dropped.",
+                int((counts > mc).sum()), mc)
+        if psfs:
+            sub = out.pop("subtracted")
+            out["psfs"] = [
+                _psfs_from_arrays(sub[t], np.nonzero(out["keep"][t])[0],
+                                  out["params"][t], out["center_h"][t],
+                                  out["center_w"][t], out["rmse"][t],
+                                  out["r2"][t], out["s_n"][t],
+                                  out["cand_h"][t], out["cand_w"][t])
+                for t in range(T)
+            ]
+            if not return_background:
+                out.pop("background")
+        if key is not None:
+            self.store.save(key, out, meta={"stage": "run_zstack"})
+        return out
+
     def run_experiment(self, stacks, csv_path=None, max_candidates=None,
                        max_spots=None, candidate_radius=2,
                        category_csv_path=None, category_csv_filtered=True,
@@ -424,8 +538,6 @@ class Pipeline:
         aperture/background parameters ride config.photometry's
         aperture_radius/box_size/filter_size).
         """
-        import logging
-
         from .pipeline.fast_experiment import _spot_lists, \
             flush_hole_queue, run_experiment_stack
 

@@ -1,0 +1,210 @@
+"""TPU-native SExtractor mesh background estimation over image stacks.
+
+Device redesign of the host ``pipeline.spots._mesh_background`` (the
+photutils ``Background`` stand-in the sextractor photometry metric uses,
+validated against the photutils spec in tests/test_sextractor_numerics.py;
+reference call site: flexlibrary.py:446-486). BASELINE.json config 2 is
+exactly this workload — background estimation + batched multi-spot PSF
+fits over a z/time stack — so the whole estimator runs as ONE jitted
+program over a ``[frames, H, W]`` stack:
+
+- per-box sigma clipping and the SExtractor mode estimator are masked
+  lane-parallel reductions over ALL (frame, box) rows at once (the fixed
+  ``fori_loop`` is semantically identical to the host's early-exit loop:
+  a box with nothing left to reject is a fixpoint of the update);
+- the mesh median filter is a static reflect-index gather + sort
+  (scipy ``median_filter`` rank convention: element ``k*k // 2`` of the
+  sorted window, window spanning ``[i - k//2, i + (k-1)//2]``);
+- the cubic ``BkgZoomInterpolator`` upsample becomes two MXU matmuls
+  against host-precomputed spline basis matrices: ``scipy.ndimage.zoom``
+  is LINEAR in the mesh, so applying it to identity basis vectors once
+  per (n, box_size, order) yields matrices that reproduce it exactly
+  (verified to 2e-15 on host; the f32 device matmuls at HIGHEST
+  precision match the f64 host path to ~1e-6 relative).
+
+The frame axis is pure data parallelism: ``stack_background(mesh=...)``
+shards it over the mesh's first axis with no collectives.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_ZOOM_BASIS_CACHE: dict = {}
+_REFLECT_INDEX_CACHE: dict = {}
+
+
+def zoom_basis(n: int, box_size: int, order: int) -> np.ndarray:
+    """[n*box_size, n] matrix reproducing scipy.ndimage.zoom(mesh_axis,
+    box_size, order=order, mode='reflect', grid_mode=True) as a matmul.
+
+    zoom is linear in its input, so its matrix is zoom applied to each
+    identity basis vector. Cached per (n, box_size, order); built once on
+    host with scipy itself, so the interpolation spec (spline prefilter,
+    reflect boundary, grid_mode sampling grid) can never drift from the
+    host path in pipeline/spots._mesh_background.
+    """
+    key = (n, box_size, order)
+    if key not in _ZOOM_BASIS_CACHE:
+        from scipy.ndimage import zoom
+
+        cols = np.eye(n, dtype=np.float64)
+        A = np.stack(
+            [zoom(cols[i], box_size, order=order, mode="reflect",
+                  grid_mode=True) for i in range(n)], axis=1)
+        _ZOOM_BASIS_CACHE[key] = np.ascontiguousarray(A, dtype=np.float32)
+    return _ZOOM_BASIS_CACHE[key]
+
+
+def reflect_window_index(n: int, k: int) -> np.ndarray:
+    """[n, k] int32 gather map for a size-k scipy filter window along an
+    axis of length n with mode='reflect' ((d c b a | a b c d | d c b a),
+    scipy's default boundary). Window offsets follow scipy's even-size
+    origin convention: [i - k//2, i + (k-1)//2]."""
+    key = (n, k)
+    if key not in _REFLECT_INDEX_CACHE:
+        idx = np.arange(n)[:, None] + (np.arange(k) - k // 2)[None, :]
+        p = np.mod(idx, 2 * n)
+        _REFLECT_INDEX_CACHE[key] = np.where(
+            p < n, p, 2 * n - 1 - p).astype(np.int32)
+    return _REFLECT_INDEX_CACHE[key]
+
+
+def _masked_median(v, valid):
+    """np.nanmedian over the last axis with ``valid`` as the non-NaN mask
+    (averages the two middle elements for even valid counts)."""
+    s = jnp.sort(jnp.where(valid, v, jnp.inf), axis=-1)
+    n = valid.sum(axis=-1)
+    lo = jnp.take_along_axis(s, ((n - 1) // 2)[..., None], axis=-1)[..., 0]
+    hi = jnp.take_along_axis(s, (n // 2)[..., None], axis=-1)[..., 0]
+    return 0.5 * (lo + hi)
+
+
+def _masked_mean_std(v, valid):
+    """np.nanmean / np.nanstd (population, two-pass centered so f32 does
+    not cancel catastrophically on bright backgrounds)."""
+    n = valid.sum(axis=-1).astype(v.dtype)
+    mean = jnp.where(valid, v, 0).sum(axis=-1) / n
+    var = jnp.where(valid, (v - mean[..., None]) ** 2, 0).sum(axis=-1) / n
+    return mean, jnp.sqrt(var)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("box_size", "filter_size", "clip_sigma",
+                     "clip_maxiters"))
+def stack_background_jit(stack, box_size=10, filter_size=10,
+                         clip_sigma=3.0, clip_maxiters=10):
+    """SExtractor background maps for a [T, H, W] stack, one jitted
+    program (see module docstring). Returns float32 [T, H, W].
+
+    Spec parity (host oracle: pipeline.spots._mesh_background, itself
+    proven against the photutils recipe in tests/test_sextractor_numerics):
+    pad to a box multiple by edge replication, 3-sigma clip each box
+    (median-centered bounds, nanstd spread, <=10 fixpoint iterations),
+    SExtractor mode 2.5*median - 1.5*mean with the crowded(|mean-med| >
+    0.3*std -> median) and flat(std == 0 -> mean) fallbacks, median-filter
+    the mesh, cubic-spline zoom back to full resolution, crop the pad.
+    """
+    T, H, W = stack.shape
+    x = stack.astype(jnp.float32)
+    nh = -(-H // box_size)
+    nw = -(-W // box_size)
+    x = jnp.pad(x, ((0, 0), (0, nh * box_size - H), (0, nw * box_size - W)),
+                mode="edge")
+    boxes = (x.reshape(T, nh, box_size, nw, box_size)
+             .transpose(0, 1, 3, 2, 4)
+             .reshape(T, nh * nw, box_size * box_size))
+
+    def clip_once(_, valid):
+        med = _masked_median(boxes, valid)
+        _, std = _masked_mean_std(boxes, valid)
+        keep = ((boxes >= (med - clip_sigma * std)[..., None])
+                & (boxes <= (med + clip_sigma * std)[..., None]))
+        return valid & keep
+
+    valid = jax.lax.fori_loop(
+        0, clip_maxiters, clip_once,
+        jnp.ones(boxes.shape, dtype=bool))
+
+    med = _masked_median(boxes, valid)
+    mean, std = _masked_mean_std(boxes, valid)
+    mode = 2.5 * med - 1.5 * mean
+    mode = jnp.where(std == 0, mean,
+                     jnp.where(jnp.abs(mean - med) > 0.3 * std, med, mode))
+    mesh = mode.reshape(T, nh, nw)
+
+    k = min(filter_size, nh, nw)
+    if k > 1:
+        ih = jnp.asarray(reflect_window_index(nh, k))
+        iw = jnp.asarray(reflect_window_index(nw, k))
+        wins = mesh[:, ih, :][:, :, :, iw]          # [T, nh, k, nw, k]
+        wins = wins.transpose(0, 1, 3, 2, 4).reshape(T, nh, nw, k * k)
+        mesh = jnp.sort(wins, axis=-1)[..., (k * k) // 2]
+
+    Ah = jnp.asarray(zoom_basis(nh, box_size, min(3, nh - 1)))
+    Aw = jnp.asarray(zoom_basis(nw, box_size, min(3, nw - 1)))
+    up = jnp.einsum("ia,tab,jb->tij", Ah, mesh, Aw,
+                    precision=jax.lax.Precision.HIGHEST)
+    return up[:, :H, :W]
+
+
+def stack_background(stack, box_size=10, filter_size=10, clip_sigma=3.0,
+                     clip_maxiters=10, mesh=None):
+    """Host-facing SExtractor background estimation.
+
+    Accepts one [H, W] image or a [T, H, W] z/time stack (numpy in any
+    camera dtype, or an already-device-resident jax.Array — the latter
+    skips the upload). With ``mesh`` the frame axis is sharded over the
+    mesh's first axis (frames are independent; no collectives). Returns
+    float32 background map(s) shaped like the input.
+    """
+    single = (getattr(stack, "ndim", None) == 2)
+    if not isinstance(stack, jax.Array):
+        stack = np.asarray(stack)
+    if single:
+        stack = stack[None]
+    T = stack.shape[0]
+    if mesh is None:
+        out = stack_background_jit(
+            jnp.asarray(stack), box_size=box_size, filter_size=filter_size,
+            clip_sigma=float(clip_sigma), clip_maxiters=int(clip_maxiters))
+    else:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        axis = mesh.axis_names[0]
+        n_dev = int(mesh.shape[axis])
+        pad = (-T) % n_dev
+        if pad:
+            # Even shards: replicate the last frame; padded rows are
+            # computed redundantly and sliced off below.
+            stack = jnp.concatenate(
+                [jnp.asarray(stack),
+                 jnp.repeat(jnp.asarray(stack)[-1:], pad, axis=0)], axis=0)
+        sharding = NamedSharding(mesh, P(axis, None, None))
+        dev = jax.device_put(jnp.asarray(stack), sharding)
+        out = stack_background_jit(
+            dev, box_size=box_size, filter_size=filter_size,
+            clip_sigma=float(clip_sigma), clip_maxiters=int(clip_maxiters))
+        out = out[:T]
+    return out[0] if single else out
+
+
+def subtract_background_stack(stack, box_size=10, filter_size=10,
+                              clip_sigma=3.0, clip_maxiters=10, mesh=None):
+    """stack - stack_background(stack), float32, device-resident.
+
+    The z-stack front door (api.Pipeline.run_zstack) feeds this straight
+    into models.detect.detect_and_fit_batch without a host round trip.
+    """
+    single = (getattr(stack, "ndim", None) == 2)
+    if not isinstance(stack, jax.Array):
+        stack = jnp.asarray(np.asarray(stack))
+    bg = stack_background(stack, box_size=box_size, filter_size=filter_size,
+                          clip_sigma=clip_sigma, clip_maxiters=clip_maxiters,
+                          mesh=mesh)
+    return stack.astype(jnp.float32) - bg

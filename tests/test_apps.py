@@ -750,3 +750,53 @@ def test_module_cli_fluor_counts_channel_flag(tmp_path):
     assert rc == 0
     info = json_module.loads(buf.getvalue())
     assert info["traces"] == 6
+
+
+def test_module_cli_zstack(tmp_path, monkeypatch):
+    """`zstack` subcommand (BASELINE config 2): [T, H, W] npy stack ->
+    device background subtraction + batched detect/fit -> spots CSV +
+    background maps."""
+    import contextlib
+    import io
+    import json as json_module
+
+    from fluorosequencingimageanalysis_tpu.__main__ import main as cli_main
+
+    rng = np.random.default_rng(41)
+    H = W = 96
+    yy, xx = np.mgrid[:H, :W].astype(np.float64)
+    stack = np.empty((3, H, W), np.float64)
+    coords = [(20.3, 30.6), (60.6, 70.3), (40.3, 50.6)]
+    for t in range(3):
+        img = 700 + 2.0 * yy + 1.0 * xx + rng.normal(0, 4, (H, W))
+        for h, w in coords:
+            img += 2500 * np.exp(-(((yy - h) ** 2) + ((xx - w) ** 2))
+                                 / (2 * 1.2 ** 2))
+        stack[t] = img
+    npy = tmp_path / "stack.npy"
+    np.save(npy, np.round(stack).astype(np.uint16))
+    monkeypatch.chdir(tmp_path)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = cli_main(["zstack", str(npy), "--box-size", "16",
+                       "--filter-size", "3", "--max-candidates", "256",
+                       "--output", "spots.csv",
+                       "--background-npy", "bg.npy"])
+    assert rc == 0
+    info = json_module.loads(buf.getvalue())
+    assert info["frames"] == 3
+    bg = np.load(tmp_path / "bg.npy")
+    assert bg.shape == stack.shape
+    # The estimated background must track the planted gradient (far from
+    # the spots) to within the noise.
+    assert abs(bg[0, 80, 10] - (700 + 2.0 * 80 + 1.0 * 10)) < 25
+    rows = list(csv.DictReader(open(tmp_path / "spots.csv")))
+    assert info["spots"] == len(rows)
+    for t in range(3):
+        frame_rows = [r for r in rows if int(r["FRAME"]) == t]
+        got = np.array([(float(r["H"]), float(r["W"])) for r in frame_rows])
+        for h, w in coords:
+            d = np.abs(got - [h, w]).max(axis=1).min()
+            # Within a pixel: the centers carry the reference's transposed
+            # agpy subpixel quirk (ops/gaussian.py), reproduced on purpose.
+            assert d <= 1.0, f"frame {t}: no spot near ({h}, {w})"
