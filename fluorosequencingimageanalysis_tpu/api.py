@@ -381,7 +381,9 @@ class Pipeline:
         import jax.numpy as jnp
         from jax.sharding import NamedSharding, PartitionSpec as P
         from .models.detect import (_prep_correlation_matrix,
-                                    _psfs_from_arrays, detect_and_fit_batch)
+                                    detect_and_fit_batch,
+                                    psfs_dicts_from_batch,
+                                    warn_candidate_overflow)
         from .ops.background import stack_background_jit
 
         stack = _normalize_stack(stack)
@@ -389,6 +391,11 @@ class Pipeline:
             raise ValueError("stack must be a non-empty [frames, H, W] "
                              f"array (got shape {stack.shape})")
         det = self.config.detect
+        if psfs and det.consolidation_radius < 2:
+            # Fail before any device work: the psfs-dict build below has
+            # the same key-uniqueness precondition as find_peptides_batch
+            # (models/detect.py) and would silently drop spots.
+            raise ValueError("consolidation_radius must be at least 2")
         mc = max_candidates if max_candidates is not None \
             else det.max_candidates
         key = None
@@ -428,35 +435,27 @@ class Pipeline:
                 r_2_threshold=float(det.r_2_threshold),
                 consolidation_radius=float(det.consolidation_radius),
                 max_candidates=mc, num_iters=det.num_iters,
+                theta_starts=det.theta_starts,
                 use_pallas=bool(use_pallas),
                 gather_strategy=self._gather_strategy())
-            # Overlap the device->host copies of every requested output.
+            # Overlap the device->host copies of every requested output;
+            # the full-resolution maps transfer only when actually needed
+            # (background is [T, H, W] float32 — 32 MB on the bench shape).
             fetch = dict(res._asdict())
-            if return_background or psfs:
+            if return_background:
                 fetch["background"] = background
             if psfs:
                 fetch["subtracted"] = subtracted
             for v in fetch.values():
                 v.copy_to_host_async()
             out = {k: np.asarray(v)[:T] for k, v in fetch.items()}
-        counts = out["cand_count"]
-        if (counts > mc).any():
-            logging.getLogger(__name__).warning(
-                "run_zstack: %d frame(s) exceed max_candidates=%d; the "
-                "weakest-correlation candidates were dropped.",
-                int((counts > mc).sum()), mc)
+        warn_candidate_overflow(out["cand_count"], mc, "run_zstack")
         if psfs:
             sub = out.pop("subtracted")
-            out["psfs"] = [
-                _psfs_from_arrays(sub[t], np.nonzero(out["keep"][t])[0],
-                                  out["params"][t], out["center_h"][t],
-                                  out["center_w"][t], out["rmse"][t],
-                                  out["r2"][t], out["s_n"][t],
-                                  out["cand_h"][t], out["cand_w"][t])
-                for t in range(T)
-            ]
-            if not return_background:
-                out.pop("background")
+            out["psfs"] = psfs_dicts_from_batch(
+                sub, out["keep"], out["params"], out["center_h"],
+                out["center_w"], out["rmse"], out["r2"], out["s_n"],
+                out["cand_h"], out["cand_w"], det.consolidation_radius)
         if key is not None:
             self.store.save(key, out, meta={"stage": "run_zstack"})
         return out

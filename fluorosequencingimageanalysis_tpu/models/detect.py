@@ -356,6 +356,39 @@ def _psfs_from_arrays(image, idx, params, center_h, center_w, rm, r2, sn,
     return out
 
 
+def warn_candidate_overflow(cand_count, max_candidates, where):
+    """Loud (never silent) candidate-bucket truncation report, shared by
+    the batch front doors (find_peptides_batch, api.Pipeline.run_zstack)."""
+    import logging
+
+    n_over = int((np.asarray(cand_count) > max_candidates).sum())
+    if n_over:
+        logging.getLogger(__name__).warning(
+            "%s: %d image(s) exceed max_candidates=%d; the weakest-"
+            "correlation candidates were dropped.",
+            where, n_over, max_candidates)
+
+
+def psfs_dicts_from_batch(images, keep, params, center_h, center_w,
+                          rmse, r2, s_n, cand_h, cand_w,
+                          consolidation_radius):
+    """Per-image reference psfs dicts (pflib.py:395-428 contract) from
+    batched kept-fit arrays — shared by find_peptides_batch and
+    api.Pipeline.run_zstack(psfs=True) so the dict build and its
+    key-uniqueness precondition live in one place."""
+    if consolidation_radius < 2:
+        # Same guard as find_peptides / the reference (pflib.py:431-432):
+        # below 2 the rounded-key-uniqueness invariant of the psfs dict
+        # no longer holds, and the dedup would silently drop spots.
+        raise ValueError("consolidation_radius must be at least 2")
+    return [
+        _psfs_from_arrays(images[b], np.nonzero(keep[b])[0], params[b],
+                          center_h[b], center_w[b], rmse[b], r2[b], s_n[b],
+                          cand_h[b], cand_w[b])
+        for b in range(len(images))
+    ]
+
+
 def find_peptides_batch(images, median_filter_size=5, correlation_matrix=None,
                         c_std=2, r_2_threshold=0.7, consolidation_radius=4,
                         max_candidates=4096, num_iters=60, dtype=np.float32,
@@ -388,28 +421,14 @@ def find_peptides_batch(images, median_filter_size=5, correlation_matrix=None,
         max_candidates=max_candidates, num_iters=num_iters,
         use_pallas=bool(use_pallas),
         gather_strategy=resolve_gather_strategy(gather_strategy))
-    counts = np.asarray(res.cand_count)
-    if (counts > max_candidates).any():
-        import logging
-        logging.getLogger(__name__).warning(
-            "find_peptides_batch: %d image(s) exceed max_candidates=%d; "
-            "weakest candidates dropped.",
-            int((counts > max_candidates).sum()), max_candidates)
-    keep = np.asarray(res.keep)
-    params = np.asarray(res.params)
-    center_h = np.asarray(res.center_h)
-    center_w = np.asarray(res.center_w)
-    rm = np.asarray(res.rmse)
-    r2 = np.asarray(res.r2)
-    sn = np.asarray(res.s_n)
-    cand_h = np.asarray(res.cand_h)
-    cand_w = np.asarray(res.cand_w)
-    return [
-        _psfs_from_arrays(images[b], np.nonzero(keep[b])[0], params[b],
-                          center_h[b], center_w[b], rm[b], r2[b], sn[b],
-                          cand_h[b], cand_w[b])
-        for b in range(images.shape[0])
-    ]
+    warn_candidate_overflow(res.cand_count, max_candidates,
+                            "find_peptides_batch")
+    return psfs_dicts_from_batch(
+        images, np.asarray(res.keep), np.asarray(res.params),
+        np.asarray(res.center_h), np.asarray(res.center_w),
+        np.asarray(res.rmse), np.asarray(res.r2), np.asarray(res.s_n),
+        np.asarray(res.cand_h), np.asarray(res.cand_w),
+        consolidation_radius)
 
 
 # ---------------------------------------------------------------------------

@@ -56,7 +56,9 @@ def zoom_basis(n: int, box_size: int, order: int) -> np.ndarray:
         A = np.stack(
             [zoom(cols[i], box_size, order=order, mode="reflect",
                   grid_mode=True) for i in range(n)], axis=1)
-        _ZOOM_BASIS_CACHE[key] = np.ascontiguousarray(A, dtype=np.float32)
+        # Cached at full precision; the jitted kernel casts to its
+        # compute dtype (f32 on TPU, f64 for f64 inputs under x64).
+        _ZOOM_BASIS_CACHE[key] = np.ascontiguousarray(A, dtype=np.float64)
     return _ZOOM_BASIS_CACHE[key]
 
 
@@ -100,7 +102,9 @@ def _masked_mean_std(v, valid):
 def stack_background_jit(stack, box_size=10, filter_size=10,
                          clip_sigma=3.0, clip_maxiters=10):
     """SExtractor background maps for a [T, H, W] stack, one jitted
-    program (see module docstring). Returns float32 [T, H, W].
+    program (see module docstring). Returns [T, H, W] in the compute
+    dtype: float32 for any input except float64, which stays float64
+    (exact-decision parity with the f64 host oracle under x64).
 
     Spec parity (host oracle: pipeline.spots._mesh_background, itself
     proven against the photutils recipe in tests/test_sextractor_numerics):
@@ -111,7 +115,13 @@ def stack_background_jit(stack, box_size=10, filter_size=10,
     the mesh, cubic-spline zoom back to full resolution, crop the pad.
     """
     T, H, W = stack.shape
-    x = stack.astype(jnp.float32)
+    # f32 is the TPU compute dtype; f64 inputs (possible only under
+    # jax_enable_x64) keep f64 so the hard sigma-clip / crowded-box
+    # threshold comparisons make the SAME accept/reject decisions as the
+    # f64 host oracle — in f32 a pixel within one ulp of med±3σ can flip,
+    # shifting that box's mode by ~noise/N (tolerance-tested either way).
+    dt = jnp.float64 if stack.dtype == jnp.float64 else jnp.float32
+    x = stack.astype(dt)
     nh = -(-H // box_size)
     nw = -(-W // box_size)
     x = jnp.pad(x, ((0, 0), (0, nh * box_size - H), (0, nw * box_size - W)),
@@ -146,8 +156,8 @@ def stack_background_jit(stack, box_size=10, filter_size=10,
         wins = wins.transpose(0, 1, 3, 2, 4).reshape(T, nh, nw, k * k)
         mesh = jnp.sort(wins, axis=-1)[..., (k * k) // 2]
 
-    Ah = jnp.asarray(zoom_basis(nh, box_size, min(3, nh - 1)))
-    Aw = jnp.asarray(zoom_basis(nw, box_size, min(3, nw - 1)))
+    Ah = jnp.asarray(zoom_basis(nh, box_size, min(3, nh - 1)), dt)
+    Aw = jnp.asarray(zoom_basis(nw, box_size, min(3, nw - 1)), dt)
     up = jnp.einsum("ia,tab,jb->tij", Ah, mesh, Aw,
                     precision=jax.lax.Precision.HIGHEST)
     return up[:, :H, :W]
@@ -161,7 +171,8 @@ def stack_background(stack, box_size=10, filter_size=10, clip_sigma=3.0,
     camera dtype, or an already-device-resident jax.Array — the latter
     skips the upload). With ``mesh`` the frame axis is sharded over the
     mesh's first axis (frames are independent; no collectives). Returns
-    float32 background map(s) shaped like the input.
+    background map(s) shaped like the input, in the kernel's compute
+    dtype (float32; float64 for float64 inputs under x64).
     """
     single = (getattr(stack, "ndim", None) == 2)
     if not isinstance(stack, jax.Array):
@@ -179,14 +190,14 @@ def stack_background(stack, box_size=10, filter_size=10, clip_sigma=3.0,
         axis = mesh.axis_names[0]
         n_dev = int(mesh.shape[axis])
         pad = (-T) % n_dev
+        arr = jnp.asarray(stack)  # one upload; pad reuses the device copy
         if pad:
             # Even shards: replicate the last frame; padded rows are
             # computed redundantly and sliced off below.
-            stack = jnp.concatenate(
-                [jnp.asarray(stack),
-                 jnp.repeat(jnp.asarray(stack)[-1:], pad, axis=0)], axis=0)
+            arr = jnp.concatenate(
+                [arr, jnp.repeat(arr[-1:], pad, axis=0)], axis=0)
         sharding = NamedSharding(mesh, P(axis, None, None))
-        dev = jax.device_put(jnp.asarray(stack), sharding)
+        dev = jax.device_put(arr, sharding)
         out = stack_background_jit(
             dev, box_size=box_size, filter_size=filter_size,
             clip_sigma=float(clip_sigma), clip_maxiters=int(clip_maxiters))
@@ -196,10 +207,14 @@ def stack_background(stack, box_size=10, filter_size=10, clip_sigma=3.0,
 
 def subtract_background_stack(stack, box_size=10, filter_size=10,
                               clip_sigma=3.0, clip_maxiters=10, mesh=None):
-    """stack - stack_background(stack), float32, device-resident.
+    """stack - stack_background(stack), device-resident, in the kernel's
+    compute dtype.
 
-    The z-stack front door (api.Pipeline.run_zstack) feeds this straight
-    into models.detect.detect_and_fit_batch without a host round trip.
+    Convenience composition for library callers who only want subtracted
+    frames. api.Pipeline.run_zstack subtracts INLINE instead (it needs
+    the background map separately for ``return_background``); this
+    function and that path share stack_background_jit, so the estimator
+    spec lives in one place.
     """
     single = (getattr(stack, "ndim", None) == 2)
     if not isinstance(stack, jax.Array):
@@ -207,4 +222,4 @@ def subtract_background_stack(stack, box_size=10, filter_size=10,
     bg = stack_background(stack, box_size=box_size, filter_size=filter_size,
                           clip_sigma=clip_sigma, clip_maxiters=clip_maxiters,
                           mesh=mesh)
-    return stack.astype(jnp.float32) - bg
+    return stack.astype(bg.dtype) - bg

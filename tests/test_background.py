@@ -41,6 +41,28 @@ def test_device_background_matches_host_oracle(shape, box, filt):
     assert np.abs(host - dev).max() / scale < 5e-5
 
 
+def test_device_background_float64_matches_oracle_tightly():
+    """x64 is on in the test conftest: f64 input keeps f64 compute on
+    device, so the sigma-clip / crowded-box threshold DECISIONS are
+    identical to the host oracle's and only summation-order noise
+    remains."""
+    rng = np.random.default_rng(19)
+    img = _field(rng, 128, 128)
+    host = _mesh_background(img, 10, 10)
+    dev = np.asarray(stack_background(img, 10, 10))
+    assert dev.dtype == np.float64
+    assert np.abs(host - dev).max() / max(1.0, np.abs(host).max()) < 1e-9
+
+
+def test_run_zstack_psfs_requires_safe_consolidation_radius():
+    from fluorosequencingimageanalysis_tpu.config import (DetectConfig,
+                                                          PipelineConfig)
+    pipe = Pipeline(PipelineConfig(detect=DetectConfig(
+        consolidation_radius=1.5)), mesh=make_mesh(1))
+    with pytest.raises(ValueError, match="consolidation_radius"):
+        pipe.run_zstack(np.zeros((2, 32, 32), np.float32), psfs=True)
+
+
 def test_stack_background_batches_and_single_image_agree():
     rng = np.random.default_rng(11)
     stack = np.stack([_field(rng, 96, 96) for _ in range(5)])
