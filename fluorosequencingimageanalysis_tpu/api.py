@@ -411,19 +411,37 @@ class Pipeline:
         mesh = self.mesh
         axis = mesh.axis_names[0]
         n_dev = int(mesh.shape[axis])
-        pad = (-T) % n_dev
-        dev = jnp.asarray(stack) if not isinstance(stack, jax.Array) \
-            else stack
-        if pad:
-            # Even frame shards: padded rows replicate the last frame and
-            # are sliced off after the fetch.
-            dev = jnp.concatenate(
-                [dev, jnp.repeat(dev[-1:], pad, axis=0)], axis=0)
-        dev = jax.device_put(dev, NamedSharding(mesh, P(axis, None, None)))
         use_pallas = det.use_pallas
         if use_pallas is None:
             use_pallas = jax.default_backend() in ("tpu", "axon")
-        with self._stage("api/run_zstack"):
+        sharding = NamedSharding(mesh, P(axis, None, None))
+        gather_strategy = self._gather_strategy()
+
+        # Frame groups pipeline host->device transfer against compute:
+        # all groups' uploads + programs dispatch eagerly (JAX dispatch
+        # is async), so group k's background+detect run while group k+1
+        # uploads — the upload alone is ~50% of a single-dispatch wall
+        # clock on the tunnel chip. Group size is >=8 frames rounded up
+        # to a mesh-first-axis multiple so every dispatch shards evenly
+        # and hits ONE compiled program (tail groups pad with the last
+        # frame, sliced off after the fetch). A device-resident stack
+        # has no upload to overlap and dispatches whole.
+        if isinstance(stack, jax.Array):
+            g = T + (-T) % n_dev
+        else:
+            g = max(8, n_dev)
+            g += (-g) % n_dev
+
+        def _dispatch_group(grp):
+            n = grp.shape[0]
+            if n < g:
+                if isinstance(grp, jax.Array):
+                    grp = jnp.concatenate(
+                        [grp, jnp.repeat(grp[-1:], g - n, axis=0)], axis=0)
+                else:
+                    grp = np.concatenate(
+                        [grp, np.repeat(grp[-1:], g - n, axis=0)], axis=0)
+            dev = jax.device_put(grp, sharding)
             background = stack_background_jit(
                 dev, box_size=box_size, filter_size=filter_size)
             subtracted = dev.astype(jnp.float32) - background
@@ -437,10 +455,12 @@ class Pipeline:
                 max_candidates=mc, num_iters=det.num_iters,
                 theta_starts=det.theta_starts,
                 use_pallas=bool(use_pallas),
-                gather_strategy=self._gather_strategy())
-            # Overlap the device->host copies of every requested output;
-            # the full-resolution maps transfer only when actually needed
-            # (background is [T, H, W] float32 — 32 MB on the bench shape).
+                gather_strategy=gather_strategy)
+            # Start the device->host copies at dispatch time so the
+            # per-fetch link latency overlaps later groups' work; the
+            # full-resolution maps transfer only when actually needed
+            # (background is [T, H, W] float32 — 32 MB on the bench
+            # shape).
             fetch = dict(res._asdict())
             if return_background:
                 fetch["background"] = background
@@ -448,7 +468,14 @@ class Pipeline:
                 fetch["subtracted"] = subtracted
             for v in fetch.values():
                 v.copy_to_host_async()
-            out = {k: np.asarray(v)[:T] for k, v in fetch.items()}
+            return n, fetch
+
+        with self._stage("api/run_zstack"):
+            pending = [_dispatch_group(stack[lo:min(lo + g, T)])
+                       for lo in range(0, T, g)]
+            out = {k: np.concatenate(
+                       [np.asarray(fetch[k])[:n] for n, fetch in pending])
+                   for k in pending[0][1]}
         warn_candidate_overflow(out["cand_count"], mc, "run_zstack")
         if psfs:
             sub = out.pop("subtracted")

@@ -184,6 +184,32 @@ def test_run_zstack_mesh_sharded_equals_single_device():
                                rtol=1e-4, atol=1e-3)
 
 
+def test_run_zstack_grouped_equals_device_resident_whole():
+    """T=11 on a 1-device mesh splits into an 8-frame group + a padded
+    tail group; a device-resident stack dispatches whole. Same spots.
+
+    Not bit-equal by construction: XLA lowers reductions differently per
+    batch size (threshold mean/std, LM sums), so values match to float
+    tolerance — the kept-spot sets and their centers must agree."""
+    import jax.numpy as jnp
+    rng = np.random.default_rng(37)
+    stack = _spot_stack(rng, T=11)
+    pipe = Pipeline(mesh=make_mesh(1))
+    grouped = pipe.run_zstack(stack, box_size=16, filter_size=3)
+    whole = pipe.run_zstack(jnp.asarray(stack), box_size=16, filter_size=3)
+    assert set(grouped) == set(whole)
+    assert grouped["keep"].shape == whole["keep"].shape
+    for t in range(stack.shape[0]):
+        gi = np.nonzero(grouped["keep"][t])[0]
+        wi = np.nonzero(whole["keep"][t])[0]
+        gc = np.sort(np.stack([grouped["center_h"][t, gi],
+                               grouped["center_w"][t, gi]], 1), axis=0)
+        wc = np.sort(np.stack([whole["center_h"][t, wi],
+                               whole["center_w"][t, wi]], 1), axis=0)
+        assert gc.shape == wc.shape, f"frame {t}: kept-count mismatch"
+        np.testing.assert_allclose(gc, wc, atol=1e-2)
+
+
 def test_run_zstack_validates_shape():
     pipe = Pipeline(mesh=make_mesh(1))
     with pytest.raises(ValueError):
