@@ -375,7 +375,8 @@ class Pipeline:
         cand_count [T] int32 — plus "background" [T, H, W] float32 when
         ``return_background`` and "psfs" (per-frame reference-contract
         psfs dicts, built host-side from the background-subtracted
-        frames) when ``psfs``.
+        frames) when ``psfs``. Artifact-store caching applies only to
+        the array outputs (``psfs=True`` runs always compute).
         """
         import jax
         import jax.numpy as jnp

@@ -34,32 +34,79 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-_ZOOM_BASIS_CACHE: dict = {}
 _REFLECT_INDEX_CACHE: dict = {}
+_PAIR_BASIS_CACHE: dict = {}
 
 
-def zoom_basis(n: int, box_size: int, order: int) -> np.ndarray:
-    """[n*box_size, n] matrix reproducing scipy.ndimage.zoom(mesh_axis,
-    box_size, order=order, mode='reflect', grid_mode=True) as a matmul.
+def pairwise_zoom_bases(nh: int, nw: int, box_size: int) -> tuple:
+    """(A_h [nh*box, nh], A_w [nw*box, nw]) reproducing the HOST mesh
+    upsample (pipeline.spots._mesh_background's zoom branch) as two
+    matmuls, exactly.
 
-    zoom is linear in its input, so its matrix is zoom applied to each
-    identity basis vector. Cached per (n, box_size, order); built once on
-    host with scipy itself, so the interpolation spec (spline prefilter,
-    reflect boundary, grid_mode sampling grid) can never drift from the
-    host path in pipeline/spots._mesh_background.
+    The host recipe is per-axis spline orders min(3, n-1) via one 2-D
+    zoom (equal orders) or two sequential passes (mixed orders). Either
+    way the operator is verified-linear and EXACTLY separable (rank-1 in
+    the (h,i)x(w,j) pairing, checked by SVD of the full small-case
+    operator) — but its axis factors include scipy's approximate IIR
+    prefilter boundary handling (error ~pole^n on short axes: 1.7e-3 at
+    n=2 for cubic), which a plain per-axis 1-D zoom basis does not
+    capture; the defect even breaks exact constant reproduction
+    (zoom(ones) != ones at the boundary). So each factor is extracted
+    from the actual host computation with single-box basis meshes
+    against a fixed reference box: f(e_i x e_j0)[:, w0] = A_h[:, i] *
+    A_w[w0, j0] isolates A_h's columns up to ONE shared scalar
+    (symmetrically for A_w), and that scalar — the tensor element
+    A_h[h0, i0]*A_w[w0, j0] = f(e_i0 x e_j0)[h0, w0] — divides out.
+    Cached per (nh, nw, box_size); float64.
     """
-    key = (n, box_size, order)
-    if key not in _ZOOM_BASIS_CACHE:
+    key = (nh, nw, box_size)
+    if key not in _PAIR_BASIS_CACHE:
         from scipy.ndimage import zoom
 
-        cols = np.eye(n, dtype=np.float64)
-        A = np.stack(
-            [zoom(cols[i], box_size, order=order, mode="reflect",
-                  grid_mode=True) for i in range(n)], axis=1)
-        # Cached at full precision; the jitted kernel casts to its
-        # compute dtype (f32 on TPU, f64 for f64 inputs under x64).
-        _ZOOM_BASIS_CACHE[key] = np.ascontiguousarray(A, dtype=np.float64)
-    return _ZOOM_BASIS_CACHE[key]
+        order_h = min(3, nh - 1)
+        order_w = min(3, nw - 1)
+
+        def host_zoom(mesh):
+            # Mirror of pipeline.spots._mesh_background's branch.
+            if order_h == order_w:
+                return zoom(mesh, box_size, order=order_h,
+                            mode="reflect", grid_mode=True)
+            up = zoom(mesh, (1.0, float(box_size)), order=order_w,
+                      mode="reflect", grid_mode=True)
+            return zoom(up, (float(box_size), 1.0), order=order_h,
+                        mode="reflect", grid_mode=True)
+
+        # Reference box at the mesh center, sampled at its center pixel
+        # (the spline basis peaks there — well-conditioned division).
+        i0, j0 = nh // 2, nw // 2
+        h0 = i0 * box_size + box_size // 2
+        w0 = j0 * box_size + box_size // 2
+
+        def basis(i, j):
+            m = np.zeros((nh, nw))
+            m[i, j] = 1.0
+            return host_zoom(m)
+
+        Ah = np.empty((nh * box_size, nh), np.float64)
+        for i in range(nh):
+            Ah[:, i] = basis(i, j0)[:, w0]      # A_h[:, i] * A_w[w0, j0]
+        Aw = np.empty((nw * box_size, nw), np.float64)
+        for j in range(nw):
+            Aw[:, j] = basis(i0, j)[h0, :]      # A_w[:, j] * A_h[h0, i0]
+        gamma = Ah[h0, i0]                       # = A_h[h0,i0] * A_w[w0,j0]
+        Ah /= gamma                              # divides the shared scale
+        # Loud build-time check of the tensor factorization on a random
+        # mesh (never silently wrong if a scipy version breaks the
+        # per-axis structure).
+        probe = np.random.default_rng(0).normal(size=(nh, nw))
+        want = host_zoom(probe)
+        got = Ah @ probe @ Aw.T
+        err = np.abs(want - got).max() / max(1.0, np.abs(want).max())
+        if err > 1e-10:
+            raise AssertionError(
+                f"zoom basis factorization failed for {key}: {err}")
+        _PAIR_BASIS_CACHE[key] = (Ah, Aw)
+    return _PAIR_BASIS_CACHE[key]
 
 
 def reflect_window_index(n: int, k: int) -> np.ndarray:
@@ -156,8 +203,9 @@ def stack_background_jit(stack, box_size=10, filter_size=10,
         wins = wins.transpose(0, 1, 3, 2, 4).reshape(T, nh, nw, k * k)
         mesh = jnp.sort(wins, axis=-1)[..., (k * k) // 2]
 
-    Ah = jnp.asarray(zoom_basis(nh, box_size, min(3, nh - 1)), dt)
-    Aw = jnp.asarray(zoom_basis(nw, box_size, min(3, nw - 1)), dt)
+    Ah_np, Aw_np = pairwise_zoom_bases(nh, nw, box_size)
+    Ah = jnp.asarray(Ah_np, dt)
+    Aw = jnp.asarray(Aw_np, dt)
     up = jnp.einsum("ia,tab,jb->tij", Ah, mesh, Aw,
                     precision=jax.lax.Precision.HIGHEST)
     return up[:, :H, :W]

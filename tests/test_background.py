@@ -9,8 +9,8 @@ from fluorosequencingimageanalysis_tpu.api import Pipeline
 from fluorosequencingimageanalysis_tpu.models.detect import \
     find_peptides_batch
 from fluorosequencingimageanalysis_tpu.ops.background import (
-    reflect_window_index, stack_background, stack_background_jit,
-    subtract_background_stack, zoom_basis)
+    pairwise_zoom_bases, reflect_window_index, stack_background,
+    stack_background_jit, subtract_background_stack)
 from fluorosequencingimageanalysis_tpu.parallel.mesh import make_mesh
 from fluorosequencingimageanalysis_tpu.pipeline.spots import _mesh_background
 
@@ -63,6 +63,24 @@ def test_run_zstack_psfs_requires_safe_consolidation_radius():
         pipe.run_zstack(np.zeros((2, 32, 32), np.float32), psfs=True)
 
 
+def test_device_background_fuzz_random_shapes_and_params():
+    """Randomized sweep: shapes, box/filter sizes, background scales and
+    outlier densities drawn per seed, device vs host oracle every time."""
+    for seed in range(10):
+        rng = np.random.default_rng(1000 + seed)
+        H = int(rng.integers(16, 160))
+        W = int(rng.integers(16, 160))
+        box = int(rng.integers(4, 33))
+        filt = int(rng.integers(1, 12))
+        base = float(rng.uniform(50, 5000))
+        img = _field(rng, H, W, n_spots=int(rng.integers(0, 40)), base=base)
+        host = _mesh_background(img, box, filt)
+        dev = np.asarray(stack_background(img.astype(np.float32), box, filt))
+        scale = max(1.0, np.abs(host).max())
+        err = np.abs(host - dev).max() / scale
+        assert err < 5e-5, (seed, H, W, box, filt, err)
+
+
 def test_stack_background_batches_and_single_image_agree():
     rng = np.random.default_rng(11)
     stack = np.stack([_field(rng, 96, 96) for _ in range(5)])
@@ -97,15 +115,28 @@ def test_reflect_window_matches_scipy_median_filter():
         np.testing.assert_array_equal(ours, median_filter(m, size=k))
 
 
-def test_zoom_basis_matches_scipy_zoom():
+def test_pairwise_zoom_bases_match_host_zoom():
+    """Factor extraction reproduces the host zoom branch exactly across
+    equal-order, mixed-order, single-box, and strip meshes. (The builder
+    itself asserts a random-mesh probe to 1e-10 at construction — this
+    pins an independent mesh per shape too.)"""
     from scipy.ndimage import zoom
     rng = np.random.default_rng(5)
-    for n, box, order in [(7, 10, 3), (3, 6, 2), (1, 10, 0), (2, 4, 1)]:
-        A = zoom_basis(n, box, order).astype(np.float64)
-        mesh = rng.normal(size=(n, n))
-        want = zoom(mesh, box, order=order, mode="reflect", grid_mode=True)
-        got = A @ mesh @ A.T
-        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+    for nh, nw, box in [(7, 7, 10), (2, 4, 28), (4, 4, 10), (1, 5, 6),
+                        (1, 1, 10), (3, 2, 4)]:
+        Ah, Aw = pairwise_zoom_bases(nh, nw, box)
+        mesh = rng.normal(size=(nh, nw))
+        oh, ow = min(3, nh - 1), min(3, nw - 1)
+        if oh == ow:
+            want = zoom(mesh, box, order=oh, mode="reflect",
+                        grid_mode=True)
+        else:
+            want = zoom(mesh, (1.0, float(box)), order=ow, mode="reflect",
+                        grid_mode=True)
+            want = zoom(want, (float(box), 1.0), order=oh, mode="reflect",
+                        grid_mode=True)
+        got = Ah @ mesh @ Aw.T
+        np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-12)
 
 
 def test_subtract_background_stack_device_resident():
