@@ -17,12 +17,64 @@ stderr at WARNING when every flag set fails.
 
 from __future__ import annotations
 
+import ctypes
 import logging
 import os
 import subprocess
+import threading
 
 logger = logging.getLogger(__name__)
 logger.addHandler(logging.NullHandler())
+
+
+class NativeLib:
+    """Lazy, thread-safe, rebuild-on-stale-source loader for one core.
+
+    One definition of the double-checked-lock + mtime-staleness +
+    CDLL-and-prototype dance all four bindings need (it was copy-pasted
+    four times and had already drifted on the fallback flag sets).
+
+    Arguments:
+        src / so: absolute paths of the C++ source and its shared object.
+        configure: callable(lib) declaring the ctypes prototypes; any
+            exception it raises marks the core permanently unavailable
+            for this process (callers fall back to Python).
+        flag_sets: extra-flag lists tried in order by build_shared.
+    """
+
+    def __init__(self, src, so, configure,
+                 flag_sets=(["-O3", "-march=native"], ["-O3"], ["-O2"])):
+        self._src = src
+        self._so = so
+        self._configure = configure
+        self._flag_sets = [list(f) for f in flag_sets]
+        self._lock = threading.Lock()
+        self._lib = None
+        self._failed = False
+
+    def load(self):
+        """The configured ctypes.CDLL, or None (build/load failure)."""
+        if self._lib is not None or self._failed:
+            return self._lib
+        with self._lock:
+            if self._lib is not None or self._failed:
+                return self._lib
+            if not os.path.exists(self._so) or (
+                    os.path.exists(self._src) and
+                    os.path.getmtime(self._so) < os.path.getmtime(self._src)):
+                if not build_shared(self._src, self._so, self._flag_sets):
+                    self._failed = True
+                    return None
+            try:
+                lib = ctypes.CDLL(self._so)
+                self._configure(lib)
+                self._lib = lib
+            except Exception:
+                logger.warning("loading native core %s failed; using the "
+                               "Python implementation.",
+                               os.path.basename(self._so), exc_info=True)
+                self._failed = True
+        return self._lib
 
 
 def build_shared(src: str, so: str, flag_sets) -> bool:

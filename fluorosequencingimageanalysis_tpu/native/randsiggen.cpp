@@ -44,15 +44,21 @@ struct Window {
 // before a gap of length d closes, P(e) = C(d-1+e, e) p^d (1-p)^e.
 // Mirrors the accumulate-until-flat loop in sim/signals.py:50-63.
 inline int sample_edman_delay(int d, double p, double r) {
+  // Exact control-flow mirror of sim/signals.py:_sample_edman_delay —
+  // including its stall semantics: the Python loop detects CDF
+  // exhaustion one step LATE (the stall check happens at the top of the
+  // next iteration, after e was already incremented), so a fully
+  // underflowed p^d returns 1, not 0. The geometric decay of the term
+  // (q < 1) guarantees termination without a guard counter, as in the
+  // Python model.
   const double q = 1.0 - p;
   double term = std::pow(p, (double)d);  // _dp(d, 0, p)
-  double acc = 0.0;
+  double cdf = 0.0, prev = -1.0;
   int e = 0;
-  for (int guard = 0; guard < 100000; ++guard) {
-    double prior = acc;
-    acc += term;
-    if (acc >= r) break;
-    if (!(acc - prior > 0.0)) break;  // increments vanished (p tiny)
+  while (cdf - prev > 0.0) {
+    prev = cdf;
+    cdf += term;
+    if (cdf >= r) return e;
     ++e;
     // _dp(d, e, p) = _dp(d, e-1, p) * q * (d-1+e) / e
     term *= q * (double)(d - 1 + e) / (double)e;

@@ -18,58 +18,38 @@ from __future__ import annotations
 
 import ctypes
 import os
-import threading
 
 import numpy as np
 
+from ._build import NativeLib
+
 _HERE = os.path.dirname(os.path.abspath(__file__))
-_SRC = os.path.join(_HERE, "randsiggen.cpp")
-_SO = os.path.join(_HERE, "_randsiggen.so")
-
-_lock = threading.Lock()
-_lib = None
-_load_failed = False
 
 
-def _build() -> bool:
-    from ._build import build_shared
-    return build_shared(_SRC, _SO, [["-O3", "-march=native"], ["-O3"]])
+def _prototypes(lib):
+    fn = lib.rsg_random_signal_batch
+    fn.restype = ctypes.c_int
+    fn.argtypes = [
+        ctypes.c_char_p, ctypes.c_char_p,           # head, tail
+        ctypes.c_double, ctypes.c_double, ctypes.c_double,  # p, b, u
+        ctypes.c_char_p,                             # window_acids
+        np.ctypeslib.ndpointer(np.int32, flags="C"),  # positions
+        np.ctypeslib.ndpointer(np.int32, flags="C"),  # offsets
+        ctypes.c_int32, ctypes.c_int32,              # n_acids, batch
+        ctypes.c_uint64, ctypes.c_int32,             # seed, max_len
+        np.ctypeslib.ndpointer(np.int32, flags="C"),  # out_positions
+        np.ctypeslib.ndpointer(np.int8, flags="C"),   # out_acids
+        np.ctypeslib.ndpointer(np.int32, flags="C"),  # out_lengths
+    ]
+
+
+_NATIVE = NativeLib(os.path.join(_HERE, "randsiggen.cpp"),
+                    os.path.join(_HERE, "_randsiggen.so"), _prototypes)
 
 
 def _load():
     """Load (building if needed) the shared library; None if unavailable."""
-    global _lib, _load_failed
-    if _lib is not None or _load_failed:
-        return _lib
-    with _lock:
-        if _lib is not None or _load_failed:
-            return _lib
-        if not os.path.exists(_SO) or (os.path.exists(_SRC) and
-                                       os.path.getmtime(_SO) <
-                                       os.path.getmtime(_SRC)):
-            if not _build():
-                _load_failed = True
-                return None
-        try:
-            lib = ctypes.CDLL(_SO)
-            fn = lib.rsg_random_signal_batch
-            fn.restype = ctypes.c_int
-            fn.argtypes = [
-                ctypes.c_char_p, ctypes.c_char_p,           # head, tail
-                ctypes.c_double, ctypes.c_double, ctypes.c_double,  # p, b, u
-                ctypes.c_char_p,                             # window_acids
-                np.ctypeslib.ndpointer(np.int32, flags="C"),  # positions
-                np.ctypeslib.ndpointer(np.int32, flags="C"),  # offsets
-                ctypes.c_int32, ctypes.c_int32,              # n_acids, batch
-                ctypes.c_uint64, ctypes.c_int32,             # seed, max_len
-                np.ctypeslib.ndpointer(np.int32, flags="C"),  # out_positions
-                np.ctypeslib.ndpointer(np.int8, flags="C"),   # out_acids
-                np.ctypeslib.ndpointer(np.int32, flags="C"),  # out_lengths
-            ]
-            _lib = lib
-        except Exception:
-            _load_failed = True
-    return _lib
+    return _NATIVE.load()
 
 
 def have_native() -> bool:

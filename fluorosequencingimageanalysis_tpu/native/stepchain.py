@@ -14,62 +14,44 @@ from __future__ import annotations
 
 import ctypes
 import os
-import threading
 
 import numpy as np
 
-_HERE = os.path.dirname(os.path.abspath(__file__))
-_SRC = os.path.join(_HERE, "stepchain.cpp")
-_SO = os.path.join(_HERE, "_stepchain.so")
+from ._build import NativeLib
 
-_lock = threading.Lock()
-_lib = None
-_load_failed = False
+_HERE = os.path.dirname(os.path.abspath(__file__))
 
 _I32 = np.ctypeslib.ndpointer(np.int32, flags="C")
 _F64 = np.ctypeslib.ndpointer(np.float64, flags="C")
 _U8 = np.ctypeslib.ndpointer(np.uint8, flags="C")
 
 
-def _build() -> bool:
-    from ._build import build_shared
-    return build_shared(_SRC, _SO, [["-O3", "-march=native", "-pthread"],
-                                    ["-O3", "-pthread"]])
+def _prototypes(lib):
+    fn = lib.sc_postpass
+    fn.restype = ctypes.c_int
+    fn.argtypes = [
+        _F64, _U8,                      # raw, mask (N, Tm)
+        ctypes.c_int32, ctypes.c_int32,  # N, Tm
+        ctypes.c_double, ctypes.c_int32,  # p_threshold, no_merge
+        ctypes.c_int32,                  # n_threads
+        _I32, _I32, _I32, _F64,          # refit n/start/stop/height
+        _I32, _I32, _I32, _F64,          # tfil n/start/stop/height
+    ]
+    wb = lib.sc_welch_p_batch
+    wb.restype = None
+    wb.argtypes = [_F64, _I32, _I32, _F64, _I32, _I32,
+                   ctypes.c_int32, _F64]
+
+
+_NATIVE = NativeLib(
+    os.path.join(_HERE, "stepchain.cpp"),
+    os.path.join(_HERE, "_stepchain.so"), _prototypes,
+    flag_sets=(["-O3", "-march=native", "-pthread"], ["-O3", "-pthread"],
+               ["-O2", "-pthread"]))
 
 
 def _load():
-    global _lib, _load_failed
-    if _lib is not None or _load_failed:
-        return _lib
-    with _lock:
-        if _lib is not None or _load_failed:
-            return _lib
-        if not os.path.exists(_SO) or (os.path.exists(_SRC) and
-                                       os.path.getmtime(_SO) <
-                                       os.path.getmtime(_SRC)):
-            if not _build():
-                _load_failed = True
-                return None
-        try:
-            lib = ctypes.CDLL(_SO)
-            fn = lib.sc_postpass
-            fn.restype = ctypes.c_int
-            fn.argtypes = [
-                _F64, _U8,                      # raw, mask (N, Tm)
-                ctypes.c_int32, ctypes.c_int32,  # N, Tm
-                ctypes.c_double, ctypes.c_int32,  # p_threshold, no_merge
-                ctypes.c_int32,                  # n_threads
-                _I32, _I32, _I32, _F64,          # refit n/start/stop/height
-                _I32, _I32, _I32, _F64,          # tfil n/start/stop/height
-            ]
-            wb = lib.sc_welch_p_batch
-            wb.restype = None
-            wb.argtypes = [_F64, _I32, _I32, _F64, _I32, _I32,
-                           ctypes.c_int32, _F64]
-            _lib = lib
-        except Exception:
-            _load_failed = True
-    return _lib
+    return _NATIVE.load()
 
 
 def have_native() -> bool:

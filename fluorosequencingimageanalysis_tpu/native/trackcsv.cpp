@@ -78,6 +78,12 @@ void split_csv(const std::string& line, std::vector<std::string>* out) {
 // ValueError on the same cell. Silent prefixes ("12a45" -> 12), empty
 // cells (-> 0) and NaN (llround UB) must not become quiet wrong data.
 bool round_ll(const std::string& s, int64_t* out_v) {
+  // strtod is LOOSER than Python float(): it accepts hex floats
+  // ("0x10" -> 16) and "nan(chars)" payload spellings that float()
+  // rejects with ValueError. Reject those outright so such cells abort
+  // to the Python reader instead of becoming quiet wrong data.
+  for (char ch : s)
+    if (ch == 'x' || ch == 'X' || ch == '(' || ch == ')') return false;
   const char* p = s.c_str();
   char* end = nullptr;
   double v = strtod(p, &end);
@@ -113,7 +119,15 @@ void* tcsv_parse(const char* path, int32_t head_truncate,
     ++r;
     if (r == 0 && omit_header) continue;
     split_csv(line, &cols);
-    if (cols.size() < 6) continue;
+    if (cols.size() < 6) {
+      // Blank lines and short rows are NOT skippable: the Python reader
+      // raises on a blank line (like the reference's unpack), and a
+      // 5-column file (zero frame columns) is VALID there (empty frame
+      // tuples). Either way this parser cannot reproduce the behavior,
+      // so abort and let the caller fall back to the Python path.
+      ok = false;
+      break;
+    }
     const std::string& h_s = cols[2];
     const std::string& w_s = cols[3];
     if (h_s == "None" || w_s == "None") continue;
@@ -154,10 +168,17 @@ void* tcsv_parse(const char* path, int32_t head_truncate,
     truncate(cat);
     truncate(fr);
     if (downstep_filtered) {
+      if (cat.empty()) {
+        // The Python reader evaluates parsed_cat[0] here and raises
+        // IndexError (truncation ate every category token); silently
+        // filtering the row would hide that. Abort to the fallback.
+        ok = false;
+        break;
+      }
       bool monotone = true;
       for (size_t i = 1; i < cat.size(); ++i)
         if (cat[i] > cat[i - 1]) { monotone = false; break; }
-      if (!(monotone && !cat.empty() && cat[0])) continue;
+      if (!(monotone && cat[0])) continue;
     }
     if (out->n_rows == 0) {
       out->n_frames = (int32_t)fr.size();

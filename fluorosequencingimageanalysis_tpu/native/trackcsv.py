@@ -11,64 +11,44 @@ from __future__ import annotations
 
 import ctypes
 import os
-import threading
 
 import numpy as np
 
+from ._build import NativeLib
+
 _HERE = os.path.dirname(os.path.abspath(__file__))
-_SRC = os.path.join(_HERE, "trackcsv.cpp")
-_SO = os.path.join(_HERE, "_trackcsv.so")
-
-_lock = threading.Lock()
-_lib = None
-_load_failed = False
 
 
-def _build() -> bool:
-    from ._build import build_shared
-    return build_shared(_SRC, _SO, [["-O3", "-march=native"], ["-O2"]])
+def _prototypes(lib):
+    lib.tcsv_parse.restype = ctypes.c_void_p
+    lib.tcsv_parse.argtypes = [ctypes.c_char_p, ctypes.c_int32,
+                               ctypes.c_int32, ctypes.c_int32,
+                               ctypes.c_int32]
+    lib.tcsv_n_rows.restype = ctypes.c_int64
+    lib.tcsv_n_rows.argtypes = [ctypes.c_void_p]
+    lib.tcsv_n_frames.restype = ctypes.c_int32
+    lib.tcsv_n_frames.argtypes = [ctypes.c_void_p]
+    lib.tcsv_channels.restype = ctypes.c_char_p
+    lib.tcsv_channels.argtypes = [ctypes.c_void_p]
+    for name, ct in (("tcsv_fields", ctypes.c_int32),
+                     ("tcsv_hs", ctypes.c_int32),
+                     ("tcsv_ws", ctypes.c_int32),
+                     ("tcsv_rows", ctypes.c_int64),
+                     ("tcsv_cats", ctypes.c_uint8),
+                     ("tcsv_frames", ctypes.c_int64)):
+        fn = getattr(lib, name)
+        fn.restype = ctypes.POINTER(ct)
+        fn.argtypes = [ctypes.c_void_p]
+    lib.tcsv_free.restype = None
+    lib.tcsv_free.argtypes = [ctypes.c_void_p]
+
+
+_NATIVE = NativeLib(os.path.join(_HERE, "trackcsv.cpp"),
+                    os.path.join(_HERE, "_trackcsv.so"), _prototypes)
 
 
 def _load():
-    global _lib, _load_failed
-    if _lib is not None or _load_failed:
-        return _lib
-    with _lock:
-        if _lib is not None or _load_failed:
-            return _lib
-        if not os.path.exists(_SO) or (os.path.exists(_SRC) and
-                                       os.path.getmtime(_SO) <
-                                       os.path.getmtime(_SRC)):
-            if not _build():
-                _load_failed = True
-                return None
-        try:
-            lib = ctypes.CDLL(_SO)
-            lib.tcsv_parse.restype = ctypes.c_void_p
-            lib.tcsv_parse.argtypes = [ctypes.c_char_p, ctypes.c_int32,
-                                       ctypes.c_int32, ctypes.c_int32,
-                                       ctypes.c_int32]
-            lib.tcsv_n_rows.restype = ctypes.c_int64
-            lib.tcsv_n_rows.argtypes = [ctypes.c_void_p]
-            lib.tcsv_n_frames.restype = ctypes.c_int32
-            lib.tcsv_n_frames.argtypes = [ctypes.c_void_p]
-            lib.tcsv_channels.restype = ctypes.c_char_p
-            lib.tcsv_channels.argtypes = [ctypes.c_void_p]
-            for name, ct in (("tcsv_fields", ctypes.c_int32),
-                             ("tcsv_hs", ctypes.c_int32),
-                             ("tcsv_ws", ctypes.c_int32),
-                             ("tcsv_rows", ctypes.c_int64),
-                             ("tcsv_cats", ctypes.c_uint8),
-                             ("tcsv_frames", ctypes.c_int64)):
-                fn = getattr(lib, name)
-                fn.restype = ctypes.POINTER(ct)
-                fn.argtypes = [ctypes.c_void_p]
-            lib.tcsv_free.restype = None
-            lib.tcsv_free.argtypes = [ctypes.c_void_p]
-            _lib = lib
-        except Exception:
-            _load_failed = True
-    return _lib
+    return _NATIVE.load()
 
 
 def have_native() -> bool:
@@ -100,9 +80,18 @@ def parse_track_csv_native(path, downstep_filtered=False, head_truncate=0,
         hs = np.ctypeslib.as_array(lib.tcsv_hs(handle), (n,)).copy()
         ws = np.ctypeslib.as_array(lib.tcsv_ws(handle), (n,)).copy()
         rows = np.ctypeslib.as_array(lib.tcsv_rows(handle), (n,)).copy()
-        cats = np.ctypeslib.as_array(lib.tcsv_cats(handle),
-                                     (n, nf)).copy().astype(bool)
-        frames = np.ctypeslib.as_array(lib.tcsv_frames(handle), (n, nf)).copy()
+        if nf == 0:
+            # head_truncate ate every frame column: the data pointers of
+            # the empty vectors are NULL (as_array would raise); the rows
+            # themselves are valid with empty tuples, like the Python
+            # reader's.
+            cats = np.zeros((n, 0), bool)
+            frames = np.zeros((n, 0), np.int64)
+        else:
+            cats = np.ctypeslib.as_array(lib.tcsv_cats(handle),
+                                         (n, nf)).copy().astype(bool)
+            frames = np.ctypeslib.as_array(lib.tcsv_frames(handle),
+                                           (n, nf)).copy()
     finally:
         lib.tcsv_free(handle)
 
@@ -166,6 +155,16 @@ def read_track_photometries_arrays(path, downstep_filtered=False,
                     "rows": np.zeros(0, np.int64),
                     "categories": np.zeros((0, 0), bool),
                     "intensities": np.zeros((0, 0), np.int64)}
+        if nf == 0:
+            # NULL data pointers on the empty vectors (see the dict
+            # reader above) — build the empty matrices directly.
+            cats = np.zeros((n, 0), bool)
+            frames = np.zeros((n, 0), np.int64)
+        else:
+            cats = np.ctypeslib.as_array(
+                lib.tcsv_cats(handle), (n, nf)).copy().astype(bool)
+            frames = np.ctypeslib.as_array(lib.tcsv_frames(handle),
+                                           (n, nf)).copy()
         return {
             "channels": lib.tcsv_channels(handle).decode("utf-8").split("\n"),
             "fields": np.ctypeslib.as_array(lib.tcsv_fields(handle),
@@ -173,10 +172,8 @@ def read_track_photometries_arrays(path, downstep_filtered=False,
             "hs": np.ctypeslib.as_array(lib.tcsv_hs(handle), (n,)).copy(),
             "ws": np.ctypeslib.as_array(lib.tcsv_ws(handle), (n,)).copy(),
             "rows": np.ctypeslib.as_array(lib.tcsv_rows(handle), (n,)).copy(),
-            "categories": np.ctypeslib.as_array(
-                lib.tcsv_cats(handle), (n, nf)).copy().astype(bool),
-            "intensities": np.ctypeslib.as_array(lib.tcsv_frames(handle),
-                                                 (n, nf)).copy(),
+            "categories": cats,
+            "intensities": frames,
         }
     finally:
         lib.tcsv_free(handle)

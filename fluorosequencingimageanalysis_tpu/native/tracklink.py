@@ -10,56 +10,36 @@ from __future__ import annotations
 
 import ctypes
 import os
-import threading
 
 import numpy as np
 
+from ._build import NativeLib
+
 _HERE = os.path.dirname(os.path.abspath(__file__))
-_SRC = os.path.join(_HERE, "tracklink.cpp")
-_SO = os.path.join(_HERE, "_tracklink.so")
-
-_lock = threading.Lock()
-_lib = None
-_load_failed = False
 
 
-def _build() -> bool:
-    from ._build import build_shared
-    return build_shared(_SRC, _SO, [["-O3", "-march=native"], ["-O3"]])
+def _prototypes(lib):
+    fn = lib.trk_greedy_link
+    fn.restype = ctypes.c_int
+    fn.argtypes = [
+        np.ctypeslib.ndpointer(np.float64, flags="C"),  # h
+        np.ctypeslib.ndpointer(np.float64, flags="C"),  # w
+        np.ctypeslib.ndpointer(np.int32, flags="C"),    # frame_start
+        ctypes.c_int32, ctypes.c_int32,                 # frames/spots
+        ctypes.c_int32, ctypes.c_int32,                 # H, W
+        ctypes.c_double,                                # radius
+        np.ctypeslib.ndpointer(np.int32, flags="C"),    # out_ancestor
+        np.ctypeslib.ndpointer(np.int32, flags="C"),    # out_desc
+        np.ctypeslib.ndpointer(np.int64, flags="C"),    # err_out
+    ]
+
+
+_NATIVE = NativeLib(os.path.join(_HERE, "tracklink.cpp"),
+                    os.path.join(_HERE, "_tracklink.so"), _prototypes)
 
 
 def _load():
-    global _lib, _load_failed
-    if _lib is not None or _load_failed:
-        return _lib
-    with _lock:
-        if _lib is not None or _load_failed:
-            return _lib
-        if not os.path.exists(_SO) or (os.path.exists(_SRC) and
-                                       os.path.getmtime(_SO) <
-                                       os.path.getmtime(_SRC)):
-            if not _build():
-                _load_failed = True
-                return None
-        try:
-            lib = ctypes.CDLL(_SO)
-            fn = lib.trk_greedy_link
-            fn.restype = ctypes.c_int
-            fn.argtypes = [
-                np.ctypeslib.ndpointer(np.float64, flags="C"),  # h
-                np.ctypeslib.ndpointer(np.float64, flags="C"),  # w
-                np.ctypeslib.ndpointer(np.int32, flags="C"),    # frame_start
-                ctypes.c_int32, ctypes.c_int32,                 # frames/spots
-                ctypes.c_int32, ctypes.c_int32,                 # H, W
-                ctypes.c_double,                                # radius
-                np.ctypeslib.ndpointer(np.int32, flags="C"),    # out_ancestor
-                np.ctypeslib.ndpointer(np.int32, flags="C"),    # out_desc
-                np.ctypeslib.ndpointer(np.int64, flags="C"),    # err_out
-            ]
-            _lib = lib
-        except Exception:
-            _load_failed = True
-    return _lib
+    return _NATIVE.load()
 
 
 def have_native() -> bool:

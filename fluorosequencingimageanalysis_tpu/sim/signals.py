@@ -111,11 +111,18 @@ def random_signal(peptide, p=1.0, b=0.0, u=0.0, windows={}):
                 drops.append((bleach, acid))
 
     # Windowing: keep drops whose position AND prior position are exposed
-    # for their color; dedupe, sort by position.
+    # for their color; dedupe, sort by position. Ties (two colors dropping
+    # at the same cycle) sort canonically by (position, acid): the
+    # reference's position-only sort leaves tie order to Python set
+    # iteration — hash-randomized per process for strings, hence
+    # irreproducible (the same Py2-dict pathology as consolidation order,
+    # DESIGN.md section 13) — and the native sampler
+    # (native/randsiggen.cpp) uses the same canonical order, so trie keys
+    # agree across backends and processes.
     observable = {gap for gap in drops
                   if gap[0] in exposed[gap[1]]
                   and gap[0] - 1 in exposed[gap[1]]}
-    return tuple(sorted(observable, key=lambda g: g[0]))
+    return tuple(sorted(observable))
 
 
 def monte_carlo_trie(peptides, p, b, u, windows, sample_size=100,

@@ -34,9 +34,9 @@ def test_deterministic_parity():
 
 
 def _distribution(signals):
-    # Canonicalize tie order at equal positions: the Python model emits ties
-    # in set-hash order (sim/signals.py:99 sorts by position only), the
-    # native sampler lexicographically — same multiset either way.
+    # Both backends now canonicalize tie order at equal positions
+    # lexicographically (sim/signals.py random_signal); the sort here is
+    # belt-and-braces so this distribution check never depends on it.
     counts = collections.Counter(tuple(sorted(s)) for s in signals)
     total = sum(counts.values())
     return {k: v / total for k, v in counts.items()}
@@ -173,3 +173,104 @@ def test_py2_round_semantics():
     assert _py2_round(3.5) == 4
     assert _py2_round(-2.5) == -3
     assert _py2_round(2.4) == 2
+
+
+def test_trackcsv_edge_cases_abort_to_python(tmp_path):
+    """Review findings r3: inputs the native parser cannot reproduce must
+    ABORT (None -> Python fallback), never silently diverge or crash."""
+    from fluorosequencingimageanalysis_tpu.native import trackcsv as tc
+    from fluorosequencingimageanalysis_tpu.inference.photometries import (
+        read_track_photometries_csv)
+    if not tc.have_native():
+        pytest.skip("native trackcsv did not build")
+    header = "CHANNEL,FIELD,H,W,CATEGORY,FRAME 0,FRAME 1\n"
+    row = 'ch1,0,10,20,"(True, False)",100,50\n'
+
+    # Blank interior line: native aborts; Python (like the reference's
+    # unpack) raises.
+    p = tmp_path / "blank.csv"
+    p.write_text(header + row + "\n" + row)
+    assert tc.parse_track_csv_native(str(p)) is None
+    with pytest.raises(Exception):
+        read_track_photometries_csv(str(p), use_native=False)
+
+    # Hex-float cell: Python float() rejects it; the native strtod must
+    # not quietly parse 0x10 as 16.
+    p = tmp_path / "hex.csv"
+    p.write_text(header + row.replace("ch1,0", "ch1,0x10"))
+    assert tc.parse_track_csv_native(str(p)) is None
+    with pytest.raises(ValueError):
+        read_track_photometries_csv(str(p), use_native=False)
+
+    # Zero frame columns (5-column file): VALID for the Python reader
+    # (empty frame tuples) — native aborts rather than dropping rows.
+    p = tmp_path / "zerof.csv"
+    p.write_text("CHANNEL,FIELD,H,W,CATEGORY\nch1,0,10,20,()\n")
+    assert tc.parse_track_csv_native(str(p)) is None
+    d, d2 = read_track_photometries_csv(str(p), use_native=True)
+    assert len(d2) == 1  # fell back to Python and kept the row
+
+    # head_truncate eating every frame column: both paths agree (empty
+    # tuples) and the native binding must not crash on NULL data
+    # pointers.
+    p = tmp_path / "trunc.csv"
+    p.write_text(header + row + row.replace(",10,", ",11,"))
+    dn, dn2 = read_track_photometries_csv(str(p), use_native=True,
+                                          head_truncate=5)
+    dp, dp2 = read_track_photometries_csv(str(p), use_native=False,
+                                          head_truncate=5)
+    assert dn == dp and dn2 == dp2
+    arrs = tc.read_track_photometries_arrays(str(p), head_truncate=5)
+    assert arrs is not None and arrs["intensities"].shape == (2, 0)
+
+    # downstep filter on truncated-to-empty categories: Python raises
+    # IndexError; native must abort, not silently filter.
+    assert tc.parse_track_csv_native(str(p), downstep_filtered=True,
+                                     head_truncate=5) is None
+    with pytest.raises(IndexError):
+        read_track_photometries_csv(str(p), use_native=False,
+                                    downstep_filtered=True, head_truncate=5)
+
+
+def test_random_signal_tie_order_is_canonical():
+    """Same-cycle multi-color drops sort by (position, acid) in BOTH the
+    Python model and the native sampler (review finding r3: the
+    reference's position-only sort leaves tie order to set iteration —
+    hash-randomized, irreproducible; DESIGN section 13 class)."""
+    import random as _random
+    from fluorosequencingimageanalysis_tpu.sim.signals import random_signal
+
+    windows = {"A": tuple(range(1, 7)), "C": tuple(range(1, 7))}
+    _random.seed(5)
+    seen_tied = 0
+    for _ in range(2000):
+        sig = random_signal(("ACAC", "AC"), 0.9, 0.05, 0.0, windows)
+        for (p1, a1), (p2, a2) in zip(sig, sig[1:]):
+            assert (p1, a1) <= (p2, a2), sig
+            seen_tied += p1 == p2
+    assert seen_tied > 0, "test never exercised a same-position tie"
+
+
+def test_edman_delay_underflow_matches_python():
+    """CDF-exhaustion path: native must reproduce the Python model's
+    one-step-late stall detection (returns e+1, not e)."""
+    from fluorosequencingimageanalysis_tpu.native import randsiggen as rs
+    from fluorosequencingimageanalysis_tpu.sim import signals as sig
+    import random as _random
+
+    # p so small that p**d underflows to 0.0: Python returns 1 always.
+    _random.seed(0)
+    assert sig._sample_edman_delay(400, 1e-2) == 1  # 1e-800 -> 0.0
+    if not rs.have_native():
+        pytest.skip("native randsiggen did not build")
+    # Drive the native sampler where the head gap forces the underflow:
+    # peptide head with the labeled acid at position 400.
+    head = "G" * 399 + "A"
+    windows = {"A": tuple(range(1, 500))}
+    sigs = rs.random_signal_batch((head, ""), 1e-2, 1e-9, 0.0, windows,
+                                  batch_size=64, seed=3)
+    # Every signal must place the drop at position 401 (= 400 ideal + 1
+    # underflow-stall delay), never 400.
+    for s in sigs:
+        for pos, acid in s:
+            assert pos == 401, s
