@@ -22,9 +22,14 @@
 namespace {
 
 inline int64_t py2round(double x) {
-    // Python 2 round(): halves away from zero.
-    return x >= 0 ? static_cast<int64_t>(std::floor(x + 0.5))
-                  : static_cast<int64_t>(std::ceil(x - 0.5));
+    // Python 2 round(): halves away from zero. Exact fraction
+    // comparison, NOT floor(x + 0.5) — the addition rounds a near-half
+    // double up across the tie (see utils/rounding.py). Must stay
+    // bit-identical to the host py2_round or pixel bins diverge.
+    double ax = std::fabs(x);
+    double f = std::floor(ax);
+    int64_t r = static_cast<int64_t>(f) + (ax - f >= 0.5 ? 1 : 0);
+    return x < 0 ? -r : r;
 }
 
 struct Pair {

@@ -89,13 +89,16 @@ def discard_dropouts(spots, spot_cumulative_offsets, frame_cumulative_offsets,
 def _py2_round_array(x):
     """Vectorized Python-2 rounding (halves away from zero).
 
-    Always computes in float64 — the host contract is
-    int(py2_round(float(h))), and f32 `x + 0.5` can round a
-    just-below-half value UP at the tie (e.g. f32 0.49999997 + 0.5 ==
-    1.0), flipping the integer identity of knife-edge centers."""
+    Always computes in float64, and decides with an EXACT fraction
+    comparison rather than `x + 0.5` — the addition form has the same
+    knife-edge hazard in f64 that its old docstring called out for f32
+    (floor(0.49999999999999994 + 0.5) == 1; Python 2 round() returns 0).
+    Mirrors utils.rounding.py2_round exactly."""
     x = np.asarray(x, np.float64)
-    return np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5)).astype(
-        np.int64)
+    ax = np.abs(x)
+    f = np.floor(ax)
+    r = (f + (ax - f >= 0.5)).astype(np.int64)
+    return np.where(x < 0, -r, r)
 
 
 def greedy_particle_tracking(frame_spots, frame_shape, candidate_radius=2,

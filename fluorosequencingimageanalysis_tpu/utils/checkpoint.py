@@ -23,18 +23,27 @@ import shutil
 import numpy as np
 
 
+def _framed(h, payload: bytes):
+    """Length-framed update: without framing, adjacent variable-size
+    parts can shift a boundary byte and collide — content_key('as', 'b')
+    would equal content_key('a', 'sb')."""
+    h.update(str(len(payload)).encode())
+    h.update(b":")
+    h.update(payload)
+
+
 def _hash_part(h, part):
     if isinstance(part, bytes):
-        h.update(b"b"); h.update(part)
+        h.update(b"b"); _framed(h, part)
     elif isinstance(part, str):
-        h.update(b"s"); h.update(part.encode("utf-8"))
+        h.update(b"s"); _framed(h, part.encode("utf-8"))
     elif isinstance(part, (int, float, bool)) or part is None:
-        h.update(b"n"); h.update(repr(part).encode("utf-8"))
+        h.update(b"n"); _framed(h, repr(part).encode("utf-8"))
     elif isinstance(part, np.ndarray):
         h.update(b"a")
-        h.update(str(part.dtype).encode())
-        h.update(str(part.shape).encode())
-        h.update(np.ascontiguousarray(part).tobytes())
+        _framed(h, str(part.dtype).encode())
+        _framed(h, str(part.shape).encode())
+        _framed(h, np.ascontiguousarray(part).tobytes())
     elif isinstance(part, dict):
         # Recurse so nested arrays hash by CONTENT: json.dumps'
         # default=str would summarize a large ndarray as its truncated
@@ -51,7 +60,7 @@ def _hash_part(h, part):
     elif hasattr(part, "__array__"):  # jax.Array and friends
         _hash_part(h, np.asarray(part))
     else:
-        h.update(b"r"); h.update(repr(part).encode("utf-8"))
+        h.update(b"r"); _framed(h, repr(part).encode("utf-8"))
 
 
 def content_key(*parts) -> str:
@@ -136,6 +145,11 @@ class ArtifactStore:
 
     def keys(self):
         for name in sorted(os.listdir(self.root)):
+            if name.endswith(".tmp"):
+                # Orphan of a crashed/interrupted save(): the tmp dir
+                # already holds _COMPLETE (written before the atomic
+                # rename), so exists() alone would report it as a key.
+                continue
             if self.exists(name):
                 yield name
 

@@ -13,8 +13,23 @@ import math
 
 
 def py2_round(x):
-    """round() with Python-2 semantics: halves away from zero."""
-    return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
+    """round() with Python-2 semantics: halves away from zero.
+
+    Computed as an EXACT fraction comparison, not floor(x + 0.5): the
+    addition form rounds a near-half double UP when x + 0.5 rounds to
+    the next integer (floor(0.49999999999999994 + 0.5) == 1, while
+    Python 2's correctly-rounded round() returns 0). |x| - floor(|x|)
+    is exact in float64 below 2^52, so the >= 0.5 comparison decides
+    every case, ties included, exactly like the Py2 builtin. The array
+    (pipeline/tracking._py2_round_array), device
+    (py2_round_device_i32), and native (tracklink.cpp py2round) forms
+    use the same comparison so keys can never diverge between paths.
+    """
+    if x >= 0:
+        f = math.floor(x)
+        return int(f) + (1 if x - f >= 0.5 else 0)
+    f = math.ceil(x)
+    return int(f) - (1 if f - x >= 0.5 else 0)
 
 
 def py2_round_device_i32(x):
