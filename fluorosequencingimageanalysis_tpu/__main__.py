@@ -139,9 +139,11 @@ def _cmd_fluor_counts(args):
 def _cmd_timetrace(args):
     from .api import Pipeline
     from .config import PipelineConfig, PhotometryConfig
-    from .utils.imageio import read_image_array
+    from .utils.imageio import read_stack_array
 
-    movie = np.stack([read_image_array(p) for p in args.frames])
+    # One multi-page TIFF or a list of per-frame files; read_stack_array
+    # returns (frames, H, W) either way.
+    movie = np.concatenate([read_stack_array(p) for p in args.frames])
     config = PipelineConfig(
         photometry=PhotometryConfig(method=args.photometry_method))
     pipe = Pipeline(config=config, profile=args.profile)
@@ -363,14 +365,15 @@ def _cmd_zstack(args):
 
     from .api import Pipeline
     from .config import DetectConfig, PipelineConfig
-    from .utils.imageio import read_image_array
+    from .utils.imageio import read_stack_array
 
     if len(args.frames) == 1 and args.frames[0].endswith(".npy"):
         stack = np.load(args.frames[0])
         if stack.ndim != 3:
             raise SystemExit("--frames .npy must hold a [T, H, W] stack")
     else:
-        stack = np.stack([read_image_array(p) for p in args.frames])
+        # One multi-page TIFF or a list of per-frame files.
+        stack = np.concatenate([read_stack_array(p) for p in args.frames])
     overrides = {}
     if args.max_candidates is not None:
         overrides["max_candidates"] = args.max_candidates

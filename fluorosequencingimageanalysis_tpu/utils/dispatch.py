@@ -16,7 +16,16 @@ def pow2_bucket(n: int, cap: int, multiple_of: int = 1) -> int:
     Full chunks stay at ``cap``; ragged tails round up to the next power
     of two (capped). With ``multiple_of`` > 1 the result is also rounded
     up to that multiple (even shards across a device mesh).
+
+    ``n`` must already be chunked to at most ``cap`` rows: silently
+    returning ``cap`` for a larger ``n`` would hand callers a negative
+    pad size (``bucket - n``) and a confusing reshape error far from the
+    cause.
     """
+    if n > cap:
+        raise ValueError(
+            f"pow2_bucket: n={n} exceeds the dispatch cap {cap}; chunk the "
+            "rows before bucketing.")
     bucket = n if n == cap else min(cap, 1 << max(n - 1, 1).bit_length())
     if multiple_of > 1:
         bucket = max(bucket, multiple_of)

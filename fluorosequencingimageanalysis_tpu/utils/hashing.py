@@ -11,17 +11,22 @@ from __future__ import annotations
 import os
 import time
 
+from .rounding import py2_round
+
 _HASHCHARS = "0123456789abcdefghijklmnopqrstuvwxyz"
 
 
 def epoch_to_hash(epoch: float) -> str:
     """Base-36 encoding of a Unix epoch, rounded to the nearest second.
 
-    Parity: /root/reference/pflib.py:523-543.
+    Parity: /root/reference/pflib.py:523-543. The reference rounds with
+    Python 2 round() (halves away from zero); Python 3 round() banker's-
+    rounds *.5 epochs to the even second, which would name the artifact
+    differently from a reference run.
     """
     if epoch <= 0:
         raise ValueError("epoch must be positive.")
-    epoch = int(round(epoch))
+    epoch = py2_round(epoch)
     out = ""
     while epoch > 0:
         out = _HASHCHARS[epoch % len(_HASHCHARS)] + out

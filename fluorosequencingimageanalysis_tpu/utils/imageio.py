@@ -18,9 +18,46 @@ def read_image_array(image_path: str) -> np.ndarray:
     import imageio.v2 as iio
     arr = np.asarray(iio.imread(image_path))
     if arr.ndim == 3:
-        # Collapse RGB(A) sanity-check images to grayscale (first channel).
-        arr = arr[..., 0]
+        if arr.shape[-1] <= 4:
+            # Collapse channel-last RGB(A) sanity-check images to
+            # grayscale (first channel).
+            arr = arr[..., 0]
+        elif arr.shape[0] == 1:
+            # Single-page TIFF read back as a (1, H, W) stack.
+            arr = arr[0]
+        else:
+            # Frame-first (Z, H, W) multi-page stack: arr[..., 0] would
+            # silently slice the first COLUMN of every page. Point the
+            # caller at the stack reader instead.
+            raise ValueError(
+                f"{image_path} is a {arr.shape[0]}-page stack, not a "
+                "single image; read it with read_stack_array (or pass "
+                "per-frame files).")
     return arr
+
+
+def read_stack_array(image_path: str) -> np.ndarray:
+    """Read a multi-page image as a (frames, H, W) stack.
+
+    Single-page inputs come back with frames == 1, so movie/z-stack CLIs
+    can accept either one multi-page TIFF or a list of per-frame files.
+    """
+    import imageio.v2 as iio
+    try:
+        pages = [np.asarray(p) for p in iio.mimread(image_path,
+                                                    memtest=False)]
+    except Exception:
+        pages = [np.asarray(iio.imread(image_path))]
+    frames = []
+    for page in pages:
+        if page.ndim == 3 and page.shape[-1] <= 4:
+            page = page[..., 0]
+        if page.ndim != 2:
+            raise ValueError(
+                f"{image_path}: page of shape {page.shape} is not a "
+                "2-D grayscale frame.")
+        frames.append(page)
+    return np.stack(frames)
 
 
 def read_image(image_path: str):

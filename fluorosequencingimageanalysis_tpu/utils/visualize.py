@@ -21,14 +21,28 @@ from .imageio import read_image
 def _histogram_equalization(image, **kwargs):
     """Histogram-equalize and rescale to 8 bits (pflib.py:749-764).
 
-    Tie-aware CDF (skimage.exposure.equalize_hist semantics): EQUAL
-    pixel values must map to the SAME gray level — a rank-based map
-    would smear a flat background across a gradient in raster order."""
+    skimage.exposure.equalize_hist semantics, both dtype branches:
+
+    - integer images (the pipeline's PNGs/TIFFs): skimage bins per
+      integer VALUE (bincount histogram), so its interp lands exactly on
+      cdf(v) = P(X <= v) — identical to the right-sided empirical CDF
+      computed here, and tie-aware (equal pixels map to the same gray);
+    - float images: skimage uses a 256-bin np.histogram + np.interp
+      between bin centers, which is NOT the empirical CDF — reproduce
+      it exactly so float inputs match the reference byte-for-byte too.
+    """
     image = np.asarray(image)
-    flat = image.ravel()
-    sorted_flat = np.sort(flat, kind="stable")
-    cdf = np.searchsorted(sorted_flat, flat, side="right") / flat.size
-    eq = cdf.reshape(image.shape)
+    if np.issubdtype(image.dtype, np.integer) or image.dtype == bool:
+        flat = image.ravel()
+        sorted_flat = np.sort(flat, kind="stable")
+        cdf = np.searchsorted(sorted_flat, flat, side="right") / flat.size
+        eq = cdf.reshape(image.shape)
+    else:
+        hist, edges = np.histogram(image.ravel(), bins=256)
+        centers = (edges[:-1] + edges[1:]) / 2.0
+        cdf = np.cumsum(hist).astype(np.float64)
+        cdf /= cdf[-1]
+        eq = np.interp(image.ravel(), centers, cdf).reshape(image.shape)
     return _intensity_scaling(eq)
 
 

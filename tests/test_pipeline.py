@@ -648,3 +648,84 @@ def test_unlisted_spot_photometry_cached(monkeypatch):
     np.testing.assert_allclose(
         v_listed, _mexican_hat_oracle(img_arr.astype(np.float64), 20, 20),
         rtol=1e-5)
+
+
+def test_epoch_to_hash_half_second_rounds_away_from_zero():
+    """Reference runs under Py2 round(): *.5 epochs go UP, not to the
+    even second (pflib.py:523-543). Py3 round() would name the artifact
+    t...0 instead of t...1 on exact half-second timestamps."""
+    from fluorosequencingimageanalysis_tpu.utils.hashing import (
+        epoch_to_hash, hash_to_epoch)
+
+    assert epoch_to_hash(1755000000.5) == epoch_to_hash(1755000001)
+    assert hash_to_epoch(epoch_to_hash(1755000000.5)) == 1755000001
+
+
+def test_pow2_bucket_rejects_overflow():
+    """n > cap must raise loudly, not hand the caller a negative pad."""
+    import pytest
+    from fluorosequencingimageanalysis_tpu.utils.dispatch import pow2_bucket
+
+    assert pow2_bucket(1000, 1024) == 1024
+    assert pow2_bucket(1024, 1024) == 1024
+    with pytest.raises(ValueError, match="chunk"):
+        pow2_bucket(1025, 1024)
+
+
+def test_read_image_array_stack_handling(tmp_path):
+    """(Z, H, W) multi-page TIFFs must not be silently column-sliced as
+    if they were channel-last RGB; read_stack_array handles them."""
+    import imageio.v2 as iio
+    import pytest
+    from fluorosequencingimageanalysis_tpu.utils.imageio import (
+        read_image_array, read_stack_array)
+
+    rng = np.random.default_rng(0)
+    stack = rng.integers(0, 4000, (5, 16, 24)).astype(np.uint16)
+    path = str(tmp_path / "movie.tif")
+    iio.mimwrite(path, list(stack))
+    got = read_stack_array(path)
+    np.testing.assert_array_equal(got, stack)
+
+    # Plugins that hand imread the whole (Z, H, W) volume must raise,
+    # not column-slice it as channel-last RGB.
+    import unittest.mock as mock
+    with mock.patch("imageio.v2.imread", lambda p: stack):
+        with pytest.raises(ValueError, match="stack"):
+            read_image_array(path)
+
+    # Single 2-D image: both readers agree, stack reader adds the axis.
+    single = str(tmp_path / "one.png")
+    img = rng.integers(0, 255, (16, 24)).astype(np.uint8)
+    iio.imwrite(single, img)
+    np.testing.assert_array_equal(read_image_array(single), img)
+    np.testing.assert_array_equal(read_stack_array(single), img[None])
+
+    # Channel-last RGB still collapses to the first channel.
+    rgb = str(tmp_path / "rgb.png")
+    arr = rng.integers(0, 255, (16, 24, 3)).astype(np.uint8)
+    iio.imwrite(rgb, arr)
+    np.testing.assert_array_equal(read_image_array(rgb), arr[..., 0])
+
+
+def test_histogram_equalization_float_branch_256_bins():
+    """Float images go through skimage's 256-bin histogram + interp
+    (NOT the exact empirical CDF): values inside one bin map linearly,
+    and the result must equal the documented skimage formula."""
+    from fluorosequencingimageanalysis_tpu.utils.visualize import (
+        _histogram_equalization, _intensity_scaling)
+
+    rng = np.random.default_rng(1)
+    img = rng.normal(400.0, 60.0, (48, 48))
+    # skimage.exposure.equalize_hist float path, verbatim:
+    hist, edges = np.histogram(img.ravel(), bins=256)
+    centers = (edges[:-1] + edges[1:]) / 2.0
+    cdf = np.cumsum(hist) / float(img.size)
+    expected = _intensity_scaling(
+        np.interp(img.ravel(), centers, cdf).reshape(img.shape))
+    np.testing.assert_array_equal(_histogram_equalization(img), expected)
+    # And it genuinely differs from the exact empirical CDF on floats.
+    flat = img.ravel()
+    ecdf = (np.searchsorted(np.sort(flat), flat, side="right")
+            / flat.size).reshape(img.shape)
+    assert (_histogram_equalization(img) != _intensity_scaling(ecdf)).any()
