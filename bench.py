@@ -1,7 +1,7 @@
 #!/usr/bin/env python
 """Benchmarks: the detect step AND the full experiment, per chip.
 
-Prints SIX JSON lines; the driver parses the LAST one (the headline):
+Prints SEVEN JSON lines; the driver parses the LAST one (the headline):
 
   {"metric": "experiment_fields_per_sec", ...}        <- config 4 (full
       multi-field multi-cycle experiment: registration + detect/fit +
@@ -18,9 +18,13 @@ Prints SIX JSON lines; the driver parses the LAST one (the headline):
   {"metric": "timetrace_traces_per_sec", ...}         <- movie front door
       (run_timetrace: detect + lax.scan LC tracking + photometry +
       batched step fits on a 24-frame 512x512 movie)
-  {"metric": "v8_traces_per_sec", ...}                <- config 5 (v8
-      lognormal fluor counting, 1e5 traces x 6,188 sequences at the
-      reference's cost-warning shape n_cycles=12, max_fluors=5)
+  {"metric": "sim_molecules_per_sec", ...}            <- config 5, MC
+      simulation half (batched dye-count + photometry simulation, 1e6
+      molecules of a 2-color 18-mer at the CLI-default model)
+  {"metric": "v8_traces_per_sec", ...}                <- config 5,
+      inference half (v8 lognormal fluor counting, 1e5 traces x 6,188
+      sequences at the reference's cost-warning shape n_cycles=12,
+      max_fluors=5)
   {"metric": "fields_per_sec_per_chip", ...}          <- headline (align +
       detect + fit + photometry through the sharded experiment step)
 
@@ -600,6 +604,74 @@ def bench_v8(T=100_000, F=12, K=5, beta_sigma=0.2, host_sample=150):
     return T / dt, 1.0 / host_dt
 
 
+def bench_simulation(N=100_000, host_sample=3000):
+    """Config 5 (simulation half): the batched device Monte-Carlo dye
+    simulation (sim/dye_sim.py — the TPU-native randsiggen) vs the
+    reference-shaped per-molecule host event loop
+    (sim/events.simulate_dye_counts + simulate_photometries, the faithful
+    port of peptide_simulator.py:190-435).
+
+    Workload: simulate_peptide.py's CLI defaults (N=100000 molecules,
+    edman_efficiency 0.90, dye_destruction 0.1, dud_dyes 0.50, surface
+    degradation 0.30/4/0.10, beta 70000, beta_sigma 0.20, default DDIF
+    curve; num_mocks 4 with 1 omitted -> 3, num_edmans 8 -> 12 count
+    cycles) on a two-color 18-mer. Both paths produce per-molecule dye
+    counts for every cycle plus per-color lognormal photometries; the
+    device numbers include the device->host fetch of both result arrays
+    (photometries chain from the device counts — no intermediate round
+    trip). Returns (molecules/s batched, molecules/s host)."""
+    import math
+
+    import jax
+    from fluorosequencingimageanalysis_tpu.sim.dye_sim import (
+        simulate_dye_counts_batched, simulate_photometries_batched)
+    from fluorosequencingimageanalysis_tpu.sim.events import (
+        simulate_dye_counts, simulate_photometries)
+
+    seq = "ACKDYECAGKHSECAMKR"
+    labels = {"C", "K"}
+    params = dict(p=0.90, b=-math.log(1.0 - 0.1), u=0.50, s=0.30, sc=4,
+                  s2=0.10)
+    beta, beta_sigma = 70000.0, 0.20
+    ddif = [0, 0.30] + [0.30] * 5
+
+    def run_batched(n, seed):
+        counts_d, labels_out = simulate_dye_counts_batched(
+            seq, labels, num_mocks=3, num_edmans=8, num_simulations=n,
+            seed=seed, device_out=True, **params)
+        intens_d = [simulate_photometries_batched(
+                        counts_d[:, :, k], beta, beta_sigma,
+                        seed=seed + 7919 * (k + 1), ddif=ddif,
+                        device_out=True)
+                    for k in range(len(labels_out))]
+        fetches = [counts_d.astype(jax.numpy.int8)] + intens_d
+        for arr in fetches:
+            arr.copy_to_host_async()
+        return {label: np.asarray(intens_d[k])
+                for k, label in enumerate(labels_out)}, \
+            np.asarray(fetches[0])
+
+    run_batched(N, seed=0)  # compile + warm at the timed shape
+    dt = float("inf")
+    for rep in range(2):  # best-of-2: filters tunnel-link interference
+        t0 = time.perf_counter()
+        out, counts = run_batched(N, seed=rep + 1)
+        dt = min(dt, time.perf_counter() - t0)
+    assert all(np.isfinite(v).all() for v in out.values())
+    assert (counts >= 0).all() and counts.max() <= len(seq)
+
+    t0 = time.perf_counter()
+    host = simulate_dye_counts(seq, labels, num_mocks=3, num_edmans=8,
+                               num_simulations=host_sample, random_seed=7,
+                               **params)
+    for _, dye_counts, _, _ in host:
+        for counts in dye_counts.values():
+            simulate_photometries(counts, beta, beta_sigma, number=1,
+                                  ddif=ddif)
+    host_dt = (time.perf_counter() - t0) / host_sample
+    return N / dt, 1.0 / host_dt
+
+
 def make_zstack(T=32, H=512, W=512, n_spots=800, seed=4):
     """Config-2 workload (BASELINE.json): one field over a z/time axis —
     a smooth, slowly-varying nonuniform background (the thing the
@@ -766,7 +838,19 @@ def main():
                  "(detect + LC track + photometry + step fits)",
     }))
 
-    # Config 5: v8 fluor counting at the reference's cost-warning shape.
+    # Config 5, simulation half: batched Monte-Carlo dye simulation.
+    sim_mps, sim_host_mps = bench_simulation()
+    print(json.dumps({
+        "metric": "sim_molecules_per_sec",
+        "value": round(sim_mps, 1),
+        "unit": "molecules/s",
+        "vs_baseline": round(sim_mps / sim_host_mps, 1),
+        "shape": "N=1e5 molecules, 2-color 18-mer, 12 count cycles "
+                 "(counts + photometries, CLI-default model)",
+    }))
+
+    # Config 5, inference half: v8 fluor counting at the reference's
+    # cost-warning shape.
     v8_tps, v8_host_tps = bench_v8()
     print(json.dumps({
         "metric": "v8_traces_per_sec",

@@ -123,7 +123,8 @@ def _simulate_batch(key, color_ids, num_mocks, num_edmans, num_sims, seq_len,
 
 def simulate_dye_counts_batched(sequence, labels, num_mocks, num_edmans,
                                 num_simulations, seed=0,
-                                return_loss_cycles=False, **params):
+                                return_loss_cycles=False, device_out=False,
+                                **params):
     """Batched equivalent of sim.events.simulate_dye_counts.
 
     Single color (len(labels) == 1, the common case): returns
@@ -138,6 +139,10 @@ def simulate_dye_counts_batched(sequence, labels, num_mocks, num_edmans,
     (num_simulations, seq_len) per-dye loss-cycle matrix and the bool
     dud matrix (see _simulate_batch) for reconstructing dye_decrements,
     including the host path's dud-before-initial-tirf order at cycle 0.
+
+    device_out=True returns jax device arrays instead of fetched NumPy
+    (for chaining into device photometries / scoring without a host
+    round trip).
     """
     labels_sorted = tuple(sorted(set(labels)))
     n_colors = len(labels_sorted)
@@ -155,14 +160,39 @@ def simulate_dye_counts_batched(sequence, labels, num_mocks, num_edmans,
         jax.random.PRNGKey(seed), jnp.asarray(color_ids),
         int(num_mocks), int(num_edmans), int(num_simulations),
         len(sequence), n_colors, p, per_cycle_b, u, s, sc, s2)
-    counts = np.asarray(counts)
+    if device_out:
+        # Chaining path (photometries / scoring consume counts on
+        # device): skip the host fetch entirely.
+        if n_colors == 1:
+            out = (counts[:, :, 0], labels_sorted[0])
+        else:
+            out = (counts, labels_sorted)
+        if return_loss_cycles:
+            out = out + (loss, dud)
+        return out
+    # Host fetch: counts fit in int8 (a color's count is bounded by the
+    # number of labeled positions <= seq_len <= 127 for any real
+    # peptide) and loss cycles in int16 — 4x/2x fewer bytes over the
+    # host link; overlapping async copies hide the per-fetch latency.
+    compact = (_compact_counts(counts) if len(sequence) < 128 else counts)
+    fetches = [compact] + ([loss.astype(jnp.int16), dud]
+                           if return_loss_cycles else [])
+    for arr in fetches:
+        arr.copy_to_host_async()
+    counts = np.asarray(fetches[0]).astype(np.int32)
     if n_colors == 1:
         out = (counts[:, :, 0], labels_sorted[0])
     else:
         out = (counts, labels_sorted)
     if return_loss_cycles:
-        out = out + (np.asarray(loss), np.asarray(dud))
+        out = out + (np.asarray(fetches[1]).astype(np.int32),
+                     np.asarray(fetches[2]))
     return out
+
+
+@jax.jit
+def _compact_counts(counts):
+    return counts.astype(jnp.int8)
 
 
 def decrements_from_loss_cycles(sequence, loss_row, dud_row=None):
@@ -187,27 +217,38 @@ def decrements_from_loss_cycles(sequence, loss_row, dud_row=None):
     return tuple((aa, c) for c, _, aa in decs)
 
 
+@jax.jit
+def _photometries_kernel(key, counts, log_beta, beta_sigma, ddif_arr):
+    z = jax.random.normal(key, counts.shape, jnp.float32)
+    safe = jnp.maximum(counts, 1).astype(jnp.int32)
+    idx = jnp.minimum(safe - 1, ddif_arr.shape[0] - 1)
+    mean = log_beta + jnp.log(safe.astype(jnp.float32)) - ddif_arr[idx]
+    return jnp.where(counts == 0, jnp.float32(0.0),
+                     jnp.exp(mean + beta_sigma * z))
+
+
 def simulate_photometries_batched(counts, beta, beta_sigma, seed=0,
-                                  ddif=None):
-    """Lognormal intensities for a (N, C) dye-count matrix in one pass.
+                                  ddif=None, device_out=False):
+    """Lognormal intensities for a (N, C) dye-count matrix in one pass,
+    computed on device in float32 (the product feeds float32 scoring /
+    CSV emission; the draw is one `jax.random.normal` per matrix).
 
     Equivalent of sim.events.simulate_photometries with number=1 for each
     molecule (no superdyes / distance-DDIF — those take the host path).
+    device_out=True returns the device array (for chaining into the v8
+    scorer without a host round trip); the default fetches to NumPy.
     """
-    counts = np.asarray(counts)
-    n, c = counts.shape
-    key = jax.random.PRNGKey(seed)
-    z = np.asarray(jax.random.normal(key, (n, c)))
+    counts = jnp.asarray(counts)
     if ddif is None:
-        ddif_arr = np.zeros(int(counts.max()) + 1)
+        ddif_arr = jnp.zeros((1,), jnp.float32)
     else:
-        ddif_arr = np.asarray(ddif, dtype=float)
-    safe = np.maximum(counts, 1)
-    mean = (math.log(beta) + np.log(safe) -
-            ddif_arr[np.minimum(safe - 1, len(ddif_arr) - 1)])
-    out = np.exp(mean + beta_sigma * z)
-    out[counts == 0] = 0.0
-    return out
+        ddif_arr = jnp.asarray(np.asarray(ddif, dtype=np.float32))
+    out = _photometries_kernel(
+        jax.random.PRNGKey(seed), counts,
+        jnp.float32(math.log(beta)), jnp.float32(beta_sigma), ddif_arr)
+    if device_out:
+        return out
+    return np.asarray(out).astype(np.float64)
 
 
 def peptide_simulation_batched(sequence, labels, num_mocks, num_edmans,
@@ -225,16 +266,29 @@ def peptide_simulation_batched(sequence, labels, num_mocks, num_edmans,
     labels_sorted = tuple(sorted(set(labels)))
     res = simulate_dye_counts_batched(
         sequence, labels, num_mocks, num_edmans, num_simulations,
-        seed=seed, return_loss_cycles=True, **params)
-    counts, _, loss, dud = res
-    if counts.ndim == 2:
-        counts = counts[:, :, None]
+        seed=seed, return_loss_cycles=True, device_out=True, **params)
+    counts_d, _, loss_d, dud_d = res
+    if counts_d.ndim == 2:
+        counts_d = counts_d[:, :, None]
+    # Chain photometries on device from the device counts (no host
+    # round trip), then fetch everything in one overlapped async round:
+    # compact dtypes (int8 counts / int16 loss cycles) halve-to-quarter
+    # the bytes over the host link.
+    intens_d = [simulate_photometries_batched(
+                    counts_d[:, :, k], beta, beta_sigma,
+                    seed=seed + 7919 * (k + 1), ddif=ddif, device_out=True)
+                for k in range(len(labels_sorted))]
+    compact = (_compact_counts(counts_d) if len(sequence) < 128
+               else counts_d)
+    fetches = [compact, loss_d.astype(jnp.int16), dud_d] + intens_d
+    for arr in fetches:
+        arr.copy_to_host_async()
+    counts = np.asarray(fetches[0]).astype(np.int32)
+    loss = np.asarray(fetches[1]).astype(np.int32)
+    dud = np.asarray(fetches[2])
     n, n_cyc, n_colors = counts.shape
-    intens = {}
-    for k, label in enumerate(labels_sorted):
-        intens[label] = simulate_photometries_batched(
-            counts[:, :, k], beta, beta_sigma, seed=seed + 7919 * (k + 1),
-            ddif=ddif)
+    intens = {label: np.asarray(intens_d[k]).astype(np.float64)
+              for k, label in enumerate(labels_sorted)}
     out = []
     for i in range(n):
         dye_counts = {label: tuple(int(x) for x in counts[i, :, k])
