@@ -1,0 +1,65 @@
+"""Randomized differential sweep: api.Pipeline.run_experiment vs the
+class-based oracle across randomized experiment geometries.
+
+The targeted parity tests (test_fast_experiment.py) each pin one scenario;
+this sweep drives the SAME row-for-row comparison across a grid of
+randomized geometries — field/cycle counts, spot density, dropout rate,
+edge proximity — crossed with photometry methods, so method-specific
+window-validity radii, interpolation fill-in, and category logic are
+exercised jointly rather than one axis at a time. Seeds are fixed: every
+case is deterministic and reproducible.
+
+The oracle (class_path_rows) is the legacy-shaped class chain
+(find_peptides -> Image/Spot -> SequenceExperiment ->
+MultifieldMultichannelSequenceExperiment.track_photometries_as_csv), which
+is itself the reference-parity surface (tested against
+/root/reference/flexlibrary.py semantics throughout tests/).
+"""
+
+import numpy as np
+import pytest
+
+from fluorosequencingimageanalysis_tpu.api import Pipeline
+from fluorosequencingimageanalysis_tpu.config import (PipelineConfig,
+                                                      PhotometryConfig)
+
+from test_fast_experiment import make_stack, class_path_rows
+
+# (seed, F, C, n_spots, presence_p, edge_margin, method)
+# - edge_margin < 9 plants spots inside the mexican-hat ring -> rows that
+#   exist only under smaller-window metrics;
+# - presence_p spans sparse (0.6: gap/hole-heavy traces) to dense (0.95:
+#   remainder-dominated);
+# - C spans short (3) to long (8) category tuples.
+CASES = [
+    (101, 1, 3, 10, 0.70, 12, "simple"),
+    (202, 3, 5, 30, 0.90, 7, "mexican_hat"),
+    (303, 2, 6, 16, 0.60, 16, "maximum"),
+    (404, 2, 4, 32, 0.95, 10, "gaussian_volume"),
+    (505, 1, 8, 24, 0.80, 14, "sextractor"),
+]
+
+
+@pytest.mark.parametrize("seed,F,C,n_spots,presence_p,edge_margin,method",
+                         CASES)
+def test_fuzz_run_experiment_matches_class_path(seed, F, C, n_spots,
+                                                presence_p, edge_margin,
+                                                method):
+    stack = make_stack(F=F, C=C, n_spots=n_spots, seed=seed,
+                       presence_p=presence_p, edge_margin=edge_margin)
+    header_ref, rows_ref = class_path_rows(stack, photometry_method=method)
+
+    pipe = Pipeline(PipelineConfig(photometry=PhotometryConfig(
+        method=method)))
+    res = pipe.run_experiment(stack, max_candidates=512, max_spots=256)
+    rows_fast = res["rows"]
+
+    assert len(rows_fast) == len(rows_ref) > 0, \
+        (len(rows_fast), len(rows_ref))
+    for i, ((ch, f, h, w, cat, ph), ref) in enumerate(
+            zip(rows_fast, rows_ref)):
+        assert (str(ch), str(f), str(h), str(w), str(cat)) == \
+            tuple(ref[:5]), (i, (ch, f, h, w, cat), ref[:5])
+        ref_ph = np.array([float(x) for x in ref[5:]])
+        np.testing.assert_allclose(ph, ref_ph, rtol=1e-5, atol=1e-2,
+                                   err_msg=f"case seed={seed} row {i}")
