@@ -40,6 +40,47 @@ CASES = [
 ]
 
 
+# Timetrace sweep: (seed, T, n_spots, drift, beta, ck, method)
+# - drift spans pinned (0.02) to fast-wandering (0.30) spots;
+# - beta spans bright (3000) to near-gate S/N (900: Illumina-S/N gate
+#   failures -> fallback spots and None frames);
+# - ck toggles the Chung-Kennedy prefilter branch.
+TT_CASES = [
+    (606, 16, 6, 0.02, 1800.0, 1, "mexican_hat"),
+    (707, 30, 12, 0.15, 3000.0, 0, "simple"),
+    (808, 12, 8, 0.30, 2500.0, 1, "maximum"),
+    (909, 20, 10, 0.08, 900.0, 1, "mexican_hat"),
+]
+
+
+@pytest.mark.parametrize("seed,T,n_spots,drift,beta,ck,method", TT_CASES)
+def test_fuzz_run_timetrace_matches_class_path(seed, T, n_spots, drift,
+                                               beta, ck, method, tmp_path):
+    import csv
+
+    from fluorosequencingimageanalysis_tpu.config import StepfitConfig
+    from test_fast_timetrace import (make_movie, class_path_csv,
+                                     _compare_csvs)
+
+    movie = make_movie(T=T, n_spots=n_spots, seed=seed, beta=beta,
+                       drift=drift)
+    header_ref, rows_ref = class_path_csv(movie, tmp_path,
+                                          photometry_method=method,
+                                          chung_kennedy=ck)
+    pipe = Pipeline(PipelineConfig(
+        photometry=PhotometryConfig(method=method),
+        stepfit=StepfitConfig(mirror_start=0, chung_kennedy=ck,
+                              p_threshold=0.01)))
+    out = pipe.run_timetrace(movie, csv_path=str(tmp_path / "fast.csv"),
+                             max_candidates=256)
+    assert out["trace_count"] > 2
+    with open(tmp_path / "fast.csv") as fh:
+        reader = csv.reader(fh)
+        header_fast = next(reader)
+        rows_fast = list(reader)
+    _compare_csvs(header_ref, rows_ref, header_fast, rows_fast)
+
+
 @pytest.mark.parametrize("seed,F,C,n_spots,presence_p,edge_margin,method",
                          CASES)
 def test_fuzz_run_experiment_matches_class_path(seed, F, C, n_spots,
