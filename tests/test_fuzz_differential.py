@@ -40,6 +40,54 @@ CASES = [
 ]
 
 
+# MDMA sweep: randomized geometries under the photometric-drift
+# adjustment (remainder-derived per-frame Af factors applied to every
+# row) — (seed, F, C, n_spots, presence_p, edge_margin).
+MDMA_CASES = [
+    (111, 2, 5, 24, 0.85, 11),
+    (222, 3, 4, 16, 0.95, 9),
+]
+
+
+@pytest.mark.parametrize("seed,F,C,n_spots,presence_p,edge_margin",
+                         MDMA_CASES)
+def test_fuzz_mdma_rows_match_class_path(seed, F, C, n_spots, presence_p,
+                                         edge_margin, tmp_path):
+    import csv
+
+    from fluorosequencingimageanalysis_tpu.pipeline.experiment import (
+        SequenceExperiment)
+    from test_mdma_qc import _class_experiment
+
+    stack = make_stack(F=F, C=C, n_spots=n_spots, seed=seed,
+                       presence_p=presence_p, edge_margin=edge_margin)
+    mfmc = _class_experiment(stack)
+    # The reference flow computes the factors first (stashing them as
+    # photometry_adjustments["mdma"]) and then passes the adjustment
+    # function to the CSV emitter (flexlibrary.py:2131-2212).
+    mfmc.multiplicative_delta_median_adjustments()
+    path = tmp_path / "ref.csv"
+    mfmc.track_photometries_as_csv(
+        str(path), save_averages=False,
+        adjustment_function=SequenceExperiment.mdma_adjustment)
+    with open(path) as fh:
+        reader = csv.reader(fh)
+        next(reader)
+        rows_ref = list(reader)
+
+    out = Pipeline().run_experiment(stack, max_candidates=512,
+                                    max_spots=256, mdma=True)
+    rows_fast = out["rows"]
+    assert len(rows_fast) == len(rows_ref) > 0
+    for i, ((ch, f, h, w, cat, ph), ref) in enumerate(
+            zip(rows_fast, rows_ref)):
+        assert (str(ch), str(f), str(h), str(w), str(cat)) == \
+            tuple(ref[:5]), (i, (ch, f, h, w, cat), ref[:5])
+        np.testing.assert_allclose(ph, [float(x) for x in ref[5:]],
+                                   rtol=1e-5, atol=1e-2,
+                                   err_msg=f"case seed={seed} row {i}")
+
+
 # Timetrace sweep: (seed, T, n_spots, drift, beta, ck, method)
 # - drift spans pinned (0.02) to fast-wandering (0.30) spots;
 # - beta spans bright (3000) to near-gate S/N (900: Illumina-S/N gate
