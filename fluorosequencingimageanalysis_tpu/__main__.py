@@ -75,7 +75,8 @@ def _cmd_run_experiment(args):
         category_csv_filtered=not args.all_categories,
         category_csv_collate_fields=args.collate_fields,
         max_candidates=args.max_candidates, max_spots=args.max_spots,
-        mdma=args.mdma, remainder_threshold=args.remainder_threshold,
+        mdma=args.mdma, save_averages=args.save_averages,
+        remainder_threshold=args.remainder_threshold,
         dispatch=args.dispatch)
     if args.offsets_pkl:
         with open(os.path.join(args.output_dir, args.offsets_pkl),
@@ -486,6 +487,12 @@ def build_parser():
                              "gaussian_volume", "sigmas", "sextractor"])
     pe.add_argument("--max-candidates", type=int, default=None)
     pe.add_argument("--max-spots", type=int, default=None)
+    pe.add_argument("--save-averages", action="store_true",
+                    help="write the AVERAGE_INTENSITY CSV format (mean "
+                         "over detected frames, no interpolation) — the "
+                         "reference's track_photometries_as_csv("
+                         "save_averages=True) / the experiment script's "
+                         "--not_all_photometries surface")
     pe.add_argument("--mdma", action="store_true",
                     help="apply multiplicative-delta-median photometric "
                          "drift adjustments (flexlibrary MDMA)")

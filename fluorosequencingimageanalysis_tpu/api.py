@@ -492,6 +492,7 @@ class Pipeline:
                        max_spots=None, candidate_radius=2,
                        category_csv_path=None, category_csv_filtered=True,
                        category_csv_collate_fields=False, mdma=False,
+                       adjustment_function=None, save_averages=False,
                        remainder_threshold=None, remainder_channels=None,
                        dispatch="eager"):
         """The flagship workflow, one call: align + detect/fit + track +
@@ -518,6 +519,37 @@ class Pipeline:
                 multiplicative_delta_median_adjustments +
                 mdma_adjustment fed to track_photometries_as_csv
                 (flexlibrary.py:2131-2212).
+            adjustment_function: custom per-photometry adjustment hook —
+                called as fn(photometry=..., frame=..., adjustments=...)
+                on every row value, exactly like
+                binary_trace_categories_photometry's parameter
+                (flexlibrary.py:2088-2124). ``adjustments`` is the
+                field's photometry-adjustments dict: {"mdma": (Af per
+                frame)} when ``mdma`` is also set, else None (the class
+                attribute's default before
+                multiplicative_delta_median_adjustments runs). When
+                given, it REPLACES the built-in mdma multiply — the
+                reference applies mdma only through this hook
+                (mdma_adjustment IS the stock adjustment_function).
+            save_averages: the reference's OTHER track-photometries CSV
+                format (track_photometries_as_csv(save_averages=True),
+                flexlibrary.py:2855-2882): one AVERAGE_INTENSITY column
+                — the mean over the trace's DETECTED frames only
+                (interpolate=False: absent frames contribute
+                (None, None, None) and are skipped by the mean) — and
+                H/W from frame 0 whether or not the trace is detected
+                there (the reference's always-true identity guard,
+                flexlibrary.py:2872-2874), i.e. None/None for traces
+                absent at frame 0. ``rows`` then carry the mean as
+                their last element. A custom adjustment_function is fed
+                photometry=None at absent frames exactly like the
+                reference (so a hook that assumes a float raises there,
+                as flexlibrary's stock mdma_adjustment does);
+                non-None returns for those frames DO enter the mean.
+                No device hole gathers are dispatched on this path
+                (hole values cannot reach the CSV; the sextractor host
+                sweep still measures all filled positions and masks
+                holes out before averaging).
             remainder_threshold: if set, QC-mask fields whose remainder
                 count falls below it in any of ``remainder_channels``
                 (default: all channels) — remainder_threshold_fields
@@ -649,7 +681,7 @@ class Pipeline:
             # later groups, stalling the host for a full group upload
             # per fetch (the measured failure mode of the round-3
             # windowed-dispatch A/B).
-            hole_queue = [] if not host_phot else None
+            hole_queue = [] if not (host_phot or save_averages) else None
             for out_grp, dev_grp, lo in self._stack_step_groups(
                     stack, keys, max_candidates=max_candidates,
                     max_spots=max_spots, stack_key=stack_key,
@@ -676,7 +708,8 @@ class Pipeline:
                         aperture_radius=phot.aperture_radius,
                         box_size=phot.box_size,
                         filter_size=phot.filter_size,
-                        hole_queue=hole_queue)
+                        hole_queue=hole_queue,
+                        skip_hole_gathers=save_averages)
             if hole_queue:
                 with self._stage("api/run_experiment/track+photometry"):
                     flush_hole_queue(hole_queue)
@@ -707,30 +740,84 @@ class Pipeline:
                 remainder_counts[channel] = [
                     sum(1 for (cat, _, _, _) in field_rows if all(cat))
                     for field_rows in per_field]
-                if mdma:
+                if mdma or adjustment_function is not None:
                     adjs = {}
                     for f, field_rows in enumerate(per_field):
-                        rem = [ph for (cat, _, _, ph) in field_rows
-                               if all(cat)]
-                        if rem:
-                            # Per-remainder: (I_f - median_f(I)) / median;
-                            # per-frame: median of those ratios —
-                            # flexlibrary.py:2188-2198.
-                            rr = np.stack([(np.asarray(ph, np.float64)
-                                            - np.median(ph)) / np.median(ph)
-                                           for ph in rem])
-                            af = np.median(rr, axis=0)
+                        adjustments = None
+                        if mdma:
+                            rem = [ph for (cat, _, _, ph) in field_rows
+                                   if all(cat)]
+                            if rem:
+                                # Per-remainder: (I_f - median_f(I)) /
+                                # median; per-frame: median of those
+                                # ratios — flexlibrary.py:2188-2198.
+                                rr = np.stack([(np.asarray(ph, np.float64)
+                                                - np.median(ph))
+                                               / np.median(ph)
+                                               for ph in rem])
+                                af = np.median(rr, axis=0)
+                            else:
+                                af = np.zeros(n_cycles)
+                            adjs[f] = tuple(float(a) for a in af)
+                            adjustments = {"mdma": adjs[f]}
+                        if adjustment_function is not None:
+                            # The custom hook is the ONLY application
+                            # (flexlibrary.py:2120-2124): mdma, when also
+                            # requested, rides in through ``adjustments``
+                            # exactly as photometry_adjustments does. On
+                            # the save_averages (uninterpolated) surface
+                            # absent frames feed photometry=None, like
+                            # the reference's (None, None, None) entries.
+                            per_field[f] = [
+                                (cat, h0, w0,
+                                 tuple(adjustment_function(
+                                     photometry=(ph_i if (not save_averages
+                                                          or cat[i])
+                                                 else None), frame=i,
+                                     adjustments=adjustments)
+                                     for i, ph_i in enumerate(ph)))
+                                for (cat, h0, w0, ph) in field_rows]
+                        elif save_averages:
+                            # Built-in mdma on detected frames only
+                            # (holes are None and never reach the
+                            # multiply — the reference's stock hook
+                            # raises on them instead; see docstring).
+                            per_field[f] = [
+                                (cat, h0, w0,
+                                 tuple(float(ph[i]) * (1.0 - af[i])
+                                       if cat[i] else None
+                                       for i in range(n_cycles)))
+                                for (cat, h0, w0, ph) in field_rows]
                         else:
-                            af = np.zeros(n_cycles)
-                        adjs[f] = tuple(float(a) for a in af)
+                            per_field[f] = [
+                                (cat, h0, w0, np.asarray(ph, np.float64)
+                                 * (1.0 - af))
+                                for (cat, h0, w0, ph) in field_rows]
+                    if mdma:
+                        mdma_adjustments[channel] = adjs
+                elif save_averages:
+                    # Uninterpolated surface with no adjustments: absent
+                    # frames become None (trace_to_photometry's
+                    # (None, None, None) rows) so the mean below skips
+                    # them, flexlibrary.py:2875-2878.
+                    for f, field_rows in enumerate(per_field):
                         per_field[f] = [
-                            (cat, h0, w0, np.asarray(ph, np.float64)
-                             * (1.0 - af))
+                            (cat, h0, w0,
+                             tuple(float(ph[i]) if cat[i] else None
+                                   for i in range(n_cycles)))
                             for (cat, h0, w0, ph) in field_rows]
-                    mdma_adjustments[channel] = adjs
                 n_traces = n_singletons = 0
                 for f, field_rows in enumerate(per_field):
                     for (cat, h0, w0, ph) in field_rows:
+                        if save_averages:
+                            vals = [v for v in ph if v is not None]
+                            mean = (float(np.mean(vals)) if vals
+                                    else float("nan"))
+                            # H/W from frame 0 regardless of presence
+                            # (reference's always-true identity guard).
+                            if not cat[0]:
+                                h0 = w0 = None
+                            ph = mean
                         rows.append((channel, f, h0, w0, cat, ph))
                         category_counts.setdefault(channel, {}) \
                             .setdefault(f, {}).setdefault(cat, 0)
@@ -773,12 +860,20 @@ class Pipeline:
             import csv as csv_module
             with open(csv_path, "w", newline="") as fh:
                 writer = csv_module.writer(fh, dialect="excel")
-                writer.writerow(["CHANNEL", "FIELD", "H", "W", "CATEGORY"] +
-                                ["FRAME " + str(i)
-                                 for i in range(n_cycles)])
-                for (channel, f, h0, w0, cat, ph) in rows:
-                    writer.writerow([str(channel), str(f), str(h0), str(w0),
-                                     str(cat)] + [str(v) for v in ph])
+                if save_averages:
+                    writer.writerow(["CHANNEL", "FIELD", "H", "W",
+                                     "CATEGORY", "AVERAGE_INTENSITY"])
+                    for (channel, f, h0, w0, cat, mean) in rows:
+                        writer.writerow([str(channel), str(f), str(h0),
+                                         str(w0), str(cat), str(mean)])
+                else:
+                    writer.writerow(
+                        ["CHANNEL", "FIELD", "H", "W", "CATEGORY"] +
+                        ["FRAME " + str(i) for i in range(n_cycles)])
+                    for (channel, f, h0, w0, cat, ph) in rows:
+                        writer.writerow([str(channel), str(f), str(h0),
+                                         str(w0), str(cat)] +
+                                        [str(v) for v in ph])
         if category_csv_path is not None:
             from .pipeline.experiment import write_category_counts_csv
             to_save = filtered if category_csv_filtered else category_counts

@@ -782,8 +782,14 @@ class MultifieldMultichannelSequenceExperiment(Experiment):
                 for e, ex in categories.items():
                     for category, trace_photometries in ex.items():
                         for photometry in trace_photometries:
-                            h, w = [fp[:2] for fp in photometry
-                                    if fp != (None, None, None)][0]
+                            # Reference quirk: the guard there is
+                            # ``fp is not (None, None, None)`` — an
+                            # IDENTITY test against a fresh tuple, always
+                            # true — so H/W always come from frame 0,
+                            # including (None, None) when save_averages'
+                            # uninterpolated trace is absent there
+                            # (flexlibrary.py:2872-2874).
+                            h, w = photometry[0][:2]
                             if save_averages:
                                 mean = np.mean([fp[2] for fp in photometry
                                                 if fp[2] is not None])

@@ -458,7 +458,8 @@ def run_experiment_stack(stack, offsets_h, offsets_w, spot_arrays,
                          photometry_top=1,
                          candidate_radius=2, chunk=65536,
                          spot_values=None, aperture_radius=3,
-                         box_size=10, filter_size=10, hole_queue=None):
+                         box_size=10, filter_size=10, hole_queue=None,
+                         skip_hole_gathers=False):
     """All fields: tracking -> fill-in -> validity -> batched photometry.
 
     stack: (F, C, H, W) numpy array OR device-resident jax.Array (the
@@ -477,6 +478,11 @@ def run_experiment_stack(stack, offsets_h, offsets_w, spot_arrays,
     NaN at hole positions until then. This keeps the per-group call free
     of device round trips so the caller can overlap host tracking with
     in-flight stack uploads on a serial transfer link.
+    skip_hole_gathers: never measure interpolated holes at all (they
+    stay NaN in the rows) — the save_averages surface averages over
+    DETECTED frames only (the reference's uninterpolated
+    trace_to_photometry yields (None, None, None) there,
+    flexlibrary.py:2875-2878), so hole values would be discarded.
     Returns a list of per-field row lists, each row (category, h0, w0,
     photometries (C,)) in reference order.
     """
@@ -552,7 +558,7 @@ def run_experiment_stack(stack, offsets_h, offsets_w, spot_arrays,
         phot = _lookup_spot_values(rhs, rws, spot_values, C, field_of,
                                    pos, cats, np.nan)
         hole_t, hole_c = np.nonzero(~cats)
-        if hole_t.size:
+        if hole_t.size and not skip_hole_gathers:
             img_id = field_of[hole_t] * C + hole_c
             hs = pos[hole_t, hole_c, 0]
             ws = pos[hole_t, hole_c, 1]

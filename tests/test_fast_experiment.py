@@ -57,7 +57,8 @@ def make_stack(F, C, H=128, W=128, n_spots=24, seed=0, presence_p=0.85,
     return stack
 
 
-def class_path_rows(stack, max_candidates=512, photometry_method="mexican_hat"):
+def class_path_rows(stack, max_candidates=512, photometry_method="mexican_hat",
+                    save_averages=False, adjustment_function=None):
     """Drive the legacy-shaped experiment classes end-to-end; return the
     parsed track-photometries CSV rows."""
     from fluorosequencingimageanalysis_tpu.pipeline.spots import Image, Spot
@@ -100,8 +101,9 @@ def class_path_rows(stack, max_candidates=512, photometry_method="mexican_hat"):
     fd, path = tempfile.mkstemp(suffix=".csv")
     os.close(fd)
     try:
-        mfmc.track_photometries_as_csv(path, save_averages=False,
-                                       photometry_method=photometry_method)
+        mfmc.track_photometries_as_csv(path, save_averages=save_averages,
+                                       photometry_method=photometry_method,
+                                       adjustment_function=adjustment_function)
         with open(path) as fh:
             reader = csv.reader(fh)
             header = next(reader)
@@ -754,3 +756,84 @@ def test_pack_spot_keys_rejects_wild_coordinates():
     with pytest.raises(ValueError, match="key packing"):
         _pack_spot_keys(np.asarray([0]), np.asarray([(1 << 20) + 5]),
                         np.asarray([7]))
+
+
+def _none_safe_adjustment(photometry, frame, adjustments):
+    """A hook that (unlike the stock mdma_adjustment) survives the
+    save_averages surface's None photometries — returning a FLOAT for
+    holes, which the reference's mean then INCLUDES (only fp[2] is None
+    is skipped, flexlibrary.py:2875-2878)."""
+    if photometry is None:
+        return 7.5 * frame
+    return photometry * 1.1 + frame
+
+
+@pytest.mark.parametrize("with_fn", [False, True])
+def test_save_averages_matches_class_path(with_fn):
+    """run_experiment(save_averages=True) == track_photometries_as_csv(
+    save_averages=True): AVERAGE_INTENSITY over detected frames only,
+    H/W from frame 0 even when the trace is absent there (the
+    reference's always-true identity guard -> 'None','None'), and the
+    adjustment hook fed photometry=None at absent frames
+    (flexlibrary.py:2855-2882)."""
+    fn = _none_safe_adjustment if with_fn else None
+    stack = make_stack(F=2, C=4, seed=5, n_spots=24, presence_p=0.7)
+    header, rows_ref = class_path_rows(stack, save_averages=True,
+                                       adjustment_function=fn)
+    assert header[-1] == "AVERAGE_INTENSITY"
+
+    out = Pipeline().run_experiment(stack, max_candidates=512,
+                                    max_spots=256, save_averages=True,
+                                    adjustment_function=fn)
+    rows_fast = out["rows"]
+    assert len(rows_fast) == len(rows_ref) > 0
+    # The workload must exercise the frame-0-absent quirk.
+    assert any(r[2] == "None" for r in rows_ref)
+    for i, ((ch, f, h, w, cat, mean), ref) in enumerate(
+            zip(rows_fast, rows_ref)):
+        assert (str(ch), str(f), str(h), str(w), str(cat)) == \
+            tuple(ref[:5]), (i, (ch, f, h, w, cat), ref[:5])
+        np.testing.assert_allclose(mean, float(ref[5]), rtol=1e-5,
+                                   atol=1e-2, err_msg=f"row {i}")
+
+
+def test_save_averages_csv_format(tmp_path):
+    stack = make_stack(F=1, C=3, seed=6, n_spots=10)
+    path = tmp_path / "avg.csv"
+    out = Pipeline().run_experiment(stack, max_candidates=256,
+                                    max_spots=128, save_averages=True,
+                                    csv_path=str(path))
+    with open(path) as fh:
+        reader = csv.reader(fh)
+        header = next(reader)
+        rows = list(reader)
+    assert header == ["CHANNEL", "FIELD", "H", "W", "CATEGORY",
+                      "AVERAGE_INTENSITY"]
+    assert len(rows) == len(out["rows"]) > 0
+    for (ch, f, h, w, cat, mean), ref in zip(out["rows"], rows):
+        assert str(mean) == ref[5]
+
+
+@pytest.mark.parametrize("method", ["gaussian_volume", "sextractor"])
+def test_save_averages_other_metrics_match_class_path(method):
+    """save_averages over a fit-product metric (device bucket values,
+    no image access) and over the host sextractor sweep: detected-frame
+    means must equal the class path's uninterpolated averages."""
+    from fluorosequencingimageanalysis_tpu.config import (PipelineConfig,
+                                                          PhotometryConfig)
+
+    stack = make_stack(F=1, C=4, seed=9, n_spots=20, presence_p=0.75)
+    _, rows_ref = class_path_rows(stack, save_averages=True,
+                                  photometry_method=method)
+    pipe = Pipeline(config=PipelineConfig(
+        photometry=PhotometryConfig(method=method)))
+    out = pipe.run_experiment(stack, max_candidates=512, max_spots=256,
+                              save_averages=True)
+    rows_fast = out["rows"]
+    assert len(rows_fast) == len(rows_ref) > 0
+    for i, ((ch, f, h, w, cat, mean), ref) in enumerate(
+            zip(rows_fast, rows_ref)):
+        assert (str(ch), str(f), str(h), str(w), str(cat)) == \
+            tuple(ref[:5]), (i, (ch, f, h, w, cat), ref[:5])
+        np.testing.assert_allclose(mean, float(ref[5]), rtol=1e-5,
+                                   atol=1e-2, err_msg=f"row {i}")

@@ -134,3 +134,46 @@ def test_remainder_threshold_requires_matching_field_counts():
         Pipeline().run_experiment({"a": s1, "b": s2},
                                   max_candidates=256, max_spots=64,
                                   remainder_threshold=2)
+
+
+def _tagged_adjustment(photometry, frame, adjustments):
+    """A custom hook exercising every argument: scales by frame parity
+    and, when mdma adjustments ride along, folds in the Af factor with a
+    non-stock formula (so this can never pass by accident through the
+    built-in multiply)."""
+    base = photometry * (0.5 if frame % 2 else 1.25) + 3.0 * frame
+    if adjustments is not None and "mdma" in adjustments:
+        base = base - 100.0 * adjustments["mdma"][frame]
+    return base
+
+
+@pytest.mark.parametrize("with_mdma", [False, True])
+def test_custom_adjustment_function_matches_class_path(tmp_path, with_mdma):
+    """run_experiment(adjustment_function=...) == the classes'
+    track_photometries_as_csv(adjustment_function=...) — including the
+    adjustments dict handoff (None before multiplicative_delta_median_
+    adjustments runs, {'mdma': Af} after), flexlibrary.py:2088-2124."""
+    stack = make_stack(F=2, C=4, seed=23, n_spots=18, presence_p=0.8)
+    mfmc = _class_experiment(stack)
+    if with_mdma:
+        mfmc.multiplicative_delta_median_adjustments()
+    path = tmp_path / "ref.csv"
+    mfmc.track_photometries_as_csv(str(path), save_averages=False,
+                                   adjustment_function=_tagged_adjustment)
+    with open(path) as fh:
+        reader = csv.reader(fh)
+        next(reader)
+        rows_ref = list(reader)
+
+    out = Pipeline().run_experiment(stack, max_candidates=512,
+                                    max_spots=256, mdma=with_mdma,
+                                    adjustment_function=_tagged_adjustment)
+    rows_fast = out["rows"]
+    assert len(rows_fast) == len(rows_ref) > 0
+    assert (out["mdma_adjustments"] is not None) == with_mdma
+    for i, ((ch, f, h, w, cat, ph), ref) in enumerate(
+            zip(rows_fast, rows_ref)):
+        assert (str(ch), str(f), str(h), str(w), str(cat)) == \
+            tuple(ref[:5]), (i, (ch, f, h, w, cat), ref[:5])
+        np.testing.assert_allclose(ph, [float(x) for x in ref[5:]],
+                                   rtol=1e-5, atol=1e-2, err_msg=f"row {i}")
