@@ -76,6 +76,7 @@ def _cmd_run_experiment(args):
         category_csv_collate_fields=args.collate_fields,
         max_candidates=args.max_candidates, max_spots=args.max_spots,
         mdma=args.mdma, save_averages=args.save_averages,
+        keep_invalid=args.keep_invalid,
         remainder_threshold=args.remainder_threshold,
         dispatch=args.dispatch)
     if args.offsets_pkl:
@@ -487,6 +488,11 @@ def build_parser():
                              "gaussian_volume", "sigmas", "sextractor"])
     pe.add_argument("--max-candidates", type=int, default=None)
     pe.add_argument("--max-spots", type=int, default=None)
+    pe.add_argument("--keep-invalid", action="store_true",
+                    help="keep window-invalid traces (skip "
+                         "discard_invalid_traces; out-of-box interpolated "
+                         "holes write '0') — the reference script's "
+                         "--keep_invalid surface")
     pe.add_argument("--save-averages", action="store_true",
                     help="write the AVERAGE_INTENSITY CSV format (mean "
                          "over detected frames, no interpolation) — the "

@@ -493,6 +493,7 @@ class Pipeline:
                        category_csv_path=None, category_csv_filtered=True,
                        category_csv_collate_fields=False, mdma=False,
                        adjustment_function=None, save_averages=False,
+                       keep_invalid=False,
                        remainder_threshold=None, remainder_channels=None,
                        dispatch="eager"):
         """The flagship workflow, one call: align + detect/fit + track +
@@ -550,6 +551,26 @@ class Pipeline:
                 (hole values cannot reach the CSV; the sextractor host
                 sweep still measures all filled positions and masks
                 holes out before averaging).
+            keep_invalid: the experiment script's --keep_invalid surface
+                (basic_experiment_script.py:472-476 skips
+                discard_invalid_traces): EVERY trace emits a row.
+                Out-of-5x5-box interpolated holes are the reference's
+                None Spots — their entries are None in ``rows`` and '0'
+                in the CSV (flexlibrary.py:2884-2886); edge positions
+                whose photometry window is truncated are measured with
+                the reference's clipped-slice semantics
+                (Spot.photometry(return_invalid=True)) on host. A custom
+                adjustment_function is fed photometry=None at None-Spot
+                frames, exactly like the reference (and like the
+                reference, its None returns write '0'); built-in
+                ``mdma`` multiplies the non-None entries (the
+                reference's stock hook would raise on the Nones — this
+                convenience flag extends it). H/W go None when frame 0
+                is a None Spot (the photometry[0][:2] quirk).
+                sextractor photometry is not supported here (photutils
+                partial-aperture semantics at arbitrary centers — use
+                the experiment classes). Device-resident stacks download
+                per group for the clipped edge measurements.
             remainder_threshold: if set, QC-mask fields whose remainder
                 count falls below it in any of ``remainder_channels``
                 (default: all channels) — remainder_threshold_fields
@@ -624,6 +645,11 @@ class Pipeline:
                     "remainder_threshold needs one field count across "
                     f"channels (got {sorted(field_counts)})")
         phot = self.config.photometry
+        if keep_invalid and phot.method == "sextractor":
+            raise ValueError(
+                "keep_invalid with sextractor photometry needs photutils "
+                "partial-aperture semantics at arbitrary centers — use "
+                "the experiment classes (pipeline.experiment)")
         rows = []
         category_counts = {}
         offsets_out = {}
@@ -709,10 +735,27 @@ class Pipeline:
                         box_size=phot.box_size,
                         filter_size=phot.filter_size,
                         hole_queue=hole_queue,
-                        skip_hole_gathers=save_averages)
+                        skip_hole_gathers=save_averages,
+                        keep_invalid=keep_invalid,
+                        host_images=(np.asarray(stack[lo:lo + Fg])
+                                     if keep_invalid else None))
             if hole_queue:
                 with self._stage("api/run_experiment/track+photometry"):
                     flush_hole_queue(hole_queue)
+            if keep_invalid:
+                # NaN markers are the reference's None Spots: surface
+                # them as None values, and apply the H/W header quirk
+                # (photometry[0][:2] -> None/None when frame 0 is such
+                # a Spot, flexlibrary.py:2872-2874).
+                for f, field_rows in enumerate(per_field):
+                    new_rows = []
+                    for (cat, h0, w0, ph) in field_rows:
+                        vals = tuple(None if np.isnan(v) else float(v)
+                                     for v in ph)
+                        if vals[0] is None and not cat[0]:
+                            h0 = w0 = None
+                        new_rows.append((cat, h0, w0, vals))
+                    per_field[f] = new_rows
             if n_over:
                 logging.getLogger(__name__).warning(
                     "run_experiment: %d (field, cycle) images overflowed "
@@ -787,6 +830,16 @@ class Pipeline:
                                  tuple(float(ph[i]) * (1.0 - af[i])
                                        if cat[i] else None
                                        for i in range(n_cycles)))
+                                for (cat, h0, w0, ph) in field_rows]
+                        elif keep_invalid:
+                            # Same convenience on the keep_invalid rows:
+                            # multiply the non-None entries, keep the
+                            # None Spots as None.
+                            per_field[f] = [
+                                (cat, h0, w0,
+                                 tuple(v * (1.0 - af[i]) if v is not None
+                                       else None
+                                       for i, v in enumerate(ph)))
                                 for (cat, h0, w0, ph) in field_rows]
                         else:
                             per_field[f] = [
@@ -871,9 +924,13 @@ class Pipeline:
                         ["CHANNEL", "FIELD", "H", "W", "CATEGORY"] +
                         ["FRAME " + str(i) for i in range(n_cycles)])
                     for (channel, f, h0, w0, cat, ph) in rows:
+                        # None photometries (keep_invalid's None Spots)
+                        # write '0' like the reference's row builder
+                        # (flexlibrary.py:2884-2886).
                         writer.writerow([str(channel), str(f), str(h0),
                                          str(w0), str(cat)] +
-                                        [str(v) for v in ph])
+                                        [str(v) if v is not None else "0"
+                                         for v in ph])
         if category_csv_path is not None:
             from .pipeline.experiment import write_category_counts_csv
             to_save = filtered if category_csv_filtered else category_counts

@@ -276,18 +276,25 @@ def _link_field(rh_by_cycle, rw_by_cycle, frame_shape, offsets,
 
 
 def _fill_traces(pos, present, cum, frame_shape, spot_radius=2,
-                 photometry_radius=9):
+                 photometry_radius=9, return_masks=False):
     """Vectorized interpolate_spots/fill_in_trace + validity over all
     traces at once.
 
     pos: (T, C, 2) int64 positions at present frames; present: (T, C).
     cum: (C, 2) cumulative offsets.
-    Returns (filled (T, C, 2) int64, valid (T,) bool).
+    Returns (filled (T, C, 2) int64, valid (T,) bool); with
+    ``return_masks`` additionally (hole_ok (T, C) bool — False exactly
+    where the reference's interpolate_spots would emit a None Spot
+    (out-of-5x5-box hole, flexlibrary.py:1960-1968) — and win_ok (T, C)
+    bool — the per-position photometry-window fit). valid ==
+    (hole_ok.all & win_ok.all); the masks feed the keep_invalid surface.
     """
     T, C = present.shape
     H, W = frame_shape
     if T == 0:
-        return pos, np.zeros((0,), bool)
+        empty = np.zeros((0, C), bool)
+        return ((pos, np.zeros((0,), bool), empty, empty) if return_masks
+                else (pos, np.zeros((0,), bool)))
     f_idx = np.arange(C)[None, :]
     # prev[t, f]: last present frame <= f (-1 if none); next[t, f]: first
     # present frame >= f (C if none).
@@ -345,7 +352,10 @@ def _fill_traces(pos, present, cum, frame_shape, spot_radius=2,
     r = photometry_radius
     win_ok = ((filled[:, :, 0] >= r) & (filled[:, :, 0] < H - r) &
               (filled[:, :, 1] >= r) & (filled[:, :, 1] < W - r))
-    valid = (box_ok | present).all(axis=1) & win_ok.all(axis=1)
+    hole_ok = box_ok | present
+    valid = hole_ok.all(axis=1) & win_ok.all(axis=1)
+    if return_masks:
+        return filled, valid, hole_ok, win_ok
     return filled, valid
 
 
@@ -459,7 +469,8 @@ def run_experiment_stack(stack, offsets_h, offsets_w, spot_arrays,
                          candidate_radius=2, chunk=65536,
                          spot_values=None, aperture_radius=3,
                          box_size=10, filter_size=10, hole_queue=None,
-                         skip_hole_gathers=False):
+                         skip_hole_gathers=False, keep_invalid=False,
+                         host_images=None):
     """All fields: tracking -> fill-in -> validity -> batched photometry.
 
     stack: (F, C, H, W) numpy array OR device-resident jax.Array (the
@@ -483,6 +494,18 @@ def run_experiment_stack(stack, offsets_h, offsets_w, spot_arrays,
     DETECTED frames only (the reference's uninterpolated
     trace_to_photometry yields (None, None, None) there,
     flexlibrary.py:2875-2878), so hole values would be discarded.
+    keep_invalid: the experiment script's --keep_invalid surface (skip
+    discard_invalid_traces, basic_experiment_script.py:472-476): EVERY
+    trace emits a row. Out-of-5x5-box holes are the reference's None
+    interpolated Spots (flexlibrary.py:1960-1968) and carry NaN in the
+    returned rows (the caller maps them to the CSV's '0'); positions
+    whose photometry window is truncated at a frame edge are measured
+    with the reference's clipped-slice semantics
+    (Spot.photometry(return_invalid=True) on the truncated image_slice,
+    flexlibrary.py:172-210 — ops.photometry.*_host) instead of the
+    fixed-window device kernel. Requires ``host_images`` (numpy
+    [F, C, H, W] for THESE fields) for the clipped measurements;
+    sextractor is not supported here (use the experiment classes).
     Returns a list of per-field row lists, each row (category, h0, w0,
     photometries (C,)) in reference order.
     """
@@ -495,6 +518,14 @@ def run_experiment_stack(stack, offsets_h, offsets_w, spot_arrays,
     if photometry_method in _FIT_METRIC_DEFAULTS and spot_values is None:
         raise ValueError(f"{photometry_method} needs spot_values (the "
                          "device step's per-spot photometry bucket)")
+    if keep_invalid and photometry_method == "sextractor":
+        raise ValueError("keep_invalid with sextractor photometry needs "
+                         "photutils partial-aperture semantics at "
+                         "arbitrary centers — use the experiment classes "
+                         "(pipeline.experiment)")
+    if keep_invalid and host_images is None:
+        raise ValueError("keep_invalid needs host_images for the "
+                         "reference's clipped-slice edge measurements")
     window_radius = _photometry_window_radius(photometry_method,
                                               photometry_radius,
                                               aperture_radius)
@@ -503,22 +534,33 @@ def run_experiment_stack(stack, offsets_h, offsets_w, spot_arrays,
     C = len(rhs[0]) if F else 0
     H, W = stack.shape[2], stack.shape[3]
     all_pos, all_valid_cat, field_sizes = [], [], []
+    all_hole_ok, all_win_ok = [], []
     for f in range(F):
         offs = [(float(offsets_h[f, c]), float(offsets_w[f, c]))
                 for c in range(C)]
         cum = np.asarray(accumulate_offsets(offs), dtype=np.float64)
         pos, present = _link_field(rhs[f], rws[f], (H, W), offs,
                                    candidate_radius, cum=cum)
-        filled, valid = _fill_traces(pos, present, cum, (H, W),
-                                     photometry_radius=window_radius)
-        all_pos.append(filled[valid])
-        all_valid_cat.append(present[valid])
-        field_sizes.append(int(valid.sum()))
+        filled, valid, hole_ok, win_ok = _fill_traces(
+            pos, present, cum, (H, W), photometry_radius=window_radius,
+            return_masks=True)
+        sel = slice(None) if keep_invalid else valid
+        all_pos.append(filled[sel])
+        all_valid_cat.append(present[sel])
+        field_sizes.append(filled.shape[0] if keep_invalid
+                           else int(valid.sum()))
+        if keep_invalid:
+            all_hole_ok.append(hole_ok)
+            all_win_ok.append(win_ok)
     if sum(field_sizes) == 0:
         return [[] for _ in range(F)]
     pos = np.concatenate(all_pos)          # (Ttot, C, 2)
     cats = np.concatenate(all_valid_cat)   # (Ttot, C)
     field_of = np.repeat(np.arange(F), field_sizes)
+    if keep_invalid:
+        hole_ok = np.concatenate(all_hole_ok)   # False = None Spot (NaN)
+        win_ok = np.concatenate(all_win_ok)     # False = clipped window
+        trunc = ~win_ok & hole_ok               # host-measured positions
 
     if photometry_method == "sextractor":
         # Host-vectorized per image via the shared kernel
@@ -549,6 +591,8 @@ def run_experiment_stack(stack, offsets_h, offsets_w, spot_arrays,
         phot = _lookup_spot_values(
             rhs, rws, spot_values, C, field_of, pos, cats,
             _FIT_METRIC_DEFAULTS[photometry_method])
+        if keep_invalid:
+            phot[~hole_ok] = np.nan  # the reference's None Spots
         return _rows_by_field(pos, cats, phot, field_sizes, F)
 
     if spot_values is not None:
@@ -557,7 +601,13 @@ def run_experiment_stack(stack, offsets_h, offsets_w, spot_arrays,
         # a re-gather); only interpolated holes touch the images.
         phot = _lookup_spot_values(rhs, rws, spot_values, C, field_of,
                                    pos, cats, np.nan)
-        hole_t, hole_c = np.nonzero(~cats)
+        hole_mask = ~cats
+        if keep_invalid:
+            # Only full-window in-box holes ride the device gathers;
+            # clipped windows are host-measured below and None Spots
+            # stay NaN.
+            hole_mask &= win_ok & hole_ok
+        hole_t, hole_c = np.nonzero(hole_mask)
         if hole_t.size and not skip_hole_gathers:
             img_id = field_of[hole_t] * C + hole_c
             hs = pos[hole_t, hole_c, 0]
@@ -575,10 +625,26 @@ def run_experiment_stack(stack, offsets_h, offsets_w, spot_arrays,
                 phot[hole_t, hole_c] = _dispatch_photometry(
                     stack, img_id, hs, ws, photometry_method,
                     window_radius, photometry_brim, photometry_top, chunk)
+        if keep_invalid:
+            _host_clipped_photometry(host_images, field_of, pos, trunc,
+                                     photometry_method, window_radius,
+                                     photometry_brim, photometry_top, phot)
         return _rows_by_field(pos, cats, phot, field_sizes, F)
 
     # No per-spot bucket provided: one chunked device kernel over every
     # (trace, cycle) position.
+    if keep_invalid:
+        phot = np.full(pos.shape[:2], np.nan)
+        gt, gc = np.nonzero(win_ok & hole_ok)
+        if gt.size:
+            phot[gt, gc] = _dispatch_photometry(
+                stack, field_of[gt] * C + gc, pos[gt, gc, 0],
+                pos[gt, gc, 1], photometry_method, window_radius,
+                photometry_brim, photometry_top, chunk)
+        _host_clipped_photometry(host_images, field_of, pos, trunc,
+                                 photometry_method, window_radius,
+                                 photometry_brim, photometry_top, phot)
+        return _rows_by_field(pos, cats, phot, field_sizes, F)
     img_id = (field_of[:, None] * C + np.arange(C)[None, :]).reshape(-1)
     hs = pos[:, :, 0].reshape(-1)
     ws = pos[:, :, 1].reshape(-1)
@@ -586,6 +652,36 @@ def run_experiment_stack(stack, offsets_h, offsets_w, spot_arrays,
                                 window_radius, photometry_brim,
                                 photometry_top, chunk).reshape(-1, C)
     return _rows_by_field(pos, cats, phot, field_sizes, F)
+
+
+def _host_clipped_photometry(host_images, field_of, pos, trunc, method,
+                             window_radius, brim, top, out):
+    """Reference clipped-slice photometry for window-truncated positions
+    (keep_invalid only): Spot.photometry(return_invalid=True) computes on
+    the TRUNCATED image_slice — crown/brim membership indexed within the
+    clipped square (flexlibrary.py:172-210) — which the fixed-window
+    device kernel cannot express. ops.photometry's *_host functions are
+    the class path's own edge fallbacks, so both surfaces share one
+    implementation. Fills ``out`` in place at the trunc positions."""
+    from ..ops import photometry as photometry_ops
+
+    tt, tc = np.nonzero(trunc)
+    if not tt.size:
+        return
+    imgs = np.asarray(host_images)
+    for i in range(tt.size):
+        t, c = int(tt[i]), int(tc[i])
+        im = imgs[int(field_of[t]), c]
+        h, w = int(pos[t, c, 0]), int(pos[t, c, 1])
+        if method == "mexican_hat":
+            v = photometry_ops.mexican_hat_host(
+                im, h, w, brim_size=brim, radius=window_radius)
+        elif method == "simple":
+            v = photometry_ops.simple_host(im, h, w, radius=window_radius)
+        else:  # maximum (the only other image metric here)
+            v = photometry_ops.maximum_host(im, h, w, radius=window_radius,
+                                            top=top)
+        out[t, c] = v
 
 
 def _queue_photometry(stack, img_id, hs, ws, method, window_radius,

@@ -58,7 +58,8 @@ def make_stack(F, C, H=128, W=128, n_spots=24, seed=0, presence_p=0.85,
 
 
 def class_path_rows(stack, max_candidates=512, photometry_method="mexican_hat",
-                    save_averages=False, adjustment_function=None):
+                    save_averages=False, adjustment_function=None,
+                    keep_invalid=False):
     """Drive the legacy-shaped experiment classes end-to-end; return the
     parsed track-photometries CSV rows."""
     from fluorosequencingimageanalysis_tpu.pipeline.spots import Image, Spot
@@ -96,7 +97,10 @@ def class_path_rows(stack, max_candidates=512, photometry_method="mexican_hat",
     # The reference script passes the photometry parameters to BOTH the
     # discard and the CSV emitter (basic_experiment_script.py:474, 620-624),
     # so window validity is judged at the chosen metric's radius.
-    mfmc.discard_invalid_traces(photometry_method=photometry_method)
+    # --keep_invalid skips the discard entirely
+    # (basic_experiment_script.py:472-476).
+    if not keep_invalid:
+        mfmc.discard_invalid_traces(photometry_method=photometry_method)
     import tempfile, os
     fd, path = tempfile.mkstemp(suffix=".csv")
     os.close(fd)
@@ -837,3 +841,75 @@ def test_save_averages_other_metrics_match_class_path(method):
             tuple(ref[:5]), (i, (ch, f, h, w, cat), ref[:5])
         np.testing.assert_allclose(mean, float(ref[5]), rtol=1e-5,
                                    atol=1e-2, err_msg=f"row {i}")
+
+
+@pytest.mark.parametrize("method", ["mexican_hat", "gaussian_volume"])
+def test_keep_invalid_matches_class_path(method):
+    """run_experiment(keep_invalid=True) == the classes without
+    discard_invalid_traces (basic_experiment_script.py:472-476): every
+    trace emits a row, out-of-box interpolated holes write '0'
+    (None Spots), and edge positions use the reference's clipped-slice
+    photometry."""
+    from fluorosequencingimageanalysis_tpu.config import (PipelineConfig,
+                                                          PhotometryConfig)
+
+    # edge_margin=4 plants spots inside the photometry windows (so
+    # window-truncated positions occur) and this seed's drift pushes at
+    # least one interpolated hole out of the 5x5 box (a None Spot).
+    stack = make_stack(F=1, C=5, seed=10, n_spots=30, presence_p=0.6,
+                       edge_margin=4)
+    _, rows_ref = class_path_rows(stack, photometry_method=method,
+                                  keep_invalid=True)
+    pipe = Pipeline(config=PipelineConfig(
+        photometry=PhotometryConfig(method=method)))
+    out = pipe.run_experiment(stack, max_candidates=512, max_spots=256,
+                              keep_invalid=True)
+    rows_fast = out["rows"]
+    assert len(rows_fast) == len(rows_ref) > 0
+    n_zero = sum(1 for r in rows_ref for v in r[5:] if v == "0")
+    for i, ((ch, f, h, w, cat, ph), ref) in enumerate(
+            zip(rows_fast, rows_ref)):
+        assert (str(ch), str(f), str(h), str(w), str(cat)) == \
+            tuple(ref[:5]), (i, (ch, f, h, w, cat), ref[:5])
+        for c, (v, rv) in enumerate(zip(ph, ref[5:])):
+            if v is None:
+                assert rv == "0", (i, c, rv)
+            else:
+                np.testing.assert_allclose(v, float(rv), rtol=1e-5,
+                                           atol=1e-2,
+                                           err_msg=f"row {i} frame {c}")
+    # keep_invalid must be a strict superset of the default run: the
+    # default path discards at least one window-invalid trace here.
+    out_discard = pipe.run_experiment(stack, max_candidates=512,
+                                      max_spots=256)
+    assert len(rows_fast) > len(out_discard["rows"])
+    # The scenario must actually exercise the None-Spot ('0') rows.
+    assert n_zero > 0
+
+
+def test_keep_invalid_csv_zeros(tmp_path):
+    stack = make_stack(F=1, C=4, seed=13, n_spots=24, presence_p=0.75,
+                       edge_margin=6)
+    path = tmp_path / "keep.csv"
+    out = Pipeline().run_experiment(stack, max_candidates=512,
+                                    max_spots=256, keep_invalid=True,
+                                    csv_path=str(path))
+    with open(path) as fh:
+        reader = csv.reader(fh)
+        next(reader)
+        rows = list(reader)
+    assert len(rows) == len(out["rows"])
+    for (ch, f, h, w, cat, ph), ref in zip(out["rows"], rows):
+        for v, rv in zip(ph, ref[5:]):
+            assert rv == ("0" if v is None else str(v))
+
+
+def test_keep_invalid_sextractor_raises():
+    from fluorosequencingimageanalysis_tpu.config import (PipelineConfig,
+                                                          PhotometryConfig)
+    stack = make_stack(F=1, C=3, seed=2, n_spots=8)
+    pipe = Pipeline(config=PipelineConfig(
+        photometry=PhotometryConfig(method="sextractor")))
+    with pytest.raises(ValueError, match="keep_invalid"):
+        pipe.run_experiment(stack, max_candidates=256, max_spots=64,
+                            keep_invalid=True)

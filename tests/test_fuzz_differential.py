@@ -152,3 +152,77 @@ def test_fuzz_run_experiment_matches_class_path(seed, F, C, n_spots,
         ref_ph = np.array([float(x) for x in ref[5:]])
         np.testing.assert_allclose(ph, ref_ph, rtol=1e-5, atol=1e-2,
                                    err_msg=f"case seed={seed} row {i}")
+
+
+# keep_invalid sweep: randomized geometries without the validity discard
+# — None-Spot '0' rows, clipped-window edge photometry, and superset row
+# sets all exercised across metrics. (seed, F, C, n_spots, presence_p,
+# edge_margin, method); sextractor is excluded by design (raises).
+KEEP_INVALID_CASES = [
+    (121, 1, 5, 30, 0.60, 4, "mexican_hat"),
+    (232, 2, 4, 24, 0.75, 5, "simple"),
+    (343, 1, 6, 20, 0.70, 4, "maximum"),
+    (454, 2, 5, 24, 0.65, 4, "gaussian_volume"),
+]
+
+
+@pytest.mark.parametrize("seed,F,C,n_spots,presence_p,edge_margin,method",
+                         KEEP_INVALID_CASES)
+def test_fuzz_keep_invalid_matches_class_path(seed, F, C, n_spots,
+                                              presence_p, edge_margin,
+                                              method):
+    stack = make_stack(F=F, C=C, n_spots=n_spots, seed=seed,
+                       presence_p=presence_p, edge_margin=edge_margin)
+    _, rows_ref = class_path_rows(stack, photometry_method=method,
+                                  keep_invalid=True)
+    pipe = Pipeline(PipelineConfig(photometry=PhotometryConfig(
+        method=method)))
+    res = pipe.run_experiment(stack, max_candidates=512, max_spots=256,
+                              keep_invalid=True)
+    rows_fast = res["rows"]
+    assert len(rows_fast) == len(rows_ref) > 0
+    for i, ((ch, f, h, w, cat, ph), ref) in enumerate(
+            zip(rows_fast, rows_ref)):
+        assert (str(ch), str(f), str(h), str(w), str(cat)) == \
+            tuple(ref[:5]), (i, (ch, f, h, w, cat), ref[:5])
+        for c, (v, rv) in enumerate(zip(ph, ref[5:])):
+            if v is None:
+                assert rv == "0", (seed, i, c, rv)
+            else:
+                np.testing.assert_allclose(
+                    v, float(rv), rtol=1e-5, atol=1e-2,
+                    err_msg=f"case seed={seed} row {i} frame {c}")
+
+
+# save_averages sweep: the uninterpolated AVERAGE_INTENSITY format across
+# metrics and hole-heavy geometries (frame-0-absent traces -> None H/W).
+SAVE_AVG_CASES = [
+    (565, 2, 4, 24, 0.70, 10, "mexican_hat"),
+    (676, 1, 6, 20, 0.60, 12, "simple"),
+    (787, 2, 5, 18, 0.75, 9, "gaussian_volume"),
+]
+
+
+@pytest.mark.parametrize("seed,F,C,n_spots,presence_p,edge_margin,method",
+                         SAVE_AVG_CASES)
+def test_fuzz_save_averages_matches_class_path(seed, F, C, n_spots,
+                                               presence_p, edge_margin,
+                                               method):
+    stack = make_stack(F=F, C=C, n_spots=n_spots, seed=seed,
+                       presence_p=presence_p, edge_margin=edge_margin)
+    header, rows_ref = class_path_rows(stack, photometry_method=method,
+                                       save_averages=True)
+    assert header[-1] == "AVERAGE_INTENSITY"
+    pipe = Pipeline(PipelineConfig(photometry=PhotometryConfig(
+        method=method)))
+    res = pipe.run_experiment(stack, max_candidates=512, max_spots=256,
+                              save_averages=True)
+    rows_fast = res["rows"]
+    assert len(rows_fast) == len(rows_ref) > 0
+    for i, ((ch, f, h, w, cat, mean), ref) in enumerate(
+            zip(rows_fast, rows_ref)):
+        assert (str(ch), str(f), str(h), str(w), str(cat)) == \
+            tuple(ref[:5]), (i, (ch, f, h, w, cat), ref[:5])
+        np.testing.assert_allclose(mean, float(ref[5]), rtol=1e-5,
+                                   atol=1e-2,
+                                   err_msg=f"case seed={seed} row {i}")
