@@ -64,8 +64,11 @@ def _cmd_run_experiment(args):
         if C2 != C:
             raise SystemExit("second channel must have the same cycle count")
         stacks["ch2"] = stack2
+    from .config import DetectConfig
     config = PipelineConfig(
-        photometry=PhotometryConfig(method=args.photometry_method))
+        detect=DetectConfig.from_cli(args.detect_parameters),
+        photometry=PhotometryConfig.from_cli(
+            args.photometry_parameters, method=args.photometry_method))
     pipe = Pipeline(config=config, store=store, profile=args.profile)
     os.makedirs(args.output_dir, exist_ok=True)
     csv_path = os.path.join(args.output_dir, args.csv)
@@ -147,7 +150,8 @@ def _cmd_timetrace(args):
     # returns (frames, H, W) either way.
     movie = np.concatenate([read_stack_array(p) for p in args.frames])
     config = PipelineConfig(
-        photometry=PhotometryConfig(method=args.photometry_method))
+        photometry=PhotometryConfig.from_cli(
+            args.photometry_parameters, method=args.photometry_method))
     pipe = Pipeline(config=config, profile=args.profile)
     os.makedirs(args.output_dir, exist_ok=True)
     csv_path = os.path.join(args.output_dir, args.csv)
@@ -488,6 +492,14 @@ def build_parser():
                              "gaussian_volume", "sigmas", "sextractor"])
     pe.add_argument("--max-candidates", type=int, default=None)
     pe.add_argument("--max-spots", type=int, default=None)
+    pe.add_argument("--photometry-parameters", default=None,
+                    help="dict literal of PhotometryConfig fields, e.g. "
+                         "\"{'radius': 12, 'brim_size': 8}\" — the "
+                         "reference's --photometry_parameters surface")
+    pe.add_argument("--detect-parameters", default=None,
+                    help="dict literal of DetectConfig fields, e.g. "
+                         "\"{'c_std': 3, 'r_2_threshold': 0.5}\" — the "
+                         "reference's --parameters surface")
     pe.add_argument("--keep-invalid", action="store_true",
                     help="keep window-invalid traces (skip "
                          "discard_invalid_traces; out-of-box interpolated "
@@ -578,6 +590,9 @@ def build_parser():
     tt.add_argument("--sn-cutoff", type=float, default=3.0,
                     help="Illumina S/N gate for accepting a tracked spot")
     tt.add_argument("--max-candidates", type=int, default=None)
+    tt.add_argument("--photometry-parameters", default=None,
+                    help="dict literal of PhotometryConfig fields "
+                         "(reference --photometry_parameters)")
     tt.add_argument("--photometry-minimum", type=float, default=None)
     tt.add_argument("--mirror-start", type=int, default=None,
                     help="mirror this many frames before step fitting")

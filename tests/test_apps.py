@@ -800,3 +800,46 @@ def test_module_cli_zstack(tmp_path, monkeypatch):
             # Within a pixel: the centers carry the reference's transposed
             # agpy subpixel quirk (ops/gaussian.py), reproduced on purpose.
             assert d <= 1.0, f"frame {t}: no spot near ({h}, {w})"
+
+
+def test_module_cli_parameter_dicts(tmp_path, monkeypatch):
+    """--photometry-parameters / --detect-parameters dict literals (the
+    reference's --photometry_parameters / --parameters surface) reach
+    the configs: a changed mexican-hat geometry changes the CSV values,
+    and an unknown key fails loudly."""
+    import contextlib
+    import io
+    import json as json_module
+
+    from fluorosequencingimageanalysis_tpu.__main__ import main as cli_main
+
+    rng = np.random.default_rng(8)
+    files = []
+    for cycle in range(2):
+        d = tmp_path / f"cycle_{cycle:02d}"
+        d.mkdir()
+        f0 = d / "field_00.png"
+        _write_field_png(str(f0), [(30.3, 40.6), (70.6, 80.3)], rng=rng)
+        files.append(str(f0))
+    monkeypatch.chdir(tmp_path)
+
+    def run(outdir, extra):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            rc = cli_main(["run-experiment", "--peptide-files", *files,
+                           "--output-dir", outdir,
+                           "--max-candidates", "128", "--max-spots", "32"]
+                          + extra)
+        assert rc == 0
+        json_module.loads(buf.getvalue())
+        with open(tmp_path / outdir / "track_photometries.csv") as f:
+            return list(csv.reader(f))[1:]
+
+    rows_default = run("out_a", [])
+    rows_tuned = run("out_b", ["--photometry-parameters",
+                               "{'radius': 7, 'brim_size': 4}"])
+    assert [r[:5] for r in rows_default] == [r[:5] for r in rows_tuned]
+    assert any(a[5:] != b[5:] for a, b in zip(rows_default, rows_tuned))
+
+    with pytest.raises(ValueError, match="unknown PhotometryConfig"):
+        run("out_c", ["--photometry-parameters", "{'nope': 1}"])
