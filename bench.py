@@ -19,7 +19,7 @@ Prints SEVEN JSON lines; the driver parses the LAST one (the headline):
       (run_timetrace: detect + lax.scan LC tracking + photometry +
       batched step fits on a 24-frame 512x512 movie)
   {"metric": "sim_molecules_per_sec", ...}            <- config 5, MC
-      simulation half (batched dye-count + photometry simulation, 1e6
+      simulation half (batched dye-count + photometry simulation, 1e5
       molecules of a 2-color 18-mer at the CLI-default model)
   {"metric": "v8_traces_per_sec", ...}                <- config 5,
       inference half (v8 lognormal fluor counting, 1e5 traces x 6,188

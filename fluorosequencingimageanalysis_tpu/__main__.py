@@ -49,6 +49,18 @@ def _load_stack(files):
     return stack, stack.shape[1]
 
 
+def _method_override(args):
+    """--photometry-method as a from_cli override, only when given.
+
+    The flag default is None so an explicit ``'method'`` key inside
+    --photometry-parameters (the reference's dict surface,
+    basic_experiment_script.py:150-158) is honored instead of being
+    silently clobbered by the flag's default."""
+    if args.photometry_method is None:
+        return {}
+    return {"method": args.photometry_method}
+
+
 def _cmd_run_experiment(args):
     from .api import Pipeline
     from .config import PipelineConfig, PhotometryConfig
@@ -68,7 +80,7 @@ def _cmd_run_experiment(args):
     config = PipelineConfig(
         detect=DetectConfig.from_cli(args.detect_parameters),
         photometry=PhotometryConfig.from_cli(
-            args.photometry_parameters, method=args.photometry_method))
+            args.photometry_parameters, **_method_override(args)))
     pipe = Pipeline(config=config, store=store, profile=args.profile)
     os.makedirs(args.output_dir, exist_ok=True)
     csv_path = os.path.join(args.output_dir, args.csv)
@@ -151,7 +163,7 @@ def _cmd_timetrace(args):
     movie = np.concatenate([read_stack_array(p) for p in args.frames])
     config = PipelineConfig(
         photometry=PhotometryConfig.from_cli(
-            args.photometry_parameters, method=args.photometry_method))
+            args.photometry_parameters, **_method_override(args)))
     pipe = Pipeline(config=config, profile=args.profile)
     os.makedirs(args.output_dir, exist_ok=True)
     csv_path = os.path.join(args.output_dir, args.csv)
@@ -487,9 +499,12 @@ def build_parser():
                     help="category-counts CSV filename")
     pe.add_argument("--offsets-pkl", default=None,
                     help="also dump per-channel offsets to this pkl")
-    pe.add_argument("--photometry-method", default="mexican_hat",
+    pe.add_argument("--photometry-method", default=None,
                     choices=["mexican_hat", "simple", "maximum",
-                             "gaussian_volume", "sigmas", "sextractor"])
+                             "gaussian_volume", "sigmas", "sextractor"],
+                    help="photometry metric (default mexican_hat; a "
+                         "'method' key in --photometry-parameters wins "
+                         "when this flag is not given)")
     pe.add_argument("--max-candidates", type=int, default=None)
     pe.add_argument("--max-spots", type=int, default=None)
     pe.add_argument("--photometry-parameters", default=None,
@@ -582,9 +597,12 @@ def build_parser():
     tt.add_argument("--output-dir", default=".")
     tt.add_argument("--csv", default="timetrace.csv",
                     help="timetrace CSV filename")
-    tt.add_argument("--photometry-method", default="mexican_hat",
+    tt.add_argument("--photometry-method", default=None,
                     choices=["mexican_hat", "simple", "maximum",
-                             "gaussian_volume", "sigmas", "sextractor"])
+                             "gaussian_volume", "sigmas", "sextractor"],
+                    help="photometry metric (default mexican_hat; a "
+                         "'method' key in --photometry-parameters wins "
+                         "when this flag is not given)")
     tt.add_argument("--search-radius", type=int, default=3,
                     help="luminosity-centroid search radius")
     tt.add_argument("--sn-cutoff", type=float, default=3.0,

@@ -737,7 +737,11 @@ class Pipeline:
                         hole_queue=hole_queue,
                         skip_hole_gathers=save_averages,
                         keep_invalid=keep_invalid,
-                        host_images=(np.asarray(stack[lo:lo + Fg])
+                        # Lazy slice: _host_clipped_photometry asarray's
+                        # it only when the group actually has truncated-
+                        # window positions, so trunc-free groups skip the
+                        # device->host image fetch entirely.
+                        host_images=(stack[lo:lo + Fg]
                                      if keep_invalid else None))
             if hole_queue:
                 with self._stage("api/run_experiment/track+photometry"):

@@ -843,3 +843,11 @@ def test_module_cli_parameter_dicts(tmp_path, monkeypatch):
 
     with pytest.raises(ValueError, match="unknown PhotometryConfig"):
         run("out_c", ["--photometry-parameters", "{'nope': 1}"])
+
+    # A 'method' key inside the dict wins when --photometry-method is
+    # not given (it used to be silently clobbered by the flag default).
+    rows_dict_m = run("out_d", ["--photometry-parameters",
+                                "{'method': 'simple'}"])
+    rows_flag_m = run("out_e", ["--photometry-method", "simple"])
+    assert rows_dict_m == rows_flag_m
+    assert any(a[5:] != b[5:] for a, b in zip(rows_default, rows_dict_m))

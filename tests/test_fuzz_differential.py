@@ -226,3 +226,68 @@ def test_fuzz_save_averages_matches_class_path(seed, F, C, n_spots,
         np.testing.assert_allclose(mean, float(ref[5]), rtol=1e-5,
                                    atol=1e-2,
                                    err_msg=f"case seed={seed} row {i}")
+
+
+# keep_invalid + save_averages: the two flags are CLI-composable and take
+# interacting paths (skip_hole_gathers leaves in-box holes NaN, the
+# keep_invalid NaN->None conversion feeds the averages mean/H-W logic).
+KI_SA_CASES = [
+    (131, 1, 5, 28, 0.60, 4, "mexican_hat"),
+    (242, 2, 4, 22, 0.70, 5, "simple"),
+]
+
+
+@pytest.mark.parametrize("seed,F,C,n_spots,presence_p,edge_margin,method",
+                         KI_SA_CASES)
+def test_fuzz_keep_invalid_save_averages_matches_class_path(
+        seed, F, C, n_spots, presence_p, edge_margin, method):
+    stack = make_stack(F=F, C=C, n_spots=n_spots, seed=seed,
+                       presence_p=presence_p, edge_margin=edge_margin)
+    header, rows_ref = class_path_rows(stack, photometry_method=method,
+                                       save_averages=True,
+                                       keep_invalid=True)
+    assert header[-1] == "AVERAGE_INTENSITY"
+    pipe = Pipeline(PipelineConfig(photometry=PhotometryConfig(
+        method=method)))
+    res = pipe.run_experiment(stack, max_candidates=512, max_spots=256,
+                              save_averages=True, keep_invalid=True)
+    rows_fast = res["rows"]
+    assert len(rows_fast) == len(rows_ref) > 0
+    for i, ((ch, f, h, w, cat, mean), ref) in enumerate(
+            zip(rows_fast, rows_ref)):
+        assert (str(ch), str(f), str(h), str(w), str(cat)) == \
+            tuple(ref[:5]), (i, (ch, f, h, w, cat), ref[:5])
+        np.testing.assert_allclose(mean, float(ref[5]), rtol=1e-5,
+                                   atol=1e-2,
+                                   err_msg=f"case seed={seed} row {i}")
+
+
+def test_keep_invalid_save_averages_mdma_branch_order():
+    """mdma + save_averages + keep_invalid together: the adjustment must
+    ride the save_averages branch (detected frames multiplied by 1-Af,
+    absent frames excluded from the mean) — pinned against the same
+    run's per-frame keep_invalid rows and its own reported Af factors,
+    so a regression in the elif ordering at the mdma application site
+    ships loudly."""
+    stack = make_stack(F=2, C=5, n_spots=24, seed=353, presence_p=0.65,
+                       edge_margin=4)
+    pipe = Pipeline()
+    raw = pipe.run_experiment(stack, max_candidates=512, max_spots=256,
+                              keep_invalid=True)
+    out = pipe.run_experiment(stack, max_candidates=512, max_spots=256,
+                              keep_invalid=True, save_averages=True,
+                              mdma=True)
+    assert len(out["rows"]) == len(raw["rows"]) > 0
+    adjs = out["mdma_adjustments"]
+    for (ch, f, h, w, cat, mean), (ch2, f2, h2, w2, cat2, ph_raw) in zip(
+            out["rows"], raw["rows"]):
+        assert (ch, f, cat) == (ch2, f2, cat2)
+        af = adjs[ch][f]
+        expect = [ph_raw[i] * (1.0 - af[i])
+                  for i in range(len(cat)) if cat[i]]
+        # Detected frames always carry a value on the raw surface too.
+        assert all(v is not None for v in expect)
+        np.testing.assert_allclose(mean, np.mean(expect), rtol=1e-9,
+                                   err_msg=f"row ({ch},{f},{h},{w})")
+        if not cat[0]:
+            assert h is None and w is None
