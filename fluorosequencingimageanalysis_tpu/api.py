@@ -567,10 +567,12 @@ class Pipeline:
                 reference's stock hook would raise on the Nones — this
                 convenience flag extends it). H/W go None when frame 0
                 is a None Spot (the photometry[0][:2] quirk).
-                sextractor photometry is not supported here (photutils
-                partial-aperture semantics at arbitrary centers — use
-                the experiment classes). Device-resident stacks download
-                per group for the clipped edge measurements.
+                Device-resident stacks download per group for the
+                clipped edge measurements. sextractor rows measure
+                clipped edge apertures inside the host sweep itself
+                (aperture truncation at the frame is exactly the
+                kernel's zero padding) and write '0' at None Spots like
+                every other metric.
             remainder_threshold: if set, QC-mask fields whose remainder
                 count falls below it in any of ``remainder_channels``
                 (default: all channels) — remainder_threshold_fields
@@ -645,11 +647,6 @@ class Pipeline:
                     "remainder_threshold needs one field count across "
                     f"channels (got {sorted(field_counts)})")
         phot = self.config.photometry
-        if keep_invalid and phot.method == "sextractor":
-            raise ValueError(
-                "keep_invalid with sextractor photometry needs photutils "
-                "partial-aperture semantics at arbitrary centers — use "
-                "the experiment classes (pipeline.experiment)")
         rows = []
         category_counts = {}
         offsets_out = {}

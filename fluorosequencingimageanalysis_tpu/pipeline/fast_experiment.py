@@ -504,8 +504,10 @@ def run_experiment_stack(stack, offsets_h, offsets_w, spot_arrays,
     (Spot.photometry(return_invalid=True) on the truncated image_slice,
     flexlibrary.py:172-210 — ops.photometry.*_host) instead of the
     fixed-window device kernel. Requires ``host_images`` (numpy
-    [F, C, H, W] for THESE fields) for the clipped measurements;
-    sextractor is not supported here (use the experiment classes).
+    [F, C, H, W] for THESE fields) for the clipped measurements, except
+    for sextractor, whose host sweep already measures clipped apertures
+    (zero padding equals photutils' partial-aperture truncation for a
+    background-subtracted sum).
     Returns a list of per-field row lists, each row (category, h0, w0,
     photometries (C,)) in reference order.
     """
@@ -518,12 +520,8 @@ def run_experiment_stack(stack, offsets_h, offsets_w, spot_arrays,
     if photometry_method in _FIT_METRIC_DEFAULTS and spot_values is None:
         raise ValueError(f"{photometry_method} needs spot_values (the "
                          "device step's per-spot photometry bucket)")
-    if keep_invalid and photometry_method == "sextractor":
-        raise ValueError("keep_invalid with sextractor photometry needs "
-                         "photutils partial-aperture semantics at "
-                         "arbitrary centers — use the experiment classes "
-                         "(pipeline.experiment)")
-    if keep_invalid and host_images is None:
+    if keep_invalid and host_images is None \
+            and photometry_method != "sextractor":
         raise ValueError("keep_invalid needs host_images for the "
                          "reference's clipped-slice edge measurements")
     window_radius = _photometry_window_radius(photometry_method,
@@ -566,10 +564,16 @@ def run_experiment_stack(stack, offsets_h, offsets_w, spot_arrays,
         # Host-vectorized per image via the shared kernel
         # (spots.sextractor_aperture_sums): background subtraction, then
         # ALL of the image's trace positions in one windowed dot product.
+        # The kernel's zero padding IS the clipped-slice edge semantics
+        # for an aperture sum (photutils truncates apertures at the
+        # frame; outside pixels contribute nothing either way), so the
+        # keep_invalid surface needs no separate host edge pass — only
+        # the None-Spot positions (out-of-5x5-box holes, possibly out of
+        # frame entirely) are masked to NaN.
         from .spots import sextractor_aperture_sums
 
         stack_np = np.asarray(stack)
-        phot = np.empty((pos.shape[0], C), np.float64)
+        phot = np.full((pos.shape[0], C), np.nan, np.float64)
         start = 0
         for f in range(F):
             stop = start + field_sizes[f]
@@ -577,9 +581,12 @@ def run_experiment_stack(stack, offsets_h, offsets_w, spot_arrays,
                 continue
             p = pos[start:stop]                       # (n, C, 2)
             for c in range(C):
-                phot[start:stop, c] = sextractor_aperture_sums(
-                    stack_np[f, c], p[:, c, 0], p[:, c, 1],
-                    aperture_radius, box_size, filter_size)
+                ok = (hole_ok[start:stop, c] if keep_invalid
+                      else np.ones(stop - start, bool))
+                if ok.any():
+                    phot[start:stop, c][ok] = sextractor_aperture_sums(
+                        stack_np[f, c], p[ok, c, 0], p[ok, c, 1],
+                        aperture_radius, box_size, filter_size)
             start = stop
         return _rows_by_field(pos, cats, phot, field_sizes, F)
 

@@ -843,7 +843,8 @@ def test_save_averages_other_metrics_match_class_path(method):
                                    atol=1e-2, err_msg=f"row {i}")
 
 
-@pytest.mark.parametrize("method", ["mexican_hat", "gaussian_volume"])
+@pytest.mark.parametrize("method", ["mexican_hat", "gaussian_volume",
+                                    "sextractor"])
 def test_keep_invalid_matches_class_path(method):
     """run_experiment(keep_invalid=True) == the classes without
     discard_invalid_traces (basic_experiment_script.py:472-476): every
@@ -904,12 +905,25 @@ def test_keep_invalid_csv_zeros(tmp_path):
             assert rv == ("0" if v is None else str(v))
 
 
-def test_keep_invalid_sextractor_raises():
-    from fluorosequencingimageanalysis_tpu.config import (PipelineConfig,
-                                                          PhotometryConfig)
+def test_keep_invalid_sextractor_no_host_images():
+    """The sextractor host sweep measures clipped edge apertures itself
+    (kernel zero padding == photutils partial-aperture truncation), so
+    run_experiment_stack accepts keep_invalid without host_images for
+    this metric only."""
+    from fluorosequencingimageanalysis_tpu.pipeline.fast_experiment import (
+        run_experiment_stack)
+
     stack = make_stack(F=1, C=3, seed=2, n_spots=8)
-    pipe = Pipeline(config=PipelineConfig(
-        photometry=PhotometryConfig(method="sextractor")))
-    with pytest.raises(ValueError, match="keep_invalid"):
-        pipe.run_experiment(stack, max_candidates=256, max_spots=64,
-                            keep_invalid=True)
+    with pytest.raises(ValueError, match="host_images"):
+        run_experiment_stack(stack, np.zeros((1, 3)), np.zeros((1, 3)),
+                             ([[np.zeros(0, np.int64)] * 3],
+                              [[np.zeros(0, np.int64)] * 3]),
+                             photometry_method="mexican_hat",
+                             spot_values=[[np.zeros(0)] * 3],
+                             keep_invalid=True)
+    out = run_experiment_stack(stack, np.zeros((1, 3)), np.zeros((1, 3)),
+                               ([[np.zeros(0, np.int64)] * 3],
+                                [[np.zeros(0, np.int64)] * 3]),
+                               photometry_method="sextractor",
+                               keep_invalid=True)
+    assert out == [[]]

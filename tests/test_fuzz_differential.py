@@ -157,12 +157,14 @@ def test_fuzz_run_experiment_matches_class_path(seed, F, C, n_spots,
 # keep_invalid sweep: randomized geometries without the validity discard
 # — None-Spot '0' rows, clipped-window edge photometry, and superset row
 # sets all exercised across metrics. (seed, F, C, n_spots, presence_p,
-# edge_margin, method); sextractor is excluded by design (raises).
+# edge_margin, method); sextractor's clipped edges ride the host sweep's
+# zero-padded aperture kernel.
 KEEP_INVALID_CASES = [
     (121, 1, 5, 30, 0.60, 4, "mexican_hat"),
     (232, 2, 4, 24, 0.75, 5, "simple"),
     (343, 1, 6, 20, 0.70, 4, "maximum"),
     (454, 2, 5, 24, 0.65, 4, "gaussian_volume"),
+    (565, 1, 5, 26, 0.65, 4, "sextractor"),
 ]
 
 
@@ -234,6 +236,7 @@ def test_fuzz_save_averages_matches_class_path(seed, F, C, n_spots,
 KI_SA_CASES = [
     (131, 1, 5, 28, 0.60, 4, "mexican_hat"),
     (242, 2, 4, 22, 0.70, 5, "simple"),
+    (353, 1, 4, 20, 0.65, 5, "sextractor"),
 ]
 
 
