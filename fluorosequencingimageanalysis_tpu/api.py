@@ -737,9 +737,13 @@ class Pipeline:
                         # Lazy slice: _host_clipped_photometry asarray's
                         # it only when the group actually has truncated-
                         # window positions, so trunc-free groups skip the
-                        # device->host image fetch entirely.
+                        # device->host image fetch entirely. The
+                        # sextractor branch never reads it (clipped edges
+                        # ride its zero-padded aperture kernel), so skip
+                        # the slice op for host_phot runs.
                         host_images=(stack[lo:lo + Fg]
-                                     if keep_invalid else None))
+                                     if keep_invalid and not host_phot
+                                     else None))
             if hole_queue:
                 with self._stage("api/run_experiment/track+photometry"):
                     flush_hole_queue(hole_queue)

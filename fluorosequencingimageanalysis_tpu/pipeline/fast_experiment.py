@@ -581,8 +581,14 @@ def run_experiment_stack(stack, offsets_h, offsets_w, spot_arrays,
                 continue
             p = pos[start:stop]                       # (n, C, 2)
             for c in range(C):
-                ok = (hole_ok[start:stop, c] if keep_invalid
-                      else np.ones(stop - start, bool))
+                if not keep_invalid:
+                    # Default path: every position is valid — full-slice
+                    # assignment, no mask gather/scatter copies.
+                    phot[start:stop, c] = sextractor_aperture_sums(
+                        stack_np[f, c], p[:, c, 0], p[:, c, 1],
+                        aperture_radius, box_size, filter_size)
+                    continue
+                ok = hole_ok[start:stop, c]
                 if ok.any():
                     phot[start:stop, c][ok] = sextractor_aperture_sums(
                         stack_np[f, c], p[ok, c, 0], p[ok, c, 1],

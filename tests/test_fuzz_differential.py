@@ -164,7 +164,10 @@ KEEP_INVALID_CASES = [
     (232, 2, 4, 24, 0.75, 5, "simple"),
     (343, 1, 6, 20, 0.70, 4, "maximum"),
     (454, 2, 5, 24, 0.65, 4, "gaussian_volume"),
-    (565, 1, 5, 26, 0.65, 4, "sextractor"),
+    # edge_margin=1 verified non-vacuous: 3 None-Spot and 2 clipped-window
+    # positions for this seed/geometry (an edge_margin>=4 variant produced
+    # zero of each and pinned nothing).
+    (565, 1, 4, 26, 0.65, 1, "sextractor"),
 ]
 
 
@@ -236,7 +239,10 @@ def test_fuzz_save_averages_matches_class_path(seed, F, C, n_spots,
 KI_SA_CASES = [
     (131, 1, 5, 28, 0.60, 4, "mexican_hat"),
     (242, 2, 4, 22, 0.70, 5, "simple"),
-    (353, 1, 4, 20, 0.65, 5, "sextractor"),
+    # edge_margin=1 verified non-vacuous: 4 None-Spot and 6 clipped-window
+    # positions for this seed/geometry, so the NaN->None conversion feeding
+    # the averages mean/H-W logic is actually exercised.
+    (353, 1, 5, 22, 0.65, 1, "sextractor"),
 ]
 
 
