@@ -799,7 +799,7 @@ def main():
             exp_fields_per_sec * cpu_ref_est_seconds, 1),
         "rows": n_rows,
         "stages_sec": stages,
-    }))
+    }), flush=True)
 
     # Config 2: z/time-stack background estimation + batched PSF fits.
     z_fps, z_cpu_fps, z_cands = bench_zstack()
@@ -811,7 +811,7 @@ def main():
         "link_MBps": round(link_mbps, 1),
         "shape": f"T=32 512x512 frames, ~{z_cands} candidates/frame "
                  "(sextractor background + subtract + detect + PSF fits)",
-    }))
+    }), flush=True)
 
     # Config 3: step fitting over many timetrace traces. vs_baseline is
     # against the reference-equivalent chain (scipy-wrapped t-tests);
@@ -824,7 +824,7 @@ def main():
         "vs_baseline": round(step_tps / step_ref_tps, 1),
         "vs_host_port": round(step_tps / step_host_tps, 1),
         "shape": "N=4096 T=100 (CK + sliding-t + refit + t-merge)",
-    }))
+    }), flush=True)
 
     # Timetrace workflow: the movie front door end-to-end.
     tt_tps, tt_host_tps, tt_n = bench_timetrace()
@@ -836,7 +836,7 @@ def main():
         "link_MBps": round(link_mbps, 1),
         "shape": f"T=24 512x512 movie, {tt_n} traces "
                  "(detect + LC track + photometry + step fits)",
-    }))
+    }), flush=True)
 
     # Config 5, simulation half: batched Monte-Carlo dye simulation.
     sim_mps, sim_host_mps = bench_simulation()
@@ -847,7 +847,7 @@ def main():
         "vs_baseline": round(sim_mps / sim_host_mps, 1),
         "shape": "N=1e5 molecules, 2-color 18-mer, 12 count cycles "
                  "(counts + photometries, CLI-default model)",
-    }))
+    }), flush=True)
 
     # Config 5, inference half: v8 fluor counting at the reference's
     # cost-warning shape.
@@ -858,14 +858,14 @@ def main():
         "unit": "traces/s",
         "vs_baseline": round(v8_tps / v8_host_tps, 1),
         "shape": "T=100000 F=12 K=5 (6188 seqs/trace)",
-    }))
+    }), flush=True)
 
     print(json.dumps({
         "metric": "fields_per_sec_per_chip",
         "value": round(tpu_fields_per_sec, 2),
         "unit": "fields/s",
         "vs_baseline": round(tpu_fields_per_sec / cpu_fields_per_sec, 1),
-    }))
+    }), flush=True)
 
 
 if __name__ == "__main__":
