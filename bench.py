@@ -476,11 +476,12 @@ def bench_timetrace(T=24, n_spots=800, host_sample=12):
 
     movie = make_movie(T=T, n_spots=n_spots)
     pipe = Pipeline()
-    # max_candidates=2048 (plenty for ~800 spots): the single-image
-    # detect program at 512^2/4096 candidates SIGABRTs this backend's
-    # remote compiler (same class of pathology as the CK 4096-row
-    # chunk, DESIGN.md §14).
-    kw = dict(max_candidates=2048, chung_kennedy=1, p_threshold=0.01,
+    # max_candidates=None -> EXHAUSTIVE chunked detect: every above-
+    # threshold candidate is fitted (the reference's uncapped semantics,
+    # pflib.py:217-258) in 2048-sized chunks — the single-bucket 4096
+    # compile cliff (DESIGN.md §14) no longer caps the honest
+    # configuration.
+    kw = dict(max_candidates=None, chung_kennedy=1, p_threshold=0.01,
               mirror_start=10)
     out = pipe.run_timetrace(movie, **kw)  # compile + warm
     n_traces = out["trace_count"]

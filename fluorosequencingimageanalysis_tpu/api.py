@@ -1031,13 +1031,15 @@ class Pipeline:
             # Lean arrays path: the psfs-dict key semantics without the
             # sub/fit-image materialization (one dispatch + one fetch —
             # find_peptides costs ~3x more per image on remote links).
+            # max_candidates=None -> EXHAUSTIVE chunked detect (the
+            # reference's uncapped semantics, zero truncation at any
+            # candidate count); an int caps the single-dispatch bucket.
             h0, w0, fits, _count = find_peptide_centers(
                 movie0_dev,
                 median_filter_size=det.median_filter_size, c_std=det.c_std,
                 r_2_threshold=det.r_2_threshold,
                 consolidation_radius=det.consolidation_radius,
-                max_candidates=(max_candidates if max_candidates is not None
-                                else det.max_candidates),
+                max_candidates=max_candidates,
                 num_iters=det.num_iters,
                 gather_strategy=self._gather_strategy())
         if len(h0) == 0:

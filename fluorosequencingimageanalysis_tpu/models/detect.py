@@ -33,6 +33,35 @@ from ..ops.quality import illumina_s_n, r_squared, rmse
 from ..utils.rounding import py2_round
 
 
+def _fit_quality_core(images, hs, ws, num_iters, theta_starts,
+                      gather_strategy):
+    """Traced body shared by detect_and_fit_batch and the exhaustive
+    chunked driver: 5x5 patch gather -> lane-major batched LM fit ->
+    quality metrics -> image-coordinate centers. hs/ws: (B, K)."""
+    from ..ops.candidates import gather_patches_onehot
+
+    B, K = hs.shape
+    gfun = (gather_patches_onehot if gather_strategy == "onehot"
+            else gather_patches)
+    patches = jax.vmap(
+        lambda img, h, w: gfun(img, h, w, radius=2))(images, hs, ws)
+    flat = patches.reshape(B * K, 5, 5)
+    params, _cost = fit_gaussians_batched(flat, num_iters=num_iters,
+                                          theta_starts=theta_starts)
+
+    fit_imgs = gauss2d_image(params, (5, 5), dtype=images.dtype)
+    r2 = r_squared(flat, fit_imgs).reshape(B, K)
+    rm = rmse(flat, fit_imgs).reshape(B, K)
+    sn = illumina_s_n(flat).reshape(B, K)
+    params = params.reshape(B, K, 7)
+
+    # Patch -> image coordinates (pflib.py:456-461): the patch center pixel
+    # sits at 2.5 in the bounded fit window, so center = p + fitted - 2.5.
+    center_h = params[:, :, 2] + hs.astype(params.dtype) - 2.5
+    center_w = params[:, :, 3] + ws.astype(params.dtype) - 2.5
+    return params, center_h, center_w, rm, r2, sn
+
+
 class SpotFindResult(NamedTuple):
     """Static-shape result of detect_and_fit (all length max_candidates)."""
     cand_h: jnp.ndarray        # (K,) int32 candidate pixel row
@@ -88,24 +117,8 @@ def detect_and_fit_batch(images, median_filter_size=5,
         c_std=float(c_std), max_candidates=max_candidates,
         use_pallas=use_pallas)
 
-    gfun = (gather_patches_onehot if gather_strategy == "onehot"
-            else gather_patches)
-    patches = jax.vmap(
-        lambda img, h, w: gfun(img, h, w, radius=2))(images, hs, ws)
-    flat = patches.reshape(B * max_candidates, 5, 5)
-    params, _cost = fit_gaussians_batched(flat, num_iters=num_iters,
-                                          theta_starts=theta_starts)
-
-    fit_imgs = gauss2d_image(params, (5, 5), dtype=images.dtype)
-    r2 = r_squared(flat, fit_imgs).reshape(B, max_candidates)
-    rm = rmse(flat, fit_imgs).reshape(B, max_candidates)
-    sn = illumina_s_n(flat).reshape(B, max_candidates)
-    params = params.reshape(B, max_candidates, 7)
-
-    # Patch -> image coordinates (pflib.py:456-461): the patch center pixel
-    # sits at 2.5 in the bounded fit window, so center = p + fitted - 2.5.
-    center_h = params[:, :, 2] + hs.astype(params.dtype) - 2.5
-    center_w = params[:, :, 3] + ws.astype(params.dtype) - 2.5
+    params, center_h, center_w, rm, r2, sn = _fit_quality_core(
+        images, hs, ws, num_iters, theta_starts, gather_strategy)
 
     # ~(r2 < thr), NOT (r2 >= thr): the reference's gate is "discard if
     # r_2 < threshold" (pflib.py:465-467), and a NaN R^2 (flat saturated
@@ -121,6 +134,110 @@ def detect_and_fit_batch(images, median_filter_size=5,
         center_h, center_w, r2, passed)
     return SpotFindResult(hs, ws, params, center_h, center_w, rm, r2, sn,
                           keep, valid, count)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "num_iters", "theta_starts", "gather_strategy"))
+def _fit_chunk_packed(images, hs, ws, valid, num_iters=60, theta_starts=1,
+                      gather_strategy="gather"):
+    """One candidate chunk's fits, packed into a single [B, K, 15] array
+    (the images' float dtype) so each chunk costs ONE device->host
+    transfer (per-array fetches are full link round trips). Columns:
+    center_h, center_w, r2, valid, rmse, s_n, cand_h, cand_w,
+    params[0..6]. Coordinates are < 2^24 so the float pack is exact."""
+    params, ch, cw, rm, r2, sn = _fit_quality_core(
+        images, hs, ws, num_iters, theta_starts, gather_strategy)
+    dt = params.dtype
+    cols = [ch.astype(dt), cw.astype(dt), r2.astype(dt),
+            valid.astype(dt), rm.astype(dt), sn.astype(dt),
+            hs.astype(dt), ws.astype(dt)]
+    cols += [params[:, :, i] for i in range(7)]
+    return jnp.stack(cols, axis=-1)
+
+
+def detect_and_fit_exhaustive(images, median_filter_size=5,
+                              correlation_matrix=None, c_std=2.0,
+                              r_2_threshold=0.7, consolidation_radius=4.0,
+                              chunk=2048, num_iters=60, use_pallas=None,
+                              gather_strategy="auto", max_chunks=64):
+    """Uncapped detect + fit: EVERY above-threshold candidate is fitted,
+    matching the reference's no-cap semantics (pflib.py:217-258) on
+    backends whose compiler cannot build a single big-bucket program.
+
+    Design: the correlation maps compile once (candidate_maps_batch);
+    extraction dispatches the ONE compiled ``chunk``-sized top-k program
+    k times with a device-resident exclusion mask (never a big top-k);
+    each chunk's 5x5 LM fits + quality metrics run through the one
+    compiled ``_fit_chunk_packed`` program with async result copies; the
+    quality-ranked NMS runs on HOST over the chunk union
+    (ops.consolidate.consolidate_host — property-tested identical to the
+    device fixpoint). Chunked == single-bucket parity is CI-tested.
+
+    Returns a batch SpotFindResult (leading B axis) as NUMPY arrays with
+    K = n_chunks * chunk; ``cand_count`` is the per-image true count.
+    """
+    from ..ops.candidates import (candidate_maps_batch,
+                                  extract_candidates_chunk,
+                                  resolve_gather_strategy)
+    from ..ops.consolidate import consolidate_host
+
+    images_np = np.asarray(images) if not isinstance(images, jax.Array) \
+        else images
+    if use_pallas is None:
+        use_pallas = jax.default_backend() in ("tpu", "axon")
+    gather_strategy = resolve_gather_strategy(gather_strategy)
+    imgs = jnp.asarray(images_np)
+    if not jnp.issubdtype(imgs.dtype, jnp.floating):
+        imgs = imgs.astype(jnp.float32)  # raw camera dtypes cast on device
+    B, H, W = imgs.shape
+    chunk = min(chunk, max(H * W, 1))
+    cms = candidate_maps_batch(
+        imgs, median_filter_size=median_filter_size,
+        correlation_matrix=_prep_correlation_matrix(correlation_matrix),
+        use_pallas=bool(use_pallas))
+    excluded = jnp.zeros((B, H * W), bool)
+    hs, ws, valid, remaining, excluded = extract_candidates_chunk(
+        cms, excluded, chunk, float(c_std))
+    counts = np.asarray(remaining)              # first call: TRUE counts
+    n_chunks = max(1, -(-int(counts.max()) // chunk))
+    if n_chunks > max_chunks:
+        import logging
+        logging.getLogger(__name__).warning(
+            "detect_and_fit_exhaustive: %d candidates need %d chunks; "
+            "capping at max_chunks=%d (weakest-correlation candidates "
+            "dropped). Raise max_chunks for exhaustive coverage.",
+            int(counts.max()), n_chunks, max_chunks)
+        n_chunks = max_chunks
+    packs, cand_hs, cand_ws, valids = [], [], [], []
+    for i in range(n_chunks):
+        if i > 0:
+            hs, ws, valid, _rem, excluded = extract_candidates_chunk(
+                cms, excluded, chunk, float(c_std))
+        pack = _fit_chunk_packed(imgs, hs, ws, valid,
+                                 num_iters=num_iters,
+                                 gather_strategy=gather_strategy)
+        pack.copy_to_host_async()
+        packs.append(pack)
+    packed = np.concatenate([np.asarray(p) for p in packs], axis=1)
+    center_h = packed[:, :, 0]
+    center_w = packed[:, :, 1]
+    r2 = packed[:, :, 2]
+    cand_valid = packed[:, :, 3] > 0
+    rm = packed[:, :, 4]
+    sn = packed[:, :, 5]
+    cand_h = packed[:, :, 6].astype(np.int32)
+    cand_w = packed[:, :, 7].astype(np.int32)
+    params = packed[:, :, 8:15]
+    # NaN R^2 is KEPT by the reference's discard-if-less gate — same
+    # comparison as detect_and_fit_batch.
+    passed = cand_valid & ~(r2 < r_2_threshold)
+    keep = np.stack([
+        consolidate_host(center_h[b], center_w[b], r2[b], passed[b],
+                         radius=float(consolidation_radius))
+        for b in range(B)])
+    return SpotFindResult(cand_h, cand_w, params, center_h, center_w,
+                          rm, r2, sn, keep, cand_valid,
+                          counts.astype(np.int32))
 
 
 def _prep_correlation_matrix(correlation_matrix):
@@ -167,7 +284,7 @@ def detect_and_fit(image, median_filter_size=5, correlation_matrix=None,
 def find_peptides(image, median_filter_size=5, correlation_matrix=None,
                   candidate_pixels=None, c_std=2, r_2_threshold=0.7,
                   consolidation_radius=4, fit_type="gauss", N_iter=10 ** 3,
-                  max_candidates=4096, num_iters=60, dtype=np.float32,
+                  max_candidates=None, num_iters=60, dtype=np.float32,
                   rng_seed=0):
     """Host-facing spot finder with the reference's output contract.
 
@@ -176,10 +293,17 @@ def find_peptides(image, median_filter_size=5, correlation_matrix=None,
     /root/reference/pflib.py:395-428 documents. sub_img is the int64 copy of
     the 5x5 patch; fit_img the model evaluated on the patch grid.
 
+    max_candidates=None (the default) is EXHAUSTIVE, like the reference
+    (pflib.py:217-258 has no candidate cap): the chunked driver fits
+    every above-threshold candidate regardless of count. An integer caps
+    the bucket (single device program; loud truncation warning when the
+    image exceeds it).
+
     fit_type='monte_carlo' replicates the normalized random-search fitter
     (pflib.py:117-177) vectorized over candidates and samples; its fit image
     is the best sampled surface (the reference returns the last sampled one —
-    an apparent bug we do not reproduce).
+    an apparent bug we do not reproduce). The MC path keeps a 4096 cap
+    when max_candidates is None.
     """
     if consolidation_radius < 2:
         raise ValueError("consolidation_radius must be at least 2")
@@ -197,6 +321,8 @@ def find_peptides(image, median_filter_size=5, correlation_matrix=None,
     correlation_matrix = _prep_correlation_matrix(correlation_matrix)
 
     if fit_type == "monte_carlo":
+        if max_candidates is None:
+            max_candidates = 4096
         res = _detect_and_fit_monte_carlo(
             img_dev, median_filter_size=median_filter_size,
             correlation_matrix=(None if correlation_matrix is None
@@ -204,6 +330,16 @@ def find_peptides(image, median_filter_size=5, correlation_matrix=None,
             r_2_threshold=r_2_threshold,
             consolidation_radius=consolidation_radius,
             max_candidates=max_candidates, n_iter=N_iter, rng_seed=rng_seed)
+    elif max_candidates is None:
+        if consolidation_radius < 2:
+            raise ValueError("consolidation_radius must be at least 2")
+        res_b = detect_and_fit_exhaustive(
+            img_dev[None], median_filter_size=median_filter_size,
+            correlation_matrix=correlation_matrix, c_std=float(c_std),
+            r_2_threshold=float(r_2_threshold),
+            consolidation_radius=float(consolidation_radius),
+            num_iters=num_iters)
+        res = SpotFindResult(*(x[0] for x in res_b))
     else:
         res = detect_and_fit(
             img_dev, median_filter_size=median_filter_size,
@@ -213,7 +349,7 @@ def find_peptides(image, median_filter_size=5, correlation_matrix=None,
             max_candidates=max_candidates, num_iters=num_iters)
 
     count = int(res.cand_count)
-    if count > max_candidates:
+    if max_candidates is not None and count > max_candidates:
         import logging
         logging.getLogger(__name__).warning(
             "find_peptides: %d candidates exceed max_candidates=%d; the "
@@ -258,16 +394,40 @@ def _lean_pack(keep, center_h, center_w, params, cand_count):
     return jnp.stack(cols, axis=1)
 
 
+def _center_keys(keep_idx, center_h, center_w, params):
+    """Py2-rounded first-occurrence key dedup over kept fits in candidate
+    order (pflib.py:513-519). Shared by both find_peptide_centers paths."""
+    seen = set()
+    h0, w0, fits = [], [], []
+    for i in keep_idx:
+        ch, cw = float(center_h[i]), float(center_w[i])
+        key = (py2_round(ch), py2_round(cw))
+        if key in seen:
+            continue
+        seen.add(key)
+        h0.append(key[0])
+        w0.append(key[1])
+        p = params[i]
+        fits.append((ch, cw, float(p[0]), float(p[1]), float(p[4]),
+                     float(p[5]), float(p[6])))
+    return np.asarray(h0), np.asarray(w0), fits
+
+
 def find_peptide_centers(image, median_filter_size=5, c_std=2.0,
                          r_2_threshold=0.7, consolidation_radius=4.0,
-                         max_candidates=4096, num_iters=60,
+                         max_candidates=None, num_iters=60,
                          gather_strategy="auto"):
     """Lean find_peptides: the psfs-dict KEY semantics (Py2-rounded
     first-occurrence dedup in kept-candidate order, pflib.py:513-519)
     without materializing sub/fit images — one device dispatch + one
     fetch. Returns (h0, w0, fits, count): float centers and 7-tuple fits
     (h_0, w_0, H, A, sigma_h, sigma_w, theta — indices 0-6 of the psfs
-    tuple) per unique rounded key, plus the true candidate count."""
+    tuple) per unique rounded key, plus the true candidate count.
+
+    max_candidates=None (default) is EXHAUSTIVE via the chunked driver —
+    the reference's no-cap semantics with zero truncation regardless of
+    candidate count; an integer caps the bucket (one dispatch, loud
+    truncation warning on overflow)."""
     if consolidation_radius < 2:
         # find_peptides / reference guard (pflib.py:431-432): key-
         # uniqueness of the rounded-center dedup requires radius >= 2.
@@ -275,6 +435,17 @@ def find_peptide_centers(image, median_filter_size=5, c_std=2.0,
     image = jnp.asarray(image)
     if image.dtype != jnp.float32:
         image = image.astype(jnp.float32)  # raw camera dtypes cast on device
+    if max_candidates is None:
+        res_b = detect_and_fit_exhaustive(
+            image[None], median_filter_size=median_filter_size,
+            c_std=float(c_std), r_2_threshold=float(r_2_threshold),
+            consolidation_radius=float(consolidation_radius),
+            num_iters=num_iters, gather_strategy=gather_strategy)
+        count = int(res_b.cand_count[0])
+        h0, w0, fits = _center_keys(np.nonzero(res_b.keep[0])[0],
+                                    res_b.center_h[0], res_b.center_w[0],
+                                    res_b.params[0])
+        return h0, w0, fits, count
     res = detect_and_fit(
         image, median_filter_size=median_filter_size,
         c_std=float(c_std), r_2_threshold=float(r_2_threshold),
@@ -291,20 +462,9 @@ def find_peptide_centers(image, median_filter_size=5, c_std=2.0,
             "the weakest-correlation candidates were dropped. Re-run with "
             "a larger max_candidates for exhaustive coverage.",
             count, max_candidates)
-    seen = set()
-    h0, w0, fits = [], [], []
-    for i in np.nonzero(packed[:, 2] > 0)[0]:
-        ch, cw = float(packed[i, 0]), float(packed[i, 1])
-        key = (py2_round(ch), py2_round(cw))
-        if key in seen:
-            continue
-        seen.add(key)
-        h0.append(key[0])
-        w0.append(key[1])
-        p = packed[i, 4:11]
-        fits.append((ch, cw, float(p[0]), float(p[1]), float(p[4]),
-                     float(p[5]), float(p[6])))
-    return np.asarray(h0), np.asarray(w0), fits, count
+    h0, w0, fits = _center_keys(np.nonzero(packed[:, 2] > 0)[0],
+                                packed[:, 0], packed[:, 1], packed[:, 4:11])
+    return h0, w0, fits, count
 
 
 def _psfs_from_arrays(image, idx, params, center_h, center_w, rm, r2, sn,
@@ -391,7 +551,7 @@ def psfs_dicts_from_batch(images, keep, params, center_h, center_w,
 
 def find_peptides_batch(images, median_filter_size=5, correlation_matrix=None,
                         c_std=2, r_2_threshold=0.7, consolidation_radius=4,
-                        max_candidates=4096, num_iters=60, dtype=np.float32,
+                        max_candidates=None, num_iters=60, dtype=np.float32,
                         use_pallas=None, gather_strategy="auto"):
     """find_peptides over a same-shape image stack in ONE device program.
 
@@ -400,6 +560,10 @@ def find_peptides_batch(images, median_filter_size=5, correlation_matrix=None,
     is batching the whole stack through detect_and_fit_batch. Returns a
     list of psfs dicts, one per image, identical to per-image
     find_peptides (fit_type='gauss').
+
+    max_candidates=None (default) is EXHAUSTIVE (the reference's no-cap
+    semantics) via the chunked driver; an integer caps the per-image
+    bucket with a loud truncation warning on overflow.
     """
     import jax
     from ..ops.candidates import resolve_gather_strategy
@@ -411,18 +575,28 @@ def find_peptides_batch(images, median_filter_size=5, correlation_matrix=None,
     images = np.asarray(images)
     if use_pallas is None:
         use_pallas = jax.default_backend() in ("tpu", "axon")
-    res = detect_and_fit_batch(
-        jnp.asarray(images.astype(dtype)),
-        median_filter_size=median_filter_size,
-        correlation_matrix=_prep_correlation_matrix(correlation_matrix),
-        c_std=float(c_std),
-        r_2_threshold=float(r_2_threshold),
-        consolidation_radius=float(consolidation_radius),
-        max_candidates=max_candidates, num_iters=num_iters,
-        use_pallas=bool(use_pallas),
-        gather_strategy=resolve_gather_strategy(gather_strategy))
-    warn_candidate_overflow(res.cand_count, max_candidates,
-                            "find_peptides_batch")
+    if max_candidates is None:
+        res = detect_and_fit_exhaustive(
+            jnp.asarray(images.astype(dtype)),
+            median_filter_size=median_filter_size,
+            correlation_matrix=_prep_correlation_matrix(correlation_matrix),
+            c_std=float(c_std), r_2_threshold=float(r_2_threshold),
+            consolidation_radius=float(consolidation_radius),
+            num_iters=num_iters, use_pallas=bool(use_pallas),
+            gather_strategy=gather_strategy)
+    else:
+        res = detect_and_fit_batch(
+            jnp.asarray(images.astype(dtype)),
+            median_filter_size=median_filter_size,
+            correlation_matrix=_prep_correlation_matrix(correlation_matrix),
+            c_std=float(c_std),
+            r_2_threshold=float(r_2_threshold),
+            consolidation_radius=float(consolidation_radius),
+            max_candidates=max_candidates, num_iters=num_iters,
+            use_pallas=bool(use_pallas),
+            gather_strategy=resolve_gather_strategy(gather_strategy))
+        warn_candidate_overflow(res.cand_count, max_candidates,
+                                "find_peptides_batch")
     return psfs_dicts_from_batch(
         images, np.asarray(res.keep), np.asarray(res.params),
         np.asarray(res.center_h), np.asarray(res.center_w),

@@ -134,8 +134,8 @@ def _threshold_and_extract(image_cm, max_candidates, c_std):
     return hs, ws, valid, count
 
 
-def _threshold_and_extract_batch(cms, max_candidates, c_std, block_m=16):
-    """Batched extraction with an exact hierarchical top-k.
+def _topk_sparse(flat, k, block_m=16):
+    """Exact hierarchical top-k over sparse (-inf-masked) batched scores.
 
     A flat ``lax.top_k`` over H*W pixels is a full sort and dominates the
     candidate stage. Above-threshold pixels are sparse (mean + c_std*sigma
@@ -147,17 +147,7 @@ def _threshold_and_extract_batch(cms, max_candidates, c_std, block_m=16):
     exactly equal scores can differ from the flat sort — candidate order
     is semantically irrelevant downstream (the fit/NMS rank by R^2).
     """
-    B, h, w = cms.shape
-    mean = jnp.mean(cms, axis=(1, 2), keepdims=True)
-    std = jnp.std(cms, axis=(1, 2), keepdims=True)
-    hh = jnp.arange(h)[:, None]
-    ww = jnp.arange(w)[None, :]
-    interior = ((hh >= 2) & (hh < h - 2) & (ww >= 2) & (ww < w - 2))
-    mask = (cms >= mean + c_std * std) & interior
-    flat = jnp.where(mask, cms, -jnp.inf).reshape(B, -1)
-    count = jnp.sum(mask.reshape(B, -1).astype(jnp.int32), axis=1)
-    n = flat.shape[1]
-    k = min(max_candidates, n)  # top_k requires k <= n (tiny images)
+    B, n = flat.shape
     pad = (-n) % 128
     flat_p = jnp.pad(flat, ((0, 0), (0, pad)),
                      constant_values=-jnp.inf) if pad else flat
@@ -165,29 +155,119 @@ def _threshold_and_extract_batch(cms, max_candidates, c_std, block_m=16):
     nb = blocks.shape[1]
 
     if k > nb * block_m or n <= nb * block_m:
-        top_scores, top_idx = lax.top_k(flat, k)
-    else:
-        blk_counts = jnp.sum(blocks > -jnp.inf, axis=2)
-        cheap_is_exact = jnp.max(blk_counts) <= block_m
+        return lax.top_k(flat, k)
+    blk_counts = jnp.sum(blocks > -jnp.inf, axis=2)
+    cheap_is_exact = jnp.max(blk_counts) <= block_m
 
-        def cheap(_):
-            bs, bi = lax.top_k(blocks, block_m)
-            base = (jnp.arange(nb, dtype=bi.dtype) * 128)[None, :, None]
-            merged_idx = (bi + base).reshape(B, -1)
-            ts, ti = lax.top_k(bs.reshape(B, -1), k)
-            return ts, jnp.take_along_axis(merged_idx, ti, axis=1)
+    def cheap(_):
+        bs, bi = lax.top_k(blocks, block_m)
+        base = (jnp.arange(nb, dtype=bi.dtype) * 128)[None, :, None]
+        merged_idx = (bi + base).reshape(B, -1)
+        ts, ti = lax.top_k(bs.reshape(B, -1), k)
+        return ts, jnp.take_along_axis(merged_idx, ti, axis=1)
 
-        def full(_):
-            ts, ti = lax.top_k(flat, k)
-            return ts, ti
+    def full(_):
+        ts, ti = lax.top_k(flat, k)
+        return ts, ti
 
-        top_scores, top_idx = lax.cond(cheap_is_exact, cheap, full, None)
+    return lax.cond(cheap_is_exact, cheap, full, None)
 
+
+def _candidate_mask_batch(cms, c_std):
+    """Threshold mask over batched correlation maps (pflib.py:250-253):
+    cm >= mean + c_std * population std, 2-px border excluded."""
+    B, h, w = cms.shape
+    mean = jnp.mean(cms, axis=(1, 2), keepdims=True)
+    std = jnp.std(cms, axis=(1, 2), keepdims=True)
+    hh = jnp.arange(h)[:, None]
+    ww = jnp.arange(w)[None, :]
+    interior = ((hh >= 2) & (hh < h - 2) & (ww >= 2) & (ww < w - 2))
+    return (cms >= mean + c_std * std) & interior
+
+
+def _threshold_and_extract_batch(cms, max_candidates, c_std, block_m=16):
+    """Batched extraction via the exact hierarchical top-k."""
+    B, h, w = cms.shape
+    mask = _candidate_mask_batch(cms, c_std)
+    flat = jnp.where(mask, cms, -jnp.inf).reshape(B, -1)
+    count = jnp.sum(mask.reshape(B, -1).astype(jnp.int32), axis=1)
+    k = min(max_candidates, flat.shape[1])  # top_k needs k <= n (tiny imgs)
+    top_scores, top_idx = _topk_sparse(flat, k, block_m)
     top_scores, top_idx = _pad_topk(top_scores, top_idx, max_candidates)
     valid = top_scores > -jnp.inf
     hs = jnp.where(valid, top_idx // w, 2).astype(jnp.int32)
     ws = jnp.where(valid, top_idx % w, 2).astype(jnp.int32)
     return hs, ws, valid, count
+
+
+@functools.partial(jax.jit, static_argnames=("chunk", "c_std", "block_m"))
+def extract_candidates_chunk(cms, excluded, chunk, c_std, block_m=16):
+    """One chunk of EXHAUSTIVE candidate extraction.
+
+    The reference has no candidate cap at all (pflib.py:217-258 fits every
+    above-threshold pixel); a single static [K] bucket caps K at whatever
+    the backend's compiler tolerates (a 4096-candidate single-image
+    program SIGABRTs the bench backend, DESIGN.md section 14). Chunking
+    sidesteps the cliff: every dispatch extracts the top-``chunk``
+    not-yet-extracted candidates, carrying a device-resident ``excluded``
+    [B, H*W] mask between calls — k dispatches of ONE compiled program
+    cover any candidate count.
+
+    Chunks concatenate in the exact order a single big top-k would
+    produce (scores strictly ordered across chunks; index tie-break
+    within each), so downstream order-sensitive semantics (psfs-dict
+    first-occurrence dedup, NMS index tie-break) match the single-bucket
+    program.
+
+    Returns (hs, ws, valid, remaining, new_excluded): ``remaining``
+    counts the above-threshold pixels not yet excluded at ENTRY — the
+    first call's value is the total candidate count.
+    """
+    B, h, w = cms.shape
+    mask = _candidate_mask_batch(cms, c_std) & ~excluded.reshape(B, h, w)
+    flat = jnp.where(mask, cms, -jnp.inf).reshape(B, -1)
+    remaining = jnp.sum(mask.reshape(B, -1).astype(jnp.int32), axis=1)
+    k = min(chunk, flat.shape[1])
+    top_scores, top_idx = _topk_sparse(flat, k, block_m)
+    top_scores, top_idx = _pad_topk(top_scores, top_idx, chunk)
+    valid = top_scores > -jnp.inf
+    rows = jnp.arange(B)[:, None]
+    new_excluded = excluded.at[rows, top_idx].max(valid)
+    hs = jnp.where(valid, top_idx // w, 2).astype(jnp.int32)
+    ws = jnp.where(valid, top_idx % w, 2).astype(jnp.int32)
+    return hs, ws, valid, remaining, new_excluded
+
+
+def _correlation_maps(images, median_filter_size, corr_np, use_pallas):
+    """Traced body: per-image correlation maps (median-filter background
+    removal + template correlation, clipped at 0) — pflib.py:242-248."""
+    if use_pallas:
+        from .pallas_candidates import candidate_map_fused
+        return candidate_map_fused(images, corr_np)
+    kernel = jnp.asarray(corr_np, images.dtype)
+
+    def one_cm(image):
+        med = median_filter_2d(image, median_filter_size)
+        image_mf = image - jnp.minimum(med, image)
+        return jnp.maximum(correlate_2d_same(image_mf, kernel), 0.0)
+
+    return jax.vmap(one_cm)(images)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "median_filter_size", "correlation_matrix", "use_pallas"))
+def candidate_maps_batch(images, median_filter_size=5,
+                         correlation_matrix=None, use_pallas=False):
+    """Jitted batched correlation maps (no extraction) — the shared front
+    half of find_candidates_batch, exposed so the exhaustive chunked
+    driver computes the maps ONCE and extracts chunk-by-chunk."""
+    if correlation_matrix is None:
+        correlation_matrix = HashableArray(DEFAULT_CORRELATION_MATRIX)
+    corr_np = correlation_matrix.arr
+    if use_pallas and (median_filter_size != 5 or corr_np.shape != (5, 5)):
+        use_pallas = False
+    return _correlation_maps(images, median_filter_size, corr_np,
+                             bool(use_pallas))
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -210,18 +290,7 @@ def find_candidates_batch(images, median_filter_size=5,
         # non-default parameters must take the general path, not be
         # silently ignored.
         use_pallas = False
-    if use_pallas:
-        from .pallas_candidates import candidate_map_fused
-        cms = candidate_map_fused(images, corr_np)
-    else:
-        kernel = jnp.asarray(corr_np, images.dtype)
-
-        def one_cm(image):
-            med = median_filter_2d(image, median_filter_size)
-            image_mf = image - jnp.minimum(med, image)
-            return jnp.maximum(correlate_2d_same(image_mf, kernel), 0.0)
-
-        cms = jax.vmap(one_cm)(images)
+    cms = _correlation_maps(images, median_filter_size, corr_np, use_pallas)
     return _threshold_and_extract_batch(cms, max_candidates=max_candidates,
                                         c_std=float(c_std))
 

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 
@@ -136,3 +137,57 @@ def _consolidate_scan(centers_h, centers_w, r2, valid, radius=4.0):
 
     kept, _ = lax.scan(step, jnp.zeros((n,), dtype=bool), jnp.arange(n))
     return kept[inv]
+
+
+def consolidate_host(centers_h, centers_w, r2, valid, radius=4.0):
+    """NumPy greedy NMS — identical output to :func:`consolidate` /
+    ``_consolidate_scan`` (property-tested), for candidate sets whose size
+    exceeds a single device bucket (the exhaustive chunked detect path,
+    models/detect.detect_and_fit_exhaustive).
+
+    Spatial binning (cell = radius, 3x3 neighborhood probe of KEPT spots)
+    makes it O(N x rivals) instead of O(N^2); ~10k spots take ~10 ms.
+    Distances are computed in float32 like the device kernel so boundary
+    cases (d^2 == radius^2 exactly) cannot diverge.
+    """
+    ch = np.asarray(centers_h, np.float32)
+    cw = np.asarray(centers_w, np.float32)
+    r2a = np.asarray(r2, np.float32)
+    v = np.asarray(valid, bool)
+    n = ch.shape[0]
+    score = np.where(v & ~np.isnan(r2a), r2a, -np.inf)
+    order = np.argsort(-score, kind="stable")
+    keep = np.zeros(n, bool)
+    rad2 = np.float32(float(radius)) ** 2
+    cell = max(float(radius), 1e-6)
+    grid: dict = {}
+    for i in order:
+        if not v[i]:
+            # Invalids rank last and are never kept; stable argsort keeps
+            # the remaining iteration order identical to the device rank.
+            continue
+        hi, wi = ch[i], cw[i]
+        if not (np.isfinite(hi) and np.isfinite(wi)):
+            # NaN/inf-centered fits: every distance comparison is False on
+            # device (NaN <= r^2 is False), so they never rival anything —
+            # kept if valid, and never suppress others.
+            keep[i] = True
+            continue
+        bh = int(np.floor(hi / cell))
+        bw = int(np.floor(wi / cell))
+        rival = False
+        for dh in (-1, 0, 1):
+            if rival:
+                break
+            for dw in (-1, 0, 1):
+                for j in grid.get((bh + dh, bw + dw), ()):
+                    d2 = (hi - ch[j]) ** 2 + (wi - cw[j]) ** 2
+                    if d2 <= rad2:
+                        rival = True
+                        break
+                if rival:
+                    break
+        if not rival:
+            keep[i] = True
+            grid.setdefault((bh, bw), []).append(i)
+    return keep

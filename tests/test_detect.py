@@ -395,3 +395,110 @@ def test_nan_r2_fit_is_kept_like_reference(monkeypatch):
     assert np.isnan(r2), f"constant patch should fit exactly (r2={r2})"
     assert bool(np.asarray(res.keep)[0, 0]), \
         "NaN-R^2 fit must be kept like the reference"
+
+
+def test_consolidate_host_equals_scan():
+    """The host greedy NMS (the exhaustive chunked path's backend,
+    ops.consolidate.consolidate_host) is identical to the device
+    executable spec across dense rival chains, ties, NaN scores and
+    invalid entries."""
+    import jax.numpy as jnp
+    from fluorosequencingimageanalysis_tpu.ops.consolidate import (
+        consolidate_host, _consolidate_scan)
+
+    rng = np.random.default_rng(11)
+    for trial in range(12):
+        n = int(rng.integers(3, 120))
+        # Cluster centers tightly so rival chains of depth > 2 occur.
+        ch = rng.uniform(0, 28, n).astype(np.float32)
+        cw = rng.uniform(0, 28, n).astype(np.float32)
+        r2 = rng.uniform(0, 1, n).astype(np.float32)
+        # Inject exact ties and NaNs.
+        if n > 10:
+            r2[1] = r2[0]
+            r2[2] = np.nan
+        valid = rng.uniform(size=n) > 0.15
+        a = consolidate_host(ch, cw, r2, valid, radius=4.0)
+        b = np.asarray(_consolidate_scan(jnp.asarray(ch), jnp.asarray(cw),
+                                         jnp.asarray(r2), jnp.asarray(valid),
+                                         radius=4.0))
+        np.testing.assert_array_equal(a, b, err_msg=f"trial={trial}")
+
+
+def test_exhaustive_chunked_equals_single_bucket():
+    """detect_and_fit_exhaustive with a tiny chunk (forcing many chunks +
+    the host NMS) matches the single-bucket device program candidate for
+    candidate — the parity contract that lets the chunked path replace
+    the capped one on backends whose compiler can't build big buckets."""
+    from fluorosequencingimageanalysis_tpu.models.detect import (
+        detect_and_fit, detect_and_fit_exhaustive)
+
+    rng = np.random.default_rng(5)
+    img, _ = _synthetic_field(rng, shape=(96, 96), n_spots=14)
+    img = img.astype(np.float32)
+    ref = detect_and_fit(img, max_candidates=512, num_iters=25)
+    count = int(ref.cand_count)
+    assert count > 64, "field too sparse for a multi-chunk test"
+    res = detect_and_fit_exhaustive(img[None], chunk=32, num_iters=25,
+                                    use_pallas=False,
+                                    gather_strategy="gather")
+    assert int(res.cand_count[0]) == count
+    k_ref = np.asarray(ref.keep)
+    k_chk = res.keep[0]
+    ref_kept = {(int(h), int(w)): (float(ch), float(cw), float(r))
+                for h, w, ch, cw, r in zip(
+                    np.asarray(ref.cand_h)[k_ref],
+                    np.asarray(ref.cand_w)[k_ref],
+                    np.asarray(ref.center_h)[k_ref],
+                    np.asarray(ref.center_w)[k_ref],
+                    np.asarray(ref.r2)[k_ref])}
+    chk_kept = {(int(h), int(w)): (float(ch), float(cw), float(r))
+                for h, w, ch, cw, r in zip(
+                    res.cand_h[0][k_chk], res.cand_w[0][k_chk],
+                    res.center_h[0][k_chk], res.center_w[0][k_chk],
+                    res.r2[0][k_chk])}
+    assert set(ref_kept) == set(chk_kept)
+    for key in ref_kept:
+        np.testing.assert_allclose(ref_kept[key], chk_kept[key], rtol=0,
+                                   atol=0, err_msg=str(key))
+
+
+def test_find_peptide_centers_exhaustive_matches_capped():
+    """find_peptide_centers default (max_candidates=None, exhaustive)
+    equals the big-bucket capped mode when nothing overflows — the
+    reference's uncapped semantics with zero truncation."""
+    from fluorosequencingimageanalysis_tpu.models.detect import (
+        find_peptide_centers)
+
+    rng = np.random.default_rng(6)
+    img, _ = _synthetic_field(rng, shape=(96, 96), n_spots=8)
+    img = img.astype(np.float32)
+    h_a, w_a, fits_a, count_a = find_peptide_centers(
+        img, num_iters=25, gather_strategy="gather")
+    h_b, w_b, fits_b, count_b = find_peptide_centers(
+        img, max_candidates=1024, num_iters=25, gather_strategy="gather")
+    assert count_a == count_b
+    np.testing.assert_array_equal(h_a, h_b)
+    np.testing.assert_array_equal(w_a, w_b)
+    assert len(fits_a) == len(fits_b)
+    for fa, fb in zip(fits_a, fits_b):
+        np.testing.assert_allclose(fa, fb, rtol=0, atol=1e-12)
+
+
+def test_find_peptides_exhaustive_default_no_truncation(caplog):
+    """find_peptides' default is now exhaustive (reference pflib.py has
+    no candidate cap): no truncation warnings, dict equal to a capped
+    run that fits everything."""
+    import logging
+    from fluorosequencingimageanalysis_tpu.models.detect import find_peptides
+
+    rng = np.random.default_rng(7)
+    img, _ = _synthetic_field(rng, shape=(96, 96), n_spots=6)
+    with caplog.at_level(logging.WARNING):
+        psfs = find_peptides(img, num_iters=25)
+    assert not [r for r in caplog.records if "candidates exceed" in r.message]
+    ref = find_peptides(img, max_candidates=1024, num_iters=25)
+    assert set(psfs) == set(ref)
+    for key in psfs:
+        np.testing.assert_allclose(psfs[key][:7], ref[key][:7],
+                                   rtol=0, atol=1e-12)
