@@ -237,6 +237,63 @@ def chi_squared_step_fitter(luminosity_sequence, num_steps_multiplier=1,
     return sorted(plateau_fits, key=lambda x: x[2], reverse=True)[0][0]
 
 
+def chi_squared_fit_batch(traces, num_steps_multiplier=1, num_steps=None,
+                          min_step_length=2, min_step_magnitude=0.0,
+                          ignore_counterfits=False, n_threads=None):
+    """Batched Kerssemakers chi-squared fitter over an (N, T) trace stack.
+
+    Per-trace results are bit-equal to :func:`chi_squared_step_fitter`
+    (the host oracle, itself the exact port of
+    /root/reference/stepfitting_library.py:342-505) — CI-enforced in
+    tests/test_stepfit_batch.py. The chain is sequential per trace but
+    embarrassingly parallel across traces, so the native C++ core
+    (native/chisqfit.cpp) threads the batch; when the native build is
+    unavailable it falls back to the exact host loop.
+
+    Returns a list of N step fits (each a list of (start, stop, height)
+    plateau triples).
+    """
+    traces = np.asarray(traces, dtype=np.float64)
+    if traces.ndim != 2:
+        raise ValueError("traces must be an (N, T) stack")
+    N, T = traces.shape
+    # Same validation as chi_squared_step_fitter (the reference's
+    # wrapper, stepfitting_library.py:342-380).
+    if not 0 < num_steps_multiplier <= 1:
+        raise ValueError("num_steps_multiplier has an invalid value of " +
+                         str(num_steps_multiplier))
+    if num_steps is not None and not 0 < num_steps < T:
+        raise ValueError("num_steps has an invalid value of " +
+                         str(num_steps))
+    if T < 2:
+        raise ValueError("chi-squared fitting needs at least 2 frames")
+    num_steps_arg = num_steps  # host fallback re-validates the original
+    if num_steps is None:
+        num_steps = min(int(np.ceil(num_steps_multiplier * T)), T - 2)
+    num_plateaus = num_steps + 1
+    if N == 0:
+        return []
+    from .native import chisqfit as _ncf
+
+    if _ncf.have_native():
+        n, start, stop, height = _ncf.chisq_fit_batch_native(
+            traces, num_plateaus, min_step_length, min_step_magnitude,
+            ignore_counterfits, n_threads=n_threads)
+        return [
+            [(int(start[i, j]), int(stop[i, j]), float(height[i, j]))
+             for j in range(int(n[i]))]
+            for i in range(N)
+        ]
+    return [
+        chi_squared_step_fitter(
+            traces[i], num_steps_multiplier=num_steps_multiplier,
+            num_steps=num_steps_arg, min_step_length=min_step_length,
+            min_step_magnitude=min_step_magnitude,
+            ignore_counterfits=ignore_counterfits)
+        for i in range(N)
+    ]
+
+
 def plateau_value(plateaus, frame):
     for (start, stop, height) in plateaus:
         if start <= frame <= stop:
