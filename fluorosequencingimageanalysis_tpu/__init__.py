@@ -36,6 +36,26 @@ Reference-compatible CLI entry points live as top-level scripts
 __version__ = "0.1.0"
 
 
+def _machine_cache_key():
+    """Short stable key for this machine type: arch + OS + CPU feature
+    flags (the exact inputs XLA:CPU AOT results depend on). Hashed so
+    the directory name stays short."""
+    import hashlib
+    import platform
+
+    bits = [platform.machine(), platform.system()]
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    bits.append(" ".join(sorted(
+                        line.split(":", 1)[1].split())))
+                    break
+    except OSError:
+        bits.append(platform.processor() or "unknown")
+    return hashlib.sha1("|".join(bits).encode()).hexdigest()[:12]
+
+
 def _enable_persistent_compile_cache():
     """Persistent XLA compile cache, on by default.
 
@@ -58,8 +78,16 @@ def _enable_persistent_compile_cache():
     try:
         if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
             return  # user already configured it; JAX reads the env var
+        # Scope the cache directory by a MACHINE key: XLA:CPU AOT entries
+        # bake in the compiling host's CPU feature set, and jax's own
+        # cache key does not include it — loading an entry compiled on a
+        # different machine type logs "could lead to SIGILL" warnings
+        # today and can actually crash on a weaker host. A shared $HOME
+        # across machine types (clusters, containers) must not share
+        # these entries.
         cache_dir = os.path.join(
-            os.path.expanduser("~"), ".cache", "fluoro_tpu_jax_cache")
+            os.path.expanduser("~"), ".cache", "fluoro_tpu_jax_cache",
+            _machine_cache_key())
         os.makedirs(cache_dir, exist_ok=True)
         if "jax" in sys.modules:
             jax = sys.modules["jax"]
