@@ -116,6 +116,23 @@ def _score_batch(log_intensities, categories, seq_tab, log_fluor_means,
     return best_idx, found, best_logscore
 
 
+@functools.partial(jax.jit, static_argnames=("allow_multidrop",))
+def score_chunk_device(intensities, counts, seq_tab, log_fluor_means,
+                       beta_sigma, max_deviation, allow_multidrop):
+    """Device-resident chunk scoring for the chained simulate->fit
+    closure: the log prep (intensity > 0 -> log, else -10000;
+    MCsimlib.py:5423) and the category derivation (count != 0) run on
+    device so the (N, F) intensities never cross the host link — only
+    the per-trace winners do. Same _score_batch math as score_traces'
+    host path; closure equality with the two-step path is pinned in
+    tests/test_closure_full_stack.py."""
+    cats = counts != 0
+    log_int = jnp.where(intensities > 0, jnp.log(intensities),
+                        -10000.0).astype(jnp.float32)
+    return _score_batch(log_int, cats, seq_tab, log_fluor_means,
+                        beta_sigma, max_deviation, allow_multidrop)
+
+
 def score_traces(intensities, categories, log_fluor_means, beta_sigma,
                  max_possible=5, allow_multidrop=True, allow_upsteps=False,
                  max_deviation=3, chunk=32768, mesh=None):

@@ -302,3 +302,154 @@ def peptide_simulation_batched(sequence, labels, num_mocks, num_edmans,
                                                 dud[i]),
                     dye_counts, None, ci))
     return out
+
+
+def simulate_and_fit_batched(sequence, labels, num_mocks, num_edmans,
+                             num_simulations, beta, beta_sigma, seed=0,
+                             ddif=None, max_possible=5, allow_multidrop=True,
+                             allow_upsteps=False, max_deviation=3,
+                             chunk=32768, error_signals=True,
+                             fetch_intensities=False, **params):
+    """Device-chained closure: simulate -> per-color photometries -> v8
+    fit with ONE fetch round of small per-trace results.
+
+    Reproduces simulate_peptide.py's simulate -> fit flow
+    (/root/reference/simulate_peptide.py:271-285) without round-tripping
+    the (N, F) intensities through host: the dye-count scan, the
+    photometry kernel and the v8 scorer (ops/lognormal.score_chunk_device)
+    chain on the device; what returns is per-trace winner indices /
+    found flags / logscores plus the compact int8 counts and int16 loss
+    cycles (for the molecular-error signals), all with overlapping async
+    copies. Signals aggregation is grouped by UNIQUE winning sequence
+    (aggregation over rows is order-insensitive and the key depends only
+    on the winning sequence), so the host decodes at most |table|
+    sequences instead of N rows — equality with the two-step path
+    (convert_to_oldstyle -> _photometries_lognormal_fit_MP_v8) is pinned
+    in tests/test_closure_full_stack.py.
+
+    Returns a dict: signals, total_count, none_count,
+    molecular_error_signals (single-label only, else None; suppressed
+    when error_signals=False), counts (N, F, n_colors) int array,
+    labels (sorted tuple), intensities ({label: (N, F) float32} when
+    fetch_intensities=True — for CSV emission paths).
+    """
+    from ..ops.lognormal import (score_chunk_device, seq_to_signal,
+                                 sequence_table)
+    from ..utils.dispatch import pow2_bucket
+
+    if ddif is None or len(ddif) != max_possible + 2:
+        # Same gate as the fit wrapper (photometries_lognormal_fit_v8 /
+        # MCsimlib's v8): the quench array must cover counts 1..K+2.
+        raise ValueError("quench factors (ddif) required for v8+: need "
+                         f"max_possible + 2 = {max_possible + 2} entries")
+    labels_sorted = tuple(sorted(set(labels)))
+    n_colors = len(labels_sorted)
+    res = simulate_dye_counts_batched(
+        sequence, labels, num_mocks, num_edmans, num_simulations,
+        seed=seed, return_loss_cycles=True, device_out=True, **params)
+    counts_d, _labels_out, loss_d, dud_d = res
+    if counts_d.ndim == 2:
+        counts_d = counts_d[:, :, None]
+    N, F = counts_d.shape[:2]
+    log_fluor_means = np.asarray(
+        [math.log(beta) + math.log(i + 1.0) - ddif[i]
+         for i in range(max_possible + 2)], np.float32)
+    tab = sequence_table(F, max_possible, allow_upsteps)
+    tab_dev = jnp.asarray(tab)
+    lfm_dev = jnp.asarray(log_fluor_means[:max_possible])
+
+    pending = []
+    intens_keep = {}
+    for k, label in enumerate(labels_sorted):
+        counts_k = counts_d[:, :, k]
+        intens_d = simulate_photometries_batched(
+            counts_k, beta, beta_sigma, seed=seed + 7919 * (k + 1),
+            ddif=ddif, device_out=True)
+        if fetch_intensities:
+            intens_d.copy_to_host_async()
+            intens_keep[label] = intens_d
+        for lo in range(0, N, chunk):
+            hi = min(lo + chunk, N)
+            n = hi - lo
+            bucket = pow2_bucket(n, chunk)
+            ic = intens_d[lo:hi]
+            cc = counts_k[lo:hi]
+            if bucket != n:
+                ic = jnp.concatenate(
+                    [ic, jnp.zeros((bucket - n, F), ic.dtype)])
+                cc = jnp.concatenate(
+                    [cc, jnp.zeros((bucket - n, F), cc.dtype)])
+            out = score_chunk_device(ic, cc, tab_dev, lfm_dev,
+                                     float(beta_sigma),
+                                     float(max_deviation),
+                                     bool(allow_multidrop))
+            for arr in out:
+                arr.copy_to_host_async()
+            pending.append((label, lo, hi, out))
+
+    compact = (_compact_counts(counts_d) if len(sequence) < 128
+               else counts_d)
+    fetches = [compact, loss_d.astype(jnp.int16), dud_d]
+    for arr in fetches:
+        arr.copy_to_host_async()
+
+    signals = {}
+    none_count = 0
+    decode_cache = {}
+    for label, lo, hi, (bi, fo, _bl) in pending:
+        n = hi - lo
+        bi = np.asarray(bi)[:n]
+        fo = np.asarray(fo)[:n]
+        none_count += int((~fo).sum())
+        uniq, cnts = np.unique(bi[fo], return_counts=True)
+        for u, c in zip(uniq, cnts):
+            u = int(u)
+            if u not in decode_cache:
+                seq = tuple(int(v) for v in tab[u])
+                signal, is_zero, starting = seq_to_signal(seq)
+                decode_cache[u] = (signal, is_zero, starting)
+            signal, is_zero, starting = decode_cache[u]
+            if signal is None:
+                # seq_to_signal rejects upstep winners (only reachable
+                # with allow_upsteps tables) — the two-step path counts
+                # them as unfit (inference/lognormal._decode_and_aggregate).
+                none_count += int(c)
+            else:
+                key = (signal, is_zero, starting)
+                signals[key] = signals.get(key, 0) + int(c)
+
+    counts = np.asarray(fetches[0]).astype(np.int32)
+    loss = np.asarray(fetches[1]).astype(np.int32)
+    dud = np.asarray(fetches[2])
+
+    mes = None
+    if error_signals and n_colors == 1:
+        # Group identical (loss, dud) molecules and decode each unique
+        # row once: key = (dye_decrements, last_count == 0, first_count),
+        # exactly simulate_peptide.py's per-molecule loop (:157-168).
+        combo = np.concatenate(
+            [loss, dud.astype(np.int32),
+             counts[:, :1, 0], counts[:, -1:, 0]], axis=1)
+        uniq_rows, inverse, cnts = np.unique(
+            combo, axis=0, return_inverse=True, return_counts=True)
+        mes = {}
+        L = loss.shape[1]
+        for r in range(uniq_rows.shape[0]):
+            row = uniq_rows[r]
+            decs = decrements_from_loss_cycles(
+                sequence, row[:L], row[L:2 * L].astype(bool))
+            key = (decs, bool(row[2 * L + 1] == 0), int(row[2 * L]))
+            mes[key] = mes.get(key, 0) + int(cnts[r])
+
+    out = {
+        "signals": signals,
+        "total_count": N * n_colors,
+        "none_count": none_count,
+        "molecular_error_signals": mes,
+        "counts": counts,
+        "labels": labels_sorted,
+    }
+    if fetch_intensities:
+        out["intensities"] = {label: np.asarray(v)
+                              for label, v in intens_keep.items()}
+    return out

@@ -125,18 +125,59 @@ def main(argv=None):
                    (args.batched_simulation == "auto" and N >= 10000 and
                     args.superdye_rate == 0.0 and distance_ddifs is None))
     if use_batched:
-        # Device-scale Monte-Carlo: identical probability model (exact
-        # joint multi-color statistics), 1e5+ molecules in one dispatch.
+        # Device-scale Monte-Carlo CHAINED into the v8 fit: the
+        # dye-count scan, photometry kernel and scorer share the device
+        # (one fetch round of per-trace winners + compact counts — the
+        # (N, F) intensities only cross the link when the CSV needs
+        # them). Signals / molecular_error_signals equal the two-step
+        # path (tests/test_closure_full_stack.py).
         from fluorosequencingimageanalysis_tpu.sim.dye_sim import (
-            peptide_simulation_batched)
-        results = peptide_simulation_batched(
+            simulate_and_fit_batched)
+        if len(set(labels)) > 1:
+            # Reference parity: the per-molecule error-signal loop below
+            # dies on multi-label input with exactly this error
+            # (reference simulate_peptide.py popitem loop).
+            raise NotImplementedError(
+                "This part currently only works for one label.")
+        out = simulate_and_fit_batched(
             sequence=sequence, labels=labels, num_mocks=m - o, num_edmans=e,
             num_simulations=N, seed=round(time()) % (2 ** 31),
+            beta=args.fluor_intensity, beta_sigma=args.beta_sigma,
+            ddif=ddif, max_possible=max_possible,
+            allow_multidrop=allow_multidrop, max_deviation=3,
+            fetch_intensities=not args.no_csv,
             p=args.edman_efficiency, b=-log(1.0 - args.dye_destruction),
             u=args.dud_dyes, s=args.surface_degradation_1,
             sc=args.surface_degradation_1_num_cycles,
-            s2=args.surface_degradation_2, beta=args.fluor_intensity,
-            beta_sigma=args.beta_sigma, ddif=ddif)
+            s2=args.surface_degradation_2)
+        signals = out["signals"]
+        molecular_error_signals = out["molecular_error_signals"]
+        if not args.no_csv:
+            # Photometries dict only for the CSV artifact (same rows as
+            # the two-step path's convert_to_oldstyle build).
+            label = out["labels"][0]
+            counts = out["counts"][:, :, 0]
+            intens = out["intensities"][label].astype("float64")
+            photometries = {"ch1": {0: {}}}
+            for t in range(counts.shape[0]):
+                category = tuple(bool(c != 0) for c in counts[t])
+                row = tuple(float(x) for x in intens[t])
+                photometries["ch1"][0].setdefault((t, t),
+                                                  (category, row, t))
+            csv_filepath = output_filepath[:-4] + ".csv"
+            try:
+                rows = write_photometries_dict_to_csv(
+                    photometries=photometries, filepath=csv_filepath)
+                print("Wrote " + str(rows) + " rows to " + str(csv_filepath))
+            except Exception as e:
+                print("Failed to write simulated photometries to " +
+                      str(csv_filepath) + " due to exception " + str(e))
+                traceback.print_exc()
+        print("Fitting completed at " + str(datetime.now()) +
+              ". Saving results to " + output_filepath)
+        with open(output_filepath, "wb") as f:
+            pickle.dump((args, signals, molecular_error_signals), f)
+        return signals, molecular_error_signals
     else:
         results = peptide_simulator.peptide_simulation(
             sequence=sequence, labels=labels, num_mocks=m - o, num_edmans=e,

@@ -298,3 +298,65 @@ def test_decrements_cycle0_dud_before_tirf_order():
         (("K", 0), ("C", 0))
     # Without the mask: position order (legacy behavior).
     assert decrements_from_loss_cycles(seq, loss) == (("C", 0), ("K", 0))
+
+
+def test_simulate_and_fit_chained_equals_two_step():
+    """The device-chained closure (simulate_and_fit_batched: sim ->
+    photometries -> v8 scoring with no intensity round trip) produces
+    EXACTLY the signals / none_count / molecular_error_signals of the
+    two-step path (peptide_simulation_batched -> photometries dict ->
+    _photometries_lognormal_fit_MP_v8) at the same seed — VERDICT r3
+    item 3's done-criterion."""
+    import math
+    from collections import defaultdict
+
+    from fluorosequencingimageanalysis_tpu.sim.dye_sim import (
+        peptide_simulation_batched, simulate_and_fit_batched)
+    from fluorosequencingimageanalysis_tpu.inference.lognormal import (
+        _photometries_lognormal_fit_MP_v8)
+
+    seq = "ACKDYECAGKHSECAMKR"
+    labels = {"K"}
+    params = dict(p=0.90, b=-math.log(1.0 - 0.1), u=0.50, s=0.30, sc=4,
+                  s2=0.10)
+    beta, beta_sigma = 70000.0, 0.20
+    ddif = [0.0, 0.30] + [0.30] * 5
+    N = 600
+
+    results = peptide_simulation_batched(
+        seq, labels, num_mocks=3, num_edmans=8, num_simulations=N, seed=5,
+        beta=beta, beta_sigma=beta_sigma, ddif=ddif, **params)
+    mes2 = defaultdict(int)
+    photometries = {"ch1": {0: {}}}
+    t = 0
+    for dye_decrements, dye_counts, _, ci in results:
+        for label, (category, (intensities,)) in ci.items():
+            photometries["ch1"][0].setdefault((t, t),
+                                              (category, intensities, t))
+            t += 1
+        _, s = dye_counts.popitem()
+        mes2[(dye_decrements, s[-1] == 0, s[0])] += 1
+    signals2, total2, none2, _ = _photometries_lognormal_fit_MP_v8(
+        photometries=photometries, beta=beta, beta_sigma=beta_sigma,
+        max_possible=5, allow_upsteps=False, allow_multidrop=True,
+        max_deviation=3, quench_factor=0, quench_factors=ddif)
+
+    out = simulate_and_fit_batched(
+        seq, labels, num_mocks=3, num_edmans=8, num_simulations=N,
+        beta=beta, beta_sigma=beta_sigma, seed=5, ddif=ddif, **params)
+    assert out["total_count"] == total2
+    assert out["none_count"] == none2
+    assert out["signals"] == signals2
+    assert out["molecular_error_signals"] == dict(mes2)
+
+
+def test_simulate_and_fit_chained_validates_quench():
+    import pytest
+
+    from fluorosequencingimageanalysis_tpu.sim.dye_sim import (
+        simulate_and_fit_batched)
+
+    with pytest.raises(ValueError):
+        simulate_and_fit_batched("AKA", {"K"}, 1, 2, 10, beta=1e4,
+                                 beta_sigma=0.2, ddif=[0.0], p=0.9, b=0.1,
+                                 u=0.1)
