@@ -229,9 +229,10 @@ def bench_experiment_tpu(stack, iters=3):
     kw = dict(max_candidates=4096, max_spots=3072)
     res = pipe.run_experiment(stack, **kw)  # compile + warm
     n_rows = len(res["rows"])
-    dt, stages = float("inf"), {}
+    dt, stages, ledger = float("inf"), {}, {}
     for _ in range(iters):
         profiling.reset_timings()
+        profiling.reset_counters()
         t0 = time.perf_counter()
         res = pipe.run_experiment(stack, **kw)
         it_dt = time.perf_counter() - t0
@@ -239,7 +240,11 @@ def bench_experiment_tpu(stack, iters=3):
             dt = it_dt
             stages = {k: round(v["total"], 4)
                       for k, v in profiling.timings().items()}
-    return stack.shape[0] / dt, n_rows, stages
+            # The exact host<->device round-trip census of the run
+            # (DESIGN.md section 15b): uploads / step dispatches /
+            # result fetches / photometry hole dispatches + bytes.
+            ledger = profiling.counters()
+    return stack.shape[0] / dt, n_rows, stages, ledger
 
 
 def bench_experiment_cpu(stack_field):
@@ -836,7 +841,8 @@ def main():
     # device, halving the host->device transfer vs a pre-cast float stack.
     exp_stack = np.clip(make_experiment_stack(32, 8), 0,
                         65535).astype(np.uint16)
-    exp_fields_per_sec, n_rows, stages = bench_experiment_tpu(exp_stack)
+    exp_fields_per_sec, n_rows, stages, ledger = bench_experiment_tpu(
+        exp_stack)
     cpu_floor_seconds, cpu_ref_est_seconds = bench_experiment_cpu(
         exp_stack[0])
     link_mbps = measure_link_bandwidth()
@@ -859,6 +865,10 @@ def main():
             exp_fields_per_sec * cpu_ref_est_seconds, 1),
         "rows": n_rows,
         "stages_sec": stages,
+        # Exact round-trip census of the timed run (uploads, step
+        # dispatches, result fetches, hole-photometry dispatches,
+        # bytes each way) — the DESIGN.md section 15b transfer ledger.
+        "transfer_ledger": ledger,
     }), flush=True)
 
     # Config 2: z/time-stack background estimation + batched PSF fits.

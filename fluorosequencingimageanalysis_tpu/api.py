@@ -297,11 +297,16 @@ class Pipeline:
             pack = pack and keys is not None
 
             def _dispatch(lo):
+                from .utils import profiling
+
                 hi = min(lo + g, F)
                 grp = stack[lo:hi]
                 if hi - lo < g:  # pad the tail group (sliced off below)
                     grp = np.concatenate(
                         [grp, np.repeat(grp[-1:], g - (hi - lo), axis=0)])
+                profiling.bump("ledger/uploads")
+                profiling.bump("ledger/upload_bytes", int(grp.nbytes))
+                profiling.bump("ledger/step_dispatches")
                 with mesh:
                     x = shard_fields(grp, mesh)
                     o = experiment_step_sharded(x, mesh, **step_kwargs)
@@ -336,8 +341,13 @@ class Pipeline:
         for gi, lo in enumerate(lows):
             o, ga, dev = pending[gi]
             with self._stage("api/run_stack"):
+                from .utils import profiling
+
                 # np.asarray blocks only on THIS group's step.
                 grp_out = {k: np.asarray(o[k])[:ga] for k in names}
+                profiling.bump("ledger/result_fetches", len(names))
+                profiling.bump("ledger/fetch_bytes",
+                               sum(int(v.nbytes) for v in grp_out.values()))
                 if gi + n_prime < len(lows):
                     pending.append(_dispatch(lows[gi + n_prime]))
             if parts is not None:

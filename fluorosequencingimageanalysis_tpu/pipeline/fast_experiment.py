@@ -41,6 +41,7 @@ import functools
 
 import numpy as np
 
+from ..utils import profiling
 from ..utils.rounding import py2_round
 from .tracking import accumulate_offsets, _py2_round_array as _py2_round_arr
 
@@ -723,6 +724,7 @@ def _queue_photometry(stack, img_id, hs, ws, method, window_radius,
         ii = np.pad(img_id[lo:hi], (0, pad))
         hh = np.pad(hs[lo:hi], (0, pad), constant_values=window_radius)
         ww = np.pad(ws[lo:hi], (0, pad), constant_values=window_radius)
+        profiling.bump("ledger/photometry_dispatches")
         pending.append((lo, hi, kern(
             imgs, jnp.asarray(ii, jnp.int32),
             jnp.asarray(hh, jnp.int32), jnp.asarray(ww, jnp.int32))))
@@ -733,6 +735,8 @@ def _resolve_photometry(pending, out):
     """Fetch queued photometry chunks into the 1-D ``out`` array."""
     for lo, hi, dev in pending:
         out[lo:hi] = np.asarray(dev)[:hi - lo]
+        profiling.bump("ledger/photometry_fetches")
+        profiling.bump("ledger/fetch_bytes", int((hi - lo) * dev.dtype.itemsize))
 
 
 def _dispatch_photometry(stack, img_id, hs, ws, method, window_radius,

@@ -60,6 +60,29 @@ def reset_timings() -> None:
         _stats.clear()
 
 
+_counts: dict = defaultdict(int)
+
+
+def bump(name: str, n: int = 1) -> None:
+    """Count a link/dispatch event (upload, step dispatch, result fetch,
+    bytes moved). The config-4 transfer ledger (DESIGN.md section 15b)
+    is built from these: every host<->device round trip in the hot paths
+    calls bump, so ``counters()`` after a run is the exact dispatch
+    census, not an estimate."""
+    with _lock:
+        _counts[name] += n
+
+
+def counters() -> dict:
+    with _lock:
+        return dict(_counts)
+
+
+def reset_counters() -> None:
+    with _lock:
+        _counts.clear()
+
+
 def report() -> str:
     """Human-readable stage-timing table (sorted by total, descending)."""
     rows = sorted(timings().items(), key=lambda kv: -kv[1]["total"])
