@@ -115,7 +115,214 @@ def allgather(tree):
     return multihost_utils.process_allgather(tree, tiled=True)
 
 
-def run_experiment_step(local_fields, mesh=None, gather=True, **step_kwargs):
+def _allgather_pickled(obj):
+    """Allgather one Python object per process (pickle -> padded uint8
+    rows -> one DCN allgather); returns the per-process list in process
+    order. Used for the per-field row payloads — kilobytes, not frames."""
+    import pickle
+
+    from jax.experimental import multihost_utils
+
+    payload = np.frombuffer(pickle.dumps(obj, protocol=4), np.uint8)
+    nproc = jax.process_count()
+    if nproc == 1:
+        return [obj]
+    lens = np.asarray(
+        multihost_utils.process_allgather(np.int64(payload.size)))
+    padded = np.zeros(int(lens.max()), np.uint8)
+    padded[:payload.size] = payload
+    stacked = np.asarray(
+        multihost_utils.process_allgather(padded, tiled=False))
+    return [pickle.loads(stacked[p, :int(lens[p])].tobytes())
+            for p in range(nproc)]
+
+
+def run_experiment(local_stack, csv_path=None, config=None, mesh=None,
+                   max_candidates=None, max_spots=None, candidate_radius=2,
+                   channel="ch1"):
+    """Whole-experiment multihost front door (single channel, the
+    basic_experiment_script configuration: interpolate=True, no
+    MDMA/averages/keep_invalid).
+
+    1. ONE sharded experiment step runs over the global mesh — every
+       process's locally-loaded ``[F_local, C, H, W]`` fields stay on its
+       own chips (:func:`run_experiment_step`);
+    2. the HOST layer (psfs-dict reconstruction, tracking, trace
+       interpolation, photometry reuse + hole gathers) runs per process
+       for its OWN fields — frames never cross DCN;
+    3. the per-field row payloads allgather (kilobytes), so EVERY host
+       assembles the full row set in global field order and, when
+       ``csv_path`` is given, writes an identical track-photometries CSV
+       (the reference's output contract, flexlibrary.py:2755-2892).
+
+    Byte-identical to a single-process ``Pipeline.run_experiment`` over
+    the concatenated stack when mesh shapes match — proven with real
+    two-process execution in tests/test_multihost.py.
+
+    Returns {rows, category_counts, filtered_category_counts, csv_path}.
+    """
+    from ..api import Pipeline
+    from ..pipeline.fast_experiment import (_spot_lists, flush_hole_queue,
+                                            run_experiment_stack)
+
+    local = np.asarray(local_stack)
+    if local.ndim != 4:
+        raise ValueError("local_stack must be [F_local, C, H, W]")
+    pipe = Pipeline(config=config)
+    det = pipe.config.detect
+    reg = pipe.config.registration
+    phot = pipe.config.photometry
+    mc = max_candidates if max_candidates is not None else det.max_candidates
+    step_kwargs = dict(
+        median_filter_size=det.median_filter_size, c_std=det.c_std,
+        r_2_threshold=det.r_2_threshold,
+        consolidation_radius=det.consolidation_radius,
+        max_candidates=mc, max_spots=max_spots,
+        num_iters=det.num_iters, theta_starts=det.theta_starts,
+        use_pallas=det.use_pallas, upsample_factor=reg.upsample_factor,
+        photometry_method=pipe._device_phot_method(),
+        photometry_radius=phot.radius, photometry_brim=phot.brim_size,
+        photometry_min=None, gather_strategy=pipe._gather_strategy())
+    if mesh is None:
+        mesh = global_mesh()
+    host_phot = phot.method == "sextractor"
+    keys = ("offsets_h", "offsets_w", "spot_rh", "spot_rw", "spot_state",
+            "spot_cand_c", "spot_overflow", "cand_count") + \
+        (() if host_phot else ("photometry",))
+    gathered = run_experiment_step(local, mesh=mesh, gather=True,
+                                   keys=keys, **step_kwargs)
+
+    pid = jax.process_index()
+    f_local = local.shape[0]
+    lo = pid * f_local
+    local_out = {k: v[lo:lo + f_local] for k, v in gathered.items()}
+    Fg, C, H, W = local.shape
+    rhs, rws, spot_values = _spot_lists(local_out, Fg, C, H, W,
+                                        with_values=not host_phot)
+    hole_queue = [] if not host_phot else None
+    per_field = run_experiment_stack(
+        local, local_out["offsets_h"], local_out["offsets_w"], (rhs, rws),
+        photometry_method=phot.method, photometry_radius=phot.radius,
+        photometry_brim=phot.brim_size, candidate_radius=candidate_radius,
+        spot_values=None if host_phot else spot_values,
+        aperture_radius=phot.aperture_radius, box_size=phot.box_size,
+        filter_size=phot.filter_size, hole_queue=hole_queue)
+    if hole_queue:
+        flush_hole_queue(hole_queue)
+    rows_local = []
+    for f, field_rows in enumerate(per_field):
+        for (cat, h0, w0, ph) in field_rows:
+            rows_local.append((channel, lo + f, h0, w0, cat, ph))
+
+    rows = []
+    for proc_rows in _allgather_pickled(rows_local):
+        rows.extend(proc_rows)
+    n_fields_global = f_local * jax.process_count()
+    n_cycles = C
+    category_counts = {channel: {f: {} for f in range(n_fields_global)}}
+    for (_, f, h0, w0, cat, ph) in rows:
+        category_counts[channel][f].setdefault(cat, 0)
+        category_counts[channel][f][cat] += 1
+    filtered = {ch: {f: {cat: n for cat, n in d.items()
+                         if tuple(sorted(cat, reverse=True)) == cat}
+                     for f, d in by_f.items()}
+                for ch, by_f in category_counts.items()}
+    if csv_path is not None:
+        import csv as csv_module
+        with open(csv_path, "w", newline="") as fh:
+            writer = csv_module.writer(fh, dialect="excel")
+            writer.writerow(["CHANNEL", "FIELD", "H", "W", "CATEGORY"] +
+                            ["FRAME " + str(i) for i in range(n_cycles)])
+            for (ch, f, h0, w0, cat, ph) in rows:
+                writer.writerow([str(ch), str(f), str(h0), str(w0),
+                                 str(cat)] +
+                                [str(v) if v is not None else "0"
+                                 for v in ph])
+    return {"rows": rows, "category_counts": category_counts,
+            "filtered_category_counts": filtered, "csv_path": csv_path}
+
+
+def lc_track(movie, h0, w0, search_radius=3, s_n_cutoff=3.0, mesh=None):
+    """Multihost LC tracking (the timetrace front door's sharded tracker,
+    pipeline/fast_timetrace.lc_track, over a MULTI-PROCESS mesh).
+
+    Every process passes the SAME movie (replicated onto its own chips —
+    movies are one field, small) and the SAME full spot list; the spot
+    axis shards over the global mesh's first axis (pure data parallelism,
+    SURVEY P2), and the tracked [T, N] results allgather to every host.
+    Bit-equal to the single-process scan (tests/test_multihost.py).
+    """
+    from ..pipeline import fast_timetrace as ftt
+
+    if mesh is None:
+        mesh = global_mesh()
+    axis = mesh.axis_names[0]
+    n_shard = int(mesh.shape[axis])
+    t0h, t0w, r0h, r0w = ftt._initial_centers(h0, w0)
+    N = len(t0h)
+    pad = (-N) % n_shard
+    fill = np.full(pad, search_radius + 2, np.int32)
+    padded = [np.concatenate([a, fill]) for a in (t0h, t0w, r0h, r0w)]
+    row = NamedSharding(mesh, P(axis))
+    rep = NamedSharding(mesh, P())
+    nproc = jax.process_count()
+    pidx = jax.process_index()
+    share = (N + pad) // nproc
+
+    def shard_rows(a):
+        return jax.make_array_from_process_local_data(
+            row, a[pidx * share:(pidx + 1) * share], a.shape)
+
+    movie_np = np.asarray(movie)
+    movie_g = jax.make_array_from_process_local_data(rep, movie_np,
+                                                     movie_np.shape)
+    rec_h, rec_w, present = ftt._lc_track_scan(
+        movie_g, *[shard_rows(a) for a in padded],
+        search_radius=search_radius, s_n_cutoff=float(s_n_cutoff))
+    g = allgather((rec_h, rec_w, present))
+    rec_h = np.concatenate([padded[0][None], np.asarray(g[0])])[:, :N]
+    rec_w = np.concatenate([padded[1][None], np.asarray(g[1])])[:, :N]
+    present = np.concatenate([np.ones((1, N + pad), bool),
+                              np.asarray(g[2])])[:, :N]
+    return rec_h, rec_w, present
+
+
+def stack_background(local_frames, box_size=10, filter_size=10,
+                     clip_sigma=3.0, clip_maxiters=10, mesh=None):
+    """Multihost z-stack SExtractor background (ops/background, BASELINE
+    config 2) — each process contributes its locally-loaded frames, the
+    frame axis shards over the global mesh, and the background maps
+    allgather back in process order (padding removed)."""
+    from ..ops.background import stack_background_jit
+
+    local = np.asarray(local_frames)
+    if mesh is None:
+        mesh = global_mesh()
+    axis = mesh.axis_names[0]
+    nproc = jax.process_count()
+    n_dev = int(mesh.shape[axis])
+    share = n_dev // nproc
+    f_local = local.shape[0]
+    pad = (-f_local) % share
+    if pad:
+        local = np.concatenate([local, np.repeat(local[-1:], pad, axis=0)])
+    spec = NamedSharding(mesh, P(axis, None, None))
+    T_global = local.shape[0] * nproc
+    x = jax.make_array_from_process_local_data(
+        spec, local, (T_global,) + local.shape[1:])
+    out = stack_background_jit(x, box_size=box_size,
+                               filter_size=filter_size,
+                               clip_sigma=float(clip_sigma),
+                               clip_maxiters=int(clip_maxiters))
+    g = np.asarray(allgather(out))
+    f_padded = f_local + pad
+    keep = np.concatenate([np.arange(p * f_padded, p * f_padded + f_local)
+                           for p in range(nproc)])
+    return g[keep]
+
+
+def run_experiment_step(local_fields, mesh=None, gather=True, keys=None,
+                        **step_kwargs):
     """Run the sharded experiment step over every process's fields.
 
     Args:
@@ -165,6 +372,10 @@ def run_experiment_step(local_fields, mesh=None, gather=True, **step_kwargs):
     x = shard_fields_from_local(local, mesh)
     with mesh:
         out = experiment_step_sharded(x, mesh, **step_kwargs)
+    if keys is not None:
+        # Gather only what the caller consumes (the compact spot bucket
+        # is KBs; the full fit arrays are the big ones).
+        out = {k: out[k] for k in keys}
     if not gather:
         return out
     gathered = allgather(out)

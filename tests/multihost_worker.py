@@ -32,10 +32,21 @@ def synthetic_stack(F, C=2, H=64, W=64, seed=0):
     return stack.astype(np.float32)
 
 
+def experiment_config():
+    """Shared by the workers and the single-process oracle — one config."""
+    from fluorosequencingimageanalysis_tpu.config import (DetectConfig,
+                                                          PipelineConfig,
+                                                          RegistrationConfig)
+    return PipelineConfig(
+        detect=DetectConfig(max_candidates=64, num_iters=20),
+        registration=RegistrationConfig(upsample_factor=5))
+
+
 def main(argv):
     pid, nproc, port, out_path = (int(argv[1]), int(argv[2]), argv[3],
                                   argv[4])
     f_local = int(argv[5]) if len(argv) > 5 else 4
+    mode = argv[6] if len(argv) > 6 else "step"
 
     os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
     os.environ["JAX_PLATFORMS"] = "cpu"
@@ -55,6 +66,28 @@ def main(argv):
 
     full = synthetic_stack(F=f_local * nproc)
     local = full[pid * f_local:(pid + 1) * f_local]
+    if mode == "experiment":
+        # Whole-experiment front door: every host writes the full CSV.
+        res = multihost.run_experiment(local, csv_path=out_path + ".csv",
+                                       config=experiment_config())
+        np.savez(out_path, n_rows=np.int64(len(res["rows"])))
+        return
+    if mode == "zstack":
+        # Frame axis over the global mesh; ragged local count (3 frames
+        # per process against a 4-device share exercises the pad path).
+        frames = full[:, 0]  # [F_global, H, W]
+        zl = 3
+        bg = multihost.stack_background(
+            frames[pid * zl:(pid + 1) * zl], box_size=8, filter_size=3)
+        np.savez(out_path, bg=bg)
+        return
+    if mode == "timetrace":
+        movie = full[:4, 0]  # [T, H, W], same on every process
+        ys = np.array([12.2, 30.4, 50.1, 20.3])
+        xs = np.array([12.1, 40.2, 20.4, 52.2])
+        rec_h, rec_w, present = multihost.lc_track(movie, ys, xs)
+        np.savez(out_path, rec_h=rec_h, rec_w=rec_w, present=present)
+        return
     out = multihost.run_experiment_step(
         local, max_candidates=64, num_iters=20, upsample_factor=5)
     np.savez(out_path, **{k: np.asarray(v) for k, v in out.items()})
