@@ -587,8 +587,8 @@ def bench_v8(T=100_000, F=12, K=5, beta_sigma=0.2, host_sample=150):
     kw = dict(log_fluor_means=lfm, beta_sigma=beta_sigma, max_possible=K,
               allow_multidrop=True, max_deviation=3)
     # warm/compile the chunk shape AND the ragged-tail bucket, then timed
-    import inspect
-    chunk = inspect.signature(score_traces).parameters["chunk"].default
+    from fluorosequencingimageanalysis_tpu.utils import probes
+    chunk = probes.v8_chunk()
     score_traces(intensities[:chunk], categories[:chunk], **kw)
     tail = T % chunk
     if tail:
@@ -846,6 +846,13 @@ def main():
     cpu_floor_seconds, cpu_ref_est_seconds = bench_experiment_cpu(
         exp_stack[0])
     link_mbps = measure_link_bandwidth()
+
+    # Backend calibration record: the probe registry's measurements and
+    # the decisions they drove for THIS run (utils/probes) — recorded so
+    # bench numbers carry their backend context like link_MBps does.
+    from fluorosequencingimageanalysis_tpu.utils import probes
+    print(json.dumps({"metric": "backend_probes", **probes.snapshot()}),
+          flush=True)
     # What THIS link's upload bandwidth alone permits for this stack
     # (134 MB of uint16 frames / 32 fields): the config is at its ceiling
     # when value ~= this number.

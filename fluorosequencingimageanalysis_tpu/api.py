@@ -1149,29 +1149,35 @@ class Pipeline:
                 "step_fit_intermediates": intermediates,
                 "trace_count": len(spot_traces), "csv_path": csv_path}
 
-    def run_timetraces(self, movies, csv_paths=None, prefetch=False,
+    def run_timetraces(self, movies, csv_paths=None, prefetch=None,
                        **kwargs):
         """Batch movie front door: run_timetrace over a SEQUENCE of
         movies (a TIRF session produces many movie fields).
 
         prefetch=True device_puts movie k+1 (raw camera dtype, async)
         while movie k computes, hiding its upload behind device work —
-        the right default on PCIe/local-HBM links. It is OFF by default
-        because on a serial tunneled link uploads and result fetches
-        contend: measured here, prefetching one movie ahead was ~15%
-        slower and prefetching all movies ~30% slower than the plain
-        loop (each small fetch waits behind megabytes of later uploads).
+        the right setting on PCIe/local-HBM links. On a serial tunneled
+        link uploads and result fetches contend: measured here,
+        prefetching one movie ahead was ~15% slower and prefetching all
+        movies ~30% slower than the plain loop (each small fetch waits
+        behind megabytes of later uploads). prefetch=None (default) asks
+        the backend probe registry (utils/probes.timetrace_prefetch):
+        prefetch turns on at >= 400 MB/s measured upload bandwidth.
 
         Arguments:
             movies: iterable of [T, H, W] arrays (dtypes may differ).
             csv_paths: optional list, one output CSV path per movie.
-            prefetch: upload one movie ahead of compute.
+            prefetch: upload one movie ahead of compute (None = probed).
             kwargs: forwarded to run_timetrace.
 
         Returns a list of run_timetrace result dicts, in order.
         """
         import jax.numpy as jnp
 
+        if prefetch is None:
+            from .utils import probes
+
+            prefetch = probes.timetrace_prefetch()
         if "csv_path" in kwargs:
             raise TypeError(
                 "run_timetraces takes csv_paths (one per movie), "

@@ -417,8 +417,8 @@ def resolve_gather_strategy(strategy: str = "auto") -> str:
             raise ValueError("FSIA_GATHER must be 'gather' or 'onehot': " +
                              repr(env))
         return env
-    return ("onehot" if measured_mxu_tflops() >= ONEHOT_MIN_TFLOPS
-            else "gather")
+    from ..utils import probes
+    return probes.gather_strategy()
 
 
 def gather_patches_onehot(image, hs, ws, radius=2):

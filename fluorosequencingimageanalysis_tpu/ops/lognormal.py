@@ -135,7 +135,7 @@ def score_chunk_device(intensities, counts, seq_tab, log_fluor_means,
 
 def score_traces(intensities, categories, log_fluor_means, beta_sigma,
                  max_possible=5, allow_multidrop=True, allow_upsteps=False,
-                 max_deviation=3, chunk=32768, mesh=None):
+                 max_deviation=3, chunk=None, mesh=None):
     """Batched v8 scoring for T traces of F cycles each.
 
     intensities: (T, F) raw adjusted intensities (host array).
@@ -151,12 +151,16 @@ def score_traces(intensities, categories, log_fluor_means, beta_sigma,
     sweeps measured 69k traces/s at chunk=8192 scaling to ~185k at
     32768); ragged tails pad to power-of-two buckets so every call
     shape hits a compiled program, and all chunks are queued before any
-    result is fetched so the device pipelines them. 32768 is the
-    default: the one-time compile is absorbed by the persistent JAX
-    compile cache, while 65536 hangs the tunnel chip's compiler for
-    >9 minutes (same pathology class as DESIGN.md §14's CK 4096-row
-    crash) and is avoided.
+    result is fetched so the device pipelines them. chunk=None (default)
+    asks the backend probe registry: 65536 where _score_batch compiles
+    there, else 32768 (the bench chip's compiler hangs >9 minutes on
+    65536 — probed in a subprocess with a timeout, cached per backend;
+    DESIGN.md §8). Results are chunk-invariant.
     """
+    if chunk is None:
+        from ..utils import probes
+
+        chunk = probes.v8_chunk()
     if len(log_fluor_means) < max_possible:
         # Sequence values above len(log_fluor_means) would fall outside
         # the one-hot score range and contribute neither score nor

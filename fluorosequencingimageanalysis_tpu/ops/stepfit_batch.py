@@ -220,7 +220,7 @@ def _plateaus_from_mask(seq, mask):
 
 def stepfit_batched(photometries, mirror_start=0, chung_kennedy=0,
                     p_threshold=0.01, window_radius=6, mesh=None,
-                    chunk=2048):
+                    chunk=None):
     """Batched Trace.stepfit_photometries chain (flexlibrary.py:1380-1469)
     over an (N, T) array of trace photometries.
 
@@ -232,9 +232,15 @@ def stepfit_batched(photometries, mirror_start=0, chung_kennedy=0,
     dispatch is sharded over the mesh's first axis (pure data
     parallelism; all window math is within-row).
     chunk: row cap per device dispatch (power-of-two bucketed below it).
-    2048 compiles cleanly everywhere measured; 4096 crashed this
-    backend's compiler (DESIGN.md §14). Results are chunk-invariant.
+    None (default) asks the backend probe registry: 4096 where the fused
+    kernel compiles there, 2048 where it crashes the compiler (the bench
+    backend, DESIGN.md §14 — probed in a subprocess, cached per
+    backend). Results are chunk-invariant (CI-tested).
     """
+    if chunk is None:
+        from ..utils import probes
+
+        chunk = probes.stepfit_chunk()
     phot = np.asarray(photometries, dtype=np.float64)
     N, T0 = phot.shape
     if N == 0:

@@ -308,7 +308,7 @@ def simulate_and_fit_batched(sequence, labels, num_mocks, num_edmans,
                              num_simulations, beta, beta_sigma, seed=0,
                              ddif=None, max_possible=5, allow_multidrop=True,
                              allow_upsteps=False, max_deviation=3,
-                             chunk=32768, error_signals=True,
+                             chunk=None, error_signals=True,
                              fetch_intensities=False, **params):
     """Device-chained closure: simulate -> per-color photometries -> v8
     fit with ONE fetch round of small per-trace results.
@@ -337,6 +337,10 @@ def simulate_and_fit_batched(sequence, labels, num_mocks, num_edmans,
                                  sequence_table)
     from ..utils.dispatch import pow2_bucket
 
+    if chunk is None:
+        from ..utils import probes
+
+        chunk = probes.v8_chunk()
     if ddif is None or len(ddif) != max_possible + 2:
         # Same gate as the fit wrapper (photometries_lognormal_fit_v8 /
         # MCsimlib's v8): the quench array must cover counts 1..K+2.

@@ -1,0 +1,294 @@
+"""Measured per-backend probe registry for performance dispatch.
+
+Round 3 froze several A/B decisions to the bench chip's pathologies
+(stepfit chunk cap 2048, v8 scoring chunk 32768, timetrace prefetch off,
+XLA-gather patch extraction) with "re-measure before re-applying" notes.
+This registry replaces the frozen constants with MEASURED probes, cached
+on disk per backend fingerprint, so a production deployment gets the
+decisions for ITS hardware without reading a doc:
+
+- ``matmul_tflops``: one jitted f32/HIGHEST matmul (the gather-strategy
+  probe, ops/candidates.measured_mxu_tflops);
+- ``link_bandwidth_MBps`` / ``link_latency_s``: one 8 MB upload and the
+  median tiny-fetch round trip;
+- ``compile_ok(<kernel>@<shape>)``: can this backend's compiler build a
+  bigger-chunk program at all? Probed in a SUBPROCESS with a timeout —
+  the failure modes are a compiler SIGABRT (stepfit at 4096 rows on the
+  bench chip) and a >9-minute hang (v8 at 65536 rows), neither of which
+  may take the calling process down. A successful probe compile lands in
+  the persistent XLA cache, so production pays it once.
+
+Decisions (each cites the A/B that set its threshold):
+
+- ``gather_strategy()``: 'onehot' above 5 TFLOP/s measured (DESIGN 18);
+- ``stepfit_chunk()``: 4096 when the fused CK+sliding-t kernel compiles
+  there, else 2048 (DESIGN 14: 4096 SIGABRTs the bench backend);
+- ``v8_chunk()``: 65536 when _score_batch compiles there, else 32768
+  (DESIGN 8: 65536 hangs the bench compiler >9 min; throughput rises
+  with chunk size until then);
+- ``timetrace_prefetch()``: True on >= 400 MB/s links (DESIGN 16: on the
+  ~30-90 MB/s serial tunnel, prefetch contends with result fetches and
+  measured 15-30% SLOWER; on PCIe/local-HBM links it hides the movie
+  upload).
+
+Decisions NOT in the registry because the losing implementation was
+removed after its A/B: registration FFT pairing vs hoist (DESIGN 19 —
+XLA CSEs the duplicate FFTs, so the hoist can only lose) and sigma-clip
+masked reductions vs the prefix-sum form (DESIGN 19b). Both defaults
+are backend-independent no-regret choices, not tunnel-specific tuning.
+
+``FSIA_PROBES=off`` disables everything (conservative static defaults);
+``FSIA_PROBES=refresh`` re-measures, ignoring the disk cache. Probes are
+lazy: nothing runs until a decision is first requested.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+logger.addHandler(logging.NullHandler())
+
+_CACHE: dict = {}          # in-process memo {fingerprint: dict}
+
+_STEPFIT_BIG_CHUNK = 4096
+_STEPFIT_SAFE_CHUNK = 2048
+_V8_BIG_CHUNK = 65536
+_V8_SAFE_CHUNK = 32768
+_PREFETCH_MIN_MBPS = 400.0
+
+
+def _mode() -> str:
+    return os.environ.get("FSIA_PROBES", "").strip().lower()
+
+
+def backend_fingerprint() -> str:
+    """Stable id for the probe cache: platform + device kind + count."""
+    import jax
+
+    devs = jax.devices()
+    kind = devs[0].device_kind if devs else "none"
+    return f"{jax.default_backend()}-{kind}-{len(devs)}".replace(" ", "_")
+
+
+def _cache_path(fp: str) -> str:
+    d = os.path.join(os.path.expanduser("~"), ".cache", "fluoro_tpu_probes")
+    os.makedirs(d, exist_ok=True)
+    return os.path.join(d, fp + ".json")
+
+
+def _load(fp: str) -> dict:
+    if fp in _CACHE:
+        return _CACHE[fp]
+    data = {}
+    if _mode() != "refresh":
+        try:
+            with open(_cache_path(fp)) as fh:
+                data = json.load(fh)
+        except (OSError, ValueError):
+            data = {}
+    _CACHE[fp] = data
+    return data
+
+
+def _store(fp: str, data: dict) -> None:
+    _CACHE[fp] = data
+    try:
+        tmp = _cache_path(fp) + f".{os.getpid()}.tmp"
+        with open(tmp, "w") as fh:
+            json.dump(data, fh, indent=1, sort_keys=True)
+        os.replace(tmp, _cache_path(fp))
+    except OSError:  # read-only home: in-process memo still applies
+        pass
+
+
+def _probe(name: str, fn):
+    """Memoized probe: run fn() once per backend, persist the result."""
+    fp = backend_fingerprint()
+    data = _load(fp)
+    if name not in data:
+        value = fn()
+        data[name] = value
+        _store(fp, data)
+        logger.info("probe[%s] %s = %r", fp, name, value)
+    return data[name]
+
+
+# ---------------------------------------------------------------------------
+# raw probes
+# ---------------------------------------------------------------------------
+
+def matmul_tflops() -> float:
+    from ..ops.candidates import measured_mxu_tflops
+
+    return float(_probe("matmul_tflops", measured_mxu_tflops))
+
+
+def link_bandwidth_MBps() -> float:
+    def run():
+        import jax
+
+        host = np.zeros(8 * 1024 * 1024 // 2, np.uint16)  # 8 MB
+        best = float("inf")
+        for i in range(3):
+            t0 = time.perf_counter()
+            x = jax.device_put(host)
+            np.asarray(x[:1])
+            dt = time.perf_counter() - t0
+            if i:  # first round pays allocator warmup
+                best = min(best, dt)
+            del x
+        return 8.0 / best
+
+    return float(_probe("link_bandwidth_MBps", run))
+
+
+def link_latency_s() -> float:
+    def run():
+        import jax
+        import jax.numpy as jnp
+
+        x = jax.device_put(jnp.zeros((8,), jnp.float32))
+        np.asarray(x)  # warm
+        times = []
+        for _ in range(7):
+            t0 = time.perf_counter()
+            np.asarray(x + 0)
+            times.append(time.perf_counter() - t0)
+        return float(np.median(times))
+
+    return float(_probe("link_latency_s", run))
+
+
+_COMPILE_PROBES = {
+    # name -> python body run in a fresh subprocess; it must COMPILE the
+    # real kernel at the contested shape and print PROBE_OK.
+    "stepfit_compile_4096": """
+import numpy as np
+import jax.numpy as jnp
+from fluorosequencingimageanalysis_tpu.ops import stepfit_batch as sb
+x = jnp.asarray(np.zeros((4096, 128), np.float32))
+out = sb._ck_and_masks(x, window_lengths=(2, 4, 8, 16), window_radius=6,
+                       p_threshold=0.01)
+np.asarray(out[1][:1, :1])
+print("PROBE_OK")
+""",
+    "v8_compile_65536": """
+import numpy as np
+import jax.numpy as jnp
+from fluorosequencingimageanalysis_tpu.ops.lognormal import (
+    _score_batch, sequence_table)
+tab = jnp.asarray(sequence_table(12, 5, False))
+li = jnp.zeros((65536, 12), jnp.float32)
+ca = jnp.zeros((65536, 12), bool)
+out = _score_batch(li, ca, tab, jnp.zeros((5,), jnp.float32), 0.2, 3.0,
+                   True)
+np.asarray(out[0][:1])
+print("PROBE_OK")
+""",
+}
+
+
+def compile_ok(name: str, timeout_s: float = 240.0) -> bool:
+    """Subprocess compile-sanity probe (memoized per backend).
+
+    True iff the contested-shape program compiles AND runs within the
+    timeout in a child process. SIGABRT/timeout/any nonzero exit mean
+    False — the child absorbs compiler crashes the parent must survive.
+    """
+    body = _COMPILE_PROBES[name]
+
+    def run():
+        env = dict(os.environ)
+        repo = os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+        try:
+            proc = subprocess.run([sys.executable, "-c", body], env=env,
+                                  capture_output=True, text=True,
+                                  timeout=timeout_s)
+        except subprocess.TimeoutExpired:
+            logger.warning("compile probe %s timed out after %.0fs "
+                           "(treating the shape as uncompilable here)",
+                           name, timeout_s)
+            return False
+        ok = proc.returncode == 0 and "PROBE_OK" in proc.stdout
+        if not ok:
+            logger.warning("compile probe %s failed (rc=%s):\n%s", name,
+                           proc.returncode,
+                           (proc.stdout + proc.stderr)[-1500:])
+        return ok
+
+    return bool(_probe(name, run))
+
+
+# ---------------------------------------------------------------------------
+# decisions
+# ---------------------------------------------------------------------------
+
+def gather_strategy() -> str:
+    """'onehot' on full-speed MXU hardware, 'gather' elsewhere
+    (bit-exact either way — DESIGN 18)."""
+    from ..ops.candidates import ONEHOT_MIN_TFLOPS
+
+    if _mode() == "off":
+        return "gather"
+    return ("onehot" if matmul_tflops() >= ONEHOT_MIN_TFLOPS else "gather")
+
+
+def _is_cpu() -> bool:
+    import jax
+
+    return jax.default_backend() == "cpu"
+
+
+def stepfit_chunk() -> int:
+    """Row cap per fused CK+sliding-t dispatch. Results are
+    chunk-invariant (CI-tested), so this is pure performance dispatch.
+    The CPU backend keeps the safe default without probing — it is the
+    host-fallback platform, not a deployment target, and bigger chunks
+    only trade memory for nothing there."""
+    if _mode() == "off" or _is_cpu():
+        return _STEPFIT_SAFE_CHUNK
+    return (_STEPFIT_BIG_CHUNK if compile_ok("stepfit_compile_4096")
+            else _STEPFIT_SAFE_CHUNK)
+
+
+def v8_chunk() -> int:
+    """Trace rows per v8 scoring dispatch (throughput rises with chunk
+    size; results are chunk-invariant). CPU keeps the safe default — a
+    65536-row score matrix is ~1.6 GB of host scratch for no speedup."""
+    if _mode() == "off" or _is_cpu():
+        return _V8_SAFE_CHUNK
+    return (_V8_BIG_CHUNK if compile_ok("v8_compile_65536")
+            else _V8_SAFE_CHUNK)
+
+
+def timetrace_prefetch() -> bool:
+    """Upload-ahead for run_timetraces: wins on fast links, loses on
+    serial tunnels (DESIGN 16's measured A/B)."""
+    if _mode() == "off":
+        return False
+    return link_bandwidth_MBps() >= _PREFETCH_MIN_MBPS
+
+
+def snapshot() -> dict:
+    """All probe values + decisions (bench.py emits this next to
+    link_MBps so recorded runs carry their backend calibration)."""
+    return {
+        "fingerprint": backend_fingerprint(),
+        "matmul_tflops": round(matmul_tflops(), 3),
+        "link_bandwidth_MBps": round(link_bandwidth_MBps(), 1),
+        "link_latency_ms": round(link_latency_s() * 1e3, 2),
+        "gather_strategy": gather_strategy(),
+        "stepfit_chunk": stepfit_chunk(),
+        "v8_chunk": v8_chunk(),
+        "timetrace_prefetch": timetrace_prefetch(),
+    }

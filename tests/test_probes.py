@@ -1,0 +1,84 @@
+"""Backend probe registry (utils/probes): measured per-backend decisions
+replacing round-3's frozen A/B constants (VERDICT r3 item 5)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from fluorosequencingimageanalysis_tpu.utils import probes
+
+
+def test_snapshot_structure_and_caching(tmp_path, monkeypatch):
+    """snapshot() returns every probe + decision; values memoize to disk
+    under the backend fingerprint."""
+    monkeypatch.setenv("HOME", str(tmp_path))
+    probes._CACHE.clear()
+    snap = probes.snapshot()
+    for key in ("fingerprint", "matmul_tflops", "link_bandwidth_MBps",
+                "link_latency_ms", "gather_strategy", "stepfit_chunk",
+                "v8_chunk", "timetrace_prefetch"):
+        assert key in snap, key
+    path = probes._cache_path(probes.backend_fingerprint())
+    assert os.path.exists(path)
+    with open(path) as fh:
+        disk = json.load(fh)
+    assert disk["matmul_tflops"] == pytest.approx(snap["matmul_tflops"],
+                                                  abs=5e-4)
+    # Second call must come from the memo (no new measurement): poison
+    # the measuring function and require the cached value.
+    monkeypatch.setattr(probes, "_probe",
+                        lambda name, fn: probes._CACHE[
+                            probes.backend_fingerprint()][name])
+    assert probes.matmul_tflops() == pytest.approx(snap["matmul_tflops"],
+                                                   abs=5e-4)
+
+
+def test_cpu_backend_keeps_safe_chunks(monkeypatch):
+    """The CPU backend never probes big chunks (it is the host-fallback
+    platform; a 65536-row score matrix is ~1.6 GB of scratch there)."""
+    called = []
+    monkeypatch.setattr(probes, "compile_ok",
+                        lambda name, **kw: called.append(name) or True)
+    assert probes.stepfit_chunk() == 2048
+    assert probes.v8_chunk() == 32768
+    assert called == []
+
+
+def test_probes_off_mode(monkeypatch):
+    monkeypatch.setenv("FSIA_PROBES", "off")
+    assert probes.gather_strategy() == "gather"
+    assert probes.stepfit_chunk() == 2048
+    assert probes.v8_chunk() == 32768
+    assert probes.timetrace_prefetch() is False
+
+
+def test_decision_thresholds(monkeypatch):
+    """Decision logic against synthetic probe values (no device work)."""
+    monkeypatch.setattr(probes, "_is_cpu", lambda: False)
+    monkeypatch.setattr(probes, "matmul_tflops", lambda: 30.0)
+    assert probes.gather_strategy() == "onehot"
+    monkeypatch.setattr(probes, "matmul_tflops", lambda: 0.3)
+    assert probes.gather_strategy() == "gather"
+    monkeypatch.setattr(probes, "compile_ok", lambda name, **kw: True)
+    assert probes.stepfit_chunk() == 4096
+    assert probes.v8_chunk() == 65536
+    monkeypatch.setattr(probes, "compile_ok", lambda name, **kw: False)
+    assert probes.stepfit_chunk() == 2048
+    assert probes.v8_chunk() == 32768
+    monkeypatch.setattr(probes, "link_bandwidth_MBps", lambda: 900.0)
+    assert probes.timetrace_prefetch() is True
+    monkeypatch.setattr(probes, "link_bandwidth_MBps", lambda: 70.0)
+    assert probes.timetrace_prefetch() is False
+
+
+def test_compile_probe_subprocess_failure_is_contained(monkeypatch,
+                                                       tmp_path):
+    """A probe whose child crashes (the real failure mode: compiler
+    SIGABRT) must record False without taking the caller down."""
+    monkeypatch.setenv("HOME", str(tmp_path))
+    probes._CACHE.clear()
+    monkeypatch.setitem(probes._COMPILE_PROBES, "crashy",
+                        "import os; os.abort()")
+    assert probes.compile_ok("crashy", timeout_s=120) is False
