@@ -23,6 +23,91 @@ import numpy as np
 from scipy.optimize import least_squares
 
 
+class _LMResult:
+    def __init__(self, x, fun, jac, status, nfev):
+        self.x = x
+        self.fun = fun
+        self.jac = jac
+        self.status = status  # scipy convention: 1 gtol, 2 ftol, 3 xtol,
+        self.nfev = nfev      # 0 max iterations
+
+
+def _lm_maxstep(residuals, fd_jacobian, x0, lo, hi, maxstep,
+                ftol=1e-10, xtol=1e-10, gtol=1e-10, maxiter=200):
+    """Bounded Levenberg-Marquardt with mpfit's per-iteration step cap.
+
+    Used only when parinfo sets 'mpmaxstep' (the one parinfo key scipy's
+    TRF cannot express). Semantics follow mpfit's step handling
+    (/root/reference/agpy/mpfit/mpfit.py:1175-1231): compute the damped
+    step, shorten it (alpha) so no bound is crossed, then divide alpha by
+    max(|step_i| / maxstep_i) when that ratio exceeds 1 — every accepted
+    iteration moves each capped parameter by at most its mpmaxstep.
+    """
+    x = np.asarray(x0, float).copy()
+    f = residuals(x)
+    cost = float(np.sum(f ** 2))
+    lam = 1e-3
+    nfev = 1
+    status = 0
+    cap = np.where(maxstep > 0, maxstep, np.inf)
+    for _ in range(max(int(maxiter), 1)):
+        J = fd_jacobian(x)
+        g = J.T @ f
+        if np.max(np.abs(g), initial=0.0) < gtol:
+            status = 1
+            break
+        jtj = J.T @ J
+        diag = np.maximum(np.diagonal(jtj), 1e-300)
+        accepted = False
+        for _try in range(40):
+            try:
+                s = np.linalg.solve(jtj + lam * np.diag(diag), -g)
+            except np.linalg.LinAlgError:
+                lam *= 10.0
+                continue
+            # Bound clip: shorten to land exactly on the first-crossed
+            # limit (mpfit.py:1183-1202's alpha).
+            alpha = 1.0
+            nz = np.abs(s) > np.finfo(float).eps
+            low_hit = nz & (x + s < lo)
+            if low_hit.any():
+                alpha = min(alpha, np.min((lo[low_hit] - x[low_hit]) /
+                                          s[low_hit]))
+            hi_hit = nz & (x + s > hi)
+            if hi_hit.any():
+                alpha = min(alpha, np.min((hi[hi_hit] - x[hi_hit]) /
+                                          s[hi_hit]))
+            # mpmaxstep (mpfit.py:1205-1210): one global alpha rescale.
+            mrat = np.max(np.abs(alpha * s) / cap, initial=0.0)
+            if mrat > 1.0:
+                alpha = alpha / mrat
+            xn = np.clip(x + alpha * s, lo, hi)
+            fn = residuals(xn)
+            nfev += 1
+            costn = float(np.sum(fn ** 2))
+            if costn <= cost:
+                accepted = True
+                break
+            lam *= 10.0
+        if not accepted:
+            status = 3  # cannot improve within damping range
+            break
+        step = xn - x
+        x, f = xn, fn
+        lam = max(lam * 0.3, 1e-12)
+        if cost - costn <= ftol * max(cost, 1e-300):
+            cost = costn
+            status = 2
+            break
+        if np.max(np.abs(step), initial=0.0) <= \
+                xtol * max(np.max(np.abs(x), initial=0.0), 1e-300):
+            cost = costn
+            status = 3
+            break
+        cost = costn
+    return _LMResult(x, f, fd_jacobian(x), status, nfev)
+
+
 class mpfit:
     blas_enorm32 = None  # mpfit module-level artifacts some callers poke
     blas_enorm64 = None
@@ -71,17 +156,16 @@ class mpfit:
         steps = [float(s) for s in pinfo("step", 0.0)]
         relsteps = [float(s) for s in pinfo("relstep", 0.0)]
         mpsides = [int(s) for s in pinfo("mpside", 0)]
-        # 'mpmaxstep' (max parameter change per iteration, mpfit.py:966-982)
-        # constrains the optimizer's trust region per-parameter, which the
-        # scipy TRF backend cannot express. The reference pipeline never
-        # sets it (gaussfitter builds parinfo without it); refuse loudly
-        # rather than silently ignore.
-        if any(float(s) != 0.0 for s in pinfo("mpmaxstep", 0.0)):
-            raise NotImplementedError(
-                "parinfo['mpmaxstep'] is not supported by the scipy-backed "
-                "mpfit compatibility driver (the reference pipeline never "
-                "uses it; drive the batched ops.lm fitter for bounded "
-                "per-step control).")
+        # 'mpmaxstep' (max parameter change per iteration,
+        # mpfit.py:958-982, applied at :1205-1210: after the bound clip,
+        # alpha /= max(|step_i| / maxstep_i) whenever that ratio exceeds
+        # 1). scipy's TRF cannot express a per-iteration per-parameter
+        # hard cap, so when any mpmaxstep is set the fit runs through the
+        # small bounded-LM loop below (_lm_maxstep) instead — same
+        # callback/parinfo surface, steps provably capped, final params
+        # agreeing with the true vendored mpfit on the oracle tests.
+        maxsteps = [float(s) for s in pinfo("mpmaxstep", 0.0)]
+        use_maxstep = any(s != 0.0 for s in maxsteps)
 
         free_idx = [i for i in range(npar)
                     if not fixed[i] and not ptied[i].strip()]
@@ -171,12 +255,18 @@ class mpfit:
 
         x0 = np.clip(xall[free_idx], lo, hi)
         try:
-            sol = least_squares(residuals, x0, bounds=(lo, hi),
-                                method="trf", ftol=ftol, xtol=xtol,
-                                gtol=gtol,
-                                jac=fd_jacobian if use_custom_fd
-                                else "2-point",
-                                max_nfev=maxiter * (nfree + 1))
+            if use_maxstep:
+                ms_free = np.array([abs(maxsteps[i]) for i in free_idx])
+                sol = _lm_maxstep(residuals, fd_jacobian, x0, lo, hi,
+                                  ms_free, ftol=ftol, xtol=xtol, gtol=gtol,
+                                  maxiter=maxiter)
+            else:
+                sol = least_squares(residuals, x0, bounds=(lo, hi),
+                                    method="trf", ftol=ftol, xtol=xtol,
+                                    gtol=gtol,
+                                    jac=fd_jacobian if use_custom_fd
+                                    else "2-point",
+                                    max_nfev=maxiter * (nfree + 1))
         except Exception as e:  # pragma: no cover - defensive
             self.errmsg = "ERROR: " + str(e)
             self.status = 0

@@ -247,3 +247,66 @@ def test_mpfit_stall_cases_are_dominated():
     # The battery reliably triggers stalls; if it stops doing so the test
     # above silently loses its subject.
     assert n_stall >= 5, n_stall
+
+
+def _expdecay_fcn(p, fjac=None, x=None, y=None):
+    model = p[0] * np.exp(-x / p[1]) + p[2]
+    return [0, y - model]
+
+
+def test_mpmaxstep_matches_vendored_mpfit():
+    """parinfo['mpmaxstep'] (the round-3 caveat-starred hole): the compat
+    driver's capped-step LM must land on the same optimum as the TRUE
+    vendored mpfit given identical parinfo with a binding step cap."""
+    from fluorosequencingimageanalysis_tpu.mpfit_compat import mpfit as ours
+
+    rng = np.random.default_rng(0)
+    x = np.linspace(0.0, 10.0, 60)
+    true = (2500.0, 2.2, 400.0)
+    y = true[0] * np.exp(-x / true[1]) + true[2] + rng.normal(0, 4.0, x.size)
+    # Mildly-binding caps (several capped iterations, then free
+    # convergence): both drivers land on the identical optimum. Under
+    # SEVERELY binding caps the reference's trust-region delta collapses
+    # against the cap and it stalls below the optimum (status 5) — a
+    # reference pathology our LM does not reproduce (PARITY.md).
+    parinfo = [
+        {"value": 1800.0, "limited": [1, 0], "limits": [0.0, 0.0],
+         "mpmaxstep": 300.0},
+        {"value": 1.5, "limited": [1, 1], "limits": [0.1, 20.0],
+         "mpmaxstep": 0.5},
+        {"value": 300.0, "limited": [0, 0], "limits": [0.0, 0.0]},
+    ]
+    kw = {"x": x, "y": y}
+    ref = mpfit_oracle.mpfit(_expdecay_fcn, parinfo=[dict(p) for p in parinfo],
+                             functkw=kw, quiet=1)
+    got = ours(_expdecay_fcn, parinfo=[dict(p) for p in parinfo],
+               functkw=kw, quiet=1)
+    assert ref.status > 0 and got.status > 0, (ref.errmsg, got.errmsg)
+    np.testing.assert_allclose(got.params, ref.params, rtol=1e-4,
+                               atol=1e-2)
+    np.testing.assert_allclose(got.params, true, rtol=5e-2, atol=5.0)
+
+
+def test_mpmaxstep_caps_every_iteration():
+    """With a binding cap the fitted parameter cannot move farther than
+    niter * mpmaxstep from its start — observed via a recording fcn."""
+    from fluorosequencingimageanalysis_tpu.mpfit_compat import mpfit as ours
+
+    x = np.linspace(0.0, 10.0, 40)
+    y = 50.0 * x + 7.0
+    seen = []
+
+    def fcn(p, fjac=None):
+        seen.append(p.copy())
+        return [0, y - (p[0] * x + p[1])]
+
+    cap = 0.25
+    parinfo = [{"value": 0.0, "mpmaxstep": cap}, {"value": 0.0}]
+    got = ours(fcn, parinfo=parinfo, maxiter=12, quiet=1)
+    # Every ACCEPTED move of p[0] is <= cap (FD probe evaluations use
+    # tiny h and never exceed it either); total displacement is bounded
+    # by iterations * cap, so the far-away optimum is NOT reached.
+    diffs = np.abs(np.diff([p[0] for p in seen]))
+    assert diffs.max() <= cap + 1e-9
+    assert abs(got.params[0]) <= 12 * cap + 1e-9
+    assert abs(got.params[0] - 50.0) > 1.0  # the cap really bound
