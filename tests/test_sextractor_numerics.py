@@ -174,3 +174,59 @@ def test_background_two_pass_zoom_matches_single_pass():
                     grid_mode=True),
                (10.0, 1.0), order=3, mode="reflect", grid_mode=True)
     np.testing.assert_allclose(two, one, rtol=1e-6)
+
+
+def test_two_oracle_formulations_agree_per_box():
+    """The list-loop spec oracle and the astropy-structured masked-array
+    oracle (two independent derivations of the same upstream algorithm)
+    must agree box-for-box across random, crowded, tied-at-bound,
+    zero-variance and outlier-heavy boxes — the adversarial check
+    available where photutils itself cannot be installed or fetched
+    (VERDICT r3 item 7; divergences would expose a spec-derivation
+    error in one of them)."""
+    from photutils_oracle import (clip_box_masked, clip_box_scalar,
+                                  sextractor_mode_masked,
+                                  sextractor_mode_scalar)
+
+    rng = np.random.default_rng(21)
+    boxes = []
+    for _ in range(40):
+        n = int(rng.integers(4, 144))
+        box = rng.normal(rng.uniform(100, 1000), rng.uniform(1, 50), n)
+        if rng.random() < 0.5:  # heavy outliers (sources)
+            k = int(rng.integers(1, max(2, n // 4)))
+            box[:k] += rng.uniform(5, 50) * box.std() + 100
+        boxes.append(box)
+    boxes.append(np.full(25, 7.25))                      # zero variance
+    boxes.append(np.r_[np.full(20, 10.0), [10000.0]])    # single spike
+    # Values EXACTLY at the clip bound (inclusive on both sides).
+    base = np.r_[np.full(10, 0.0), np.full(10, 2.0)]
+    boxes.append(np.r_[base, [np.median(base) + 3 * np.std(base)]])
+    for bi, box in enumerate(boxes):
+        kept_a = sorted(clip_box_scalar(list(box)))
+        kept_b = sorted(clip_box_masked(box))
+        assert kept_a == pytest.approx(kept_b, abs=0.0), bi
+        ma = sextractor_mode_scalar(clip_box_scalar(list(box)))
+        mb = sextractor_mode_masked(clip_box_masked(box))
+        assert ma == pytest.approx(mb, abs=1e-12), bi
+
+
+def test_two_oracle_backgrounds_and_production_agree():
+    """Full background maps: both oracle formulations and the production
+    host stand-in agree on random fields with planted sources."""
+    from photutils_oracle import background_oracle, background_oracle_masked
+    from fluorosequencingimageanalysis_tpu.pipeline.spots import (
+        _mesh_background)
+
+    rng = np.random.default_rng(22)
+    for shape, box, filt in [((48, 64), 10, 3), ((40, 40), 8, 5)]:
+        img = rng.normal(500, 6, shape)
+        for _ in range(5):
+            h = rng.integers(6, shape[0] - 6)
+            w = rng.integers(6, shape[1] - 6)
+            img[h - 2:h + 3, w - 2:w + 3] += rng.uniform(2000, 5000)
+        a = background_oracle(img, box, filt)
+        b = background_oracle_masked(img, box, filt)
+        np.testing.assert_allclose(a, b, rtol=0, atol=1e-9)
+        c = _mesh_background(img, box, filt)
+        np.testing.assert_allclose(c, a, rtol=1e-7, atol=1e-6)
