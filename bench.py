@@ -1,7 +1,11 @@
 #!/usr/bin/env python
 """Benchmarks: the detect step AND the full experiment, per chip.
 
-Prints SEVEN JSON lines; the driver parses the LAST one (the headline):
+Prints one JSON line per metric; the driver parses the LAST one (the
+headline). Round 4 adds: backend_probes (the probe registry snapshot),
+transfer_ledger inside experiment_fields_per_sec (counted round trips),
+chisq_traces_per_sec (native Kerssemakers batch) and
+sim_fit_molecules_per_sec (device-chained simulate->fit closure).
 
   {"metric": "experiment_fields_per_sec", ...}        <- config 4 (full
       multi-field multi-cycle experiment: registration + detect/fit +
@@ -433,6 +437,43 @@ def bench_stepfit(N=4096, T=100, host_sample=24):
         host_chain(i)
     host_dt = (time.perf_counter() - t0) / host_sample
     return N / dt, 1.0 / host_dt, 1.0 / ref_dt
+
+
+def bench_chisq(N=2048, T=100, num_steps=10, host_sample=12):
+    """The batched Kerssemakers chi-squared fitter (native/chisqfit.cpp
+    via stepfitting.chi_squared_fit_batch) vs the per-trace host loop —
+    bit-equal per trace (tests/test_stepfit_batch.py). num_steps=10 is
+    the reference's save_stepfits_as_csv default for this method
+    (flexlibrary.py:3722). Returns (traces/s batched, traces/s host)."""
+    from fluorosequencingimageanalysis_tpu import stepfitting as sf
+
+    rng = np.random.default_rng(0)
+    traces = np.zeros((N, T))
+    for i in range(N):
+        nsteps = int(rng.integers(0, 4))
+        drops = np.sort(rng.choice(np.arange(4, T - 4), nsteps,
+                                   replace=False))
+        level = float(nsteps + 1)
+        tr = np.full(T, level)
+        for d in drops:
+            level -= 1.0
+            tr[d:] = level
+        traces[i] = tr * 2500 + rng.normal(0, 300, T)
+
+    sf.chi_squared_fit_batch(traces[:64], num_steps=num_steps)  # warm
+    dt = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        out = sf.chi_squared_fit_batch(traces, num_steps=num_steps)
+        dt = min(dt, time.perf_counter() - t0)
+    assert len(out) == N and all(len(f) >= 1 for f in out)
+
+    t0 = time.perf_counter()
+    for i in range(host_sample):
+        sf.chi_squared_step_fitter(tuple(float(v) for v in traces[i]),
+                                   num_steps=num_steps)
+    host_dt = (time.perf_counter() - t0) / host_sample
+    return N / dt, 1.0 / host_dt
 
 
 def make_movie(T=24, H=512, W=512, n_spots=800, seed=0, beta=2500.0):
@@ -901,6 +942,19 @@ def main():
         "vs_baseline": round(step_tps / step_ref_tps, 1),
         "vs_host_port": round(step_tps / step_host_tps, 1),
         "shape": "N=4096 T=100 (CK + sliding-t + refit + t-merge)",
+    }), flush=True)
+
+    # Kerssemakers chi-squared step fitter: the native batched core vs
+    # the per-trace host loop (stepfitting.chi_squared_step_fitter, the
+    # exact reference port). Host cost measured on a sample and scaled.
+    cs_tps, cs_host_tps = bench_chisq()
+    print(json.dumps({
+        "metric": "chisq_traces_per_sec",
+        "value": round(cs_tps, 1),
+        "unit": "traces/s",
+        "vs_baseline": round(cs_tps / cs_host_tps, 1),
+        "host_cores": __import__("os").cpu_count(),
+        "shape": "N=2048 T=100 num_steps=10 (best-fit/counter-fit chain)",
     }), flush=True)
 
     # Timetrace workflow: the movie front door end-to-end.
