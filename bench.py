@@ -380,10 +380,10 @@ def bench_stepfit(N=4096, T=100, host_sample=24):
 
     phot = make_step_traces(N, T)
     kw = dict(mirror_start=10, chung_kennedy=1, p_threshold=0.01)
-    # Warm at the full default dispatch-chunk shape so the timed run
+    # Warm at the full probed dispatch-chunk shape so the timed run
     # hits the compiled program.
-    import inspect
-    sf_chunk = inspect.signature(stepfit_batched).parameters["chunk"].default
+    from fluorosequencingimageanalysis_tpu.utils import probes
+    sf_chunk = probes.stepfit_chunk()
     stepfit_batched(phot[:min(sf_chunk, N)], **kw)
     dt = float("inf")
     for _ in range(3):  # best-of-3: filters tunnel-link interference

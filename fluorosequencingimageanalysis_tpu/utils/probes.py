@@ -174,7 +174,10 @@ _COMPILE_PROBES = {
 import numpy as np
 import jax.numpy as jnp
 from fluorosequencingimageanalysis_tpu.ops import stepfit_batch as sb
-x = jnp.asarray(np.zeros((4096, 128), np.float32))
+# (4096, 110): the bench workload's exact LANE-UNALIGNED shape — the one
+# that crashed the round-3 backend (a (4096, 128) aligned probe compiled
+# fine there, so aligned success does not predict the real program).
+x = jnp.asarray(np.zeros((4096, 110), np.float32))
 out = sb._ck_and_masks(x, window_lengths=(2, 4, 8, 16), window_radius=6,
                        p_threshold=0.01)
 np.asarray(out[1][:1, :1])
