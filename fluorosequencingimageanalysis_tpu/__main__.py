@@ -249,10 +249,39 @@ def _cmd_stepfit(args):
         phot = np.asarray([row[5] for row in rows], np.float64)
         meta = [(row[0], row[1], row[2], row[3]) for row in rows]
 
-    pipe = Pipeline(PipelineConfig(stepfit=StepfitConfig(
-        mirror_start=args.mirror_start, chung_kennedy=args.chung_kennedy,
-        p_threshold=args.p_threshold)), profile=args.profile)
-    results = pipe.stepfit(phot)
+    if getattr(args, "method", "t_test") == "chi_squared":
+        # The reference's chi_squared flow (flexlibrary.py:3756-3789):
+        # optional CK smoothing passes, the Kerssemakers fitter on the
+        # smoothed trace, refit on the RAW trace. mirror_start is
+        # unsupported with this method, with the reference's own error.
+        if args.mirror_start > 0:
+            raise SystemExit(
+                "chi_squared not supported with mirror_start because I'm "
+                "trying to get this thing to work asap.")
+        import jax.numpy as jnp
+
+        from . import stepfitting as sflib
+        from .ops.stepfit_batch import chung_kennedy_batch
+
+        work = phot
+        for _ in range(args.chung_kennedy):
+            work = np.asarray(chung_kennedy_batch(jnp.asarray(
+                work.astype(np.float32))), np.float64)
+        fits = sflib.chi_squared_fit_batch(
+            work, num_steps=args.num_steps,
+            min_step_length=args.min_step_length,
+            min_step_magnitude=args.min_step_magnitude,
+            ignore_counterfits=args.ignore_counterfits)
+        results = [
+            (tuple(phot[i]), tuple(work[i]), fits[i],
+             sflib.refit_plateaus(list(phot[i]), fits[i]))
+            for i in range(len(fits))
+        ]
+    else:
+        pipe = Pipeline(PipelineConfig(stepfit=StepfitConfig(
+            mirror_start=args.mirror_start, chung_kennedy=args.chung_kennedy,
+            p_threshold=args.p_threshold)), profile=args.profile)
+        results = pipe.stepfit(phot)
 
     os.makedirs(args.output_dir, exist_ok=True)
     csv_path = os.path.join(args.output_dir, args.csv)
@@ -663,6 +692,25 @@ def build_parser():
     sf.add_argument("--chung-kennedy", type=int, default=0,
                     help="number of Chung-Kennedy filter passes")
     sf.add_argument("--p-threshold", type=float, default=0.01)
+    sf.add_argument("--method", choices=["t_test", "chi_squared"],
+                    default="t_test",
+                    help="step-fit algorithm (the reference's "
+                         "save_stepfits_as_csv method choices, "
+                         "flexlibrary.py:3762): 't_test' = CK + "
+                         "sliding-t + refit + t-merge; 'chi_squared' = "
+                         "the Kerssemakers best-fit/counter-fit fitter "
+                         "(native batched core) + refit on the raw "
+                         "trace")
+    sf.add_argument("--num-steps", type=int, default=10,
+                    help="chi_squared: maximum steps to consider "
+                         "(reference default 10)")
+    sf.add_argument("--min-step-length", type=int, default=2,
+                    help="chi_squared: minimum plateau length in frames")
+    sf.add_argument("--min-step-magnitude", type=float, default=0.0,
+                    help="chi_squared: ignore steps smaller than this")
+    sf.add_argument("--ignore-counterfits", action="store_true",
+                    help="chi_squared: take the longest fit instead of "
+                         "the best step-indicator S")
     sf.add_argument("--profile", action="store_true")
     sf.set_defaults(func=_cmd_stepfit)
 

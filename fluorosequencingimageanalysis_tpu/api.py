@@ -1229,6 +1229,26 @@ class Pipeline:
                                    window_radius=sf.window_radius,
                                    mesh=self.mesh)
 
+    def chi_squared_stepfit(self, photometries, num_steps_multiplier=1,
+                            num_steps=None, min_step_length=2,
+                            min_step_magnitude=0.0,
+                            ignore_counterfits=False):
+        """Batched Kerssemakers chi-squared step fitting over an (N, T)
+        photometry array (the reference's alternative step-fit method,
+        stepfitting_library.py:342-505). Returns a list of N step fits
+        (plateau-triple lists), bit-equal per trace to
+        stepfitting.chi_squared_step_fitter; the native core threads the
+        batch (stepfitting.chi_squared_fit_batch)."""
+        from .stepfitting import chi_squared_fit_batch
+
+        with self._stage("api/chi_squared_stepfit"):
+            return chi_squared_fit_batch(
+                np.asarray(photometries, np.float64),
+                num_steps_multiplier=num_steps_multiplier,
+                num_steps=num_steps, min_step_length=min_step_length,
+                min_step_magnitude=min_step_magnitude,
+                ignore_counterfits=ignore_counterfits)
+
     # -- inference -----------------------------------------------------------
 
     def fluor_counts(self, tracks, beta, beta_sigma, quench_factors=None,

@@ -851,3 +851,57 @@ def test_module_cli_parameter_dicts(tmp_path, monkeypatch):
     rows_flag_m = run("out_e", ["--photometry-method", "simple"])
     assert rows_dict_m == rows_flag_m
     assert any(a[5:] != b[5:] for a, b in zip(rows_default, rows_dict_m))
+
+
+def test_module_cli_stepfit_chi_squared(tmp_path):
+    """`stepfit --method chi_squared`: the Kerssemakers batched fitter +
+    raw-trace refit (the reference's save_stepfits_as_csv chi_squared
+    flow, flexlibrary.py:3756-3789), with its mirror_start refusal."""
+    import contextlib
+    import io
+    import json as json_module
+
+    from fluorosequencingimageanalysis_tpu import stepfitting as sflib
+    from fluorosequencingimageanalysis_tpu.__main__ import main as cli_main
+
+    rng = np.random.default_rng(9)
+    T = 30
+    levels = np.where(np.arange(T) < 12, 50000.0,
+                      np.where(np.arange(T) < 22, 25000.0, 1000.0))
+    phot = levels[None] + rng.normal(0, 500.0, (5, T))
+    np.save(tmp_path / "traces.npy", phot)
+
+    outdir = tmp_path / "out"
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = cli_main(["stepfit", "--npy", str(tmp_path / "traces.npy"),
+                       "--output-dir", str(outdir),
+                       "--method", "chi_squared", "--num-steps", "6"])
+    assert rc == 0
+    info = json_module.loads(buf.getvalue())
+    assert info["traces"] == 5 and info["steps"] >= 5
+    with open(outdir / "step_fits.csv") as fh:
+        rows = list(csv.reader(fh))
+    assert len(rows) - 1 == 5 * T
+
+    # Plateau heights in the CSV equal the oracle chain per trace:
+    # chi_squared_step_fitter on the raw trace, then refit (CK passes 0).
+    for t in range(5):
+        fit = sflib.chi_squared_step_fitter(
+            tuple(float(v) for v in phot[t]), num_steps=6)
+        refit = sflib.refit_plateaus(list(phot[t]), fit)
+        heights = {}
+        for (start, stop, height) in refit:
+            for f in range(start, stop + 1):
+                heights[f] = height
+        for r in rows[1:]:
+            if int(r[0]) == t:
+                assert float(r[8]) == pytest.approx(heights[int(r[5])],
+                                                    rel=1e-12)
+
+    # mirror_start refusal (reference parity, flexlibrary.py:3764).
+    with pytest.raises(SystemExit) as exc:
+        cli_main(["stepfit", "--npy", str(tmp_path / "traces.npy"),
+                  "--output-dir", str(outdir), "--method", "chi_squared",
+                  "--mirror-start", "4"])
+    assert "chi_squared not supported with mirror_start" in str(exc.value)
