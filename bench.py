@@ -700,7 +700,7 @@ def bench_simulation(N=100_000, host_sample=3000):
 
     run_batched(N, seed=0)  # compile + warm at the timed shape
     dt = float("inf")
-    for rep in range(2):  # best-of-2: filters tunnel-link interference
+    for rep in range(3):  # best-of-3: filters tunnel-link interference
         t0 = time.perf_counter()
         out, counts = run_batched(N, seed=rep + 1)
         dt = min(dt, time.perf_counter() - t0)
@@ -750,7 +750,7 @@ def bench_sim_fit(N=100_000, host_sample=300):
 
     simulate_and_fit_batched(seq, labels, num_simulations=N, seed=0, **kw)
     dt = float("inf")
-    for rep in range(2):  # best-of-2: filters tunnel-link interference
+    for rep in range(3):  # best-of-3: filters tunnel-link interference
         t0 = time.perf_counter()
         out = simulate_and_fit_batched(seq, labels, num_simulations=N,
                                        seed=rep + 1, **kw)
@@ -957,14 +957,18 @@ def main():
         "shape": "N=2048 T=100 num_steps=10 (best-fit/counter-fit chain)",
     }), flush=True)
 
-    # Timetrace workflow: the movie front door end-to-end.
+    # Timetrace workflow: the movie front door end-to-end. The link is
+    # re-measured HERE: the tunnel's bandwidth swings several-fold
+    # between health phases, and this transfer-bound metric should carry
+    # the link state of its own moment, not the run's start.
+    tt_link = measure_link_bandwidth()
     tt_tps, tt_host_tps, tt_n = bench_timetrace()
     print(json.dumps({
         "metric": "timetrace_traces_per_sec",
         "value": round(tt_tps, 1),
         "unit": "traces/s",
         "vs_baseline": round(tt_tps / tt_host_tps, 1),
-        "link_MBps": round(link_mbps, 1),
+        "link_MBps": round(tt_link, 1),
         "shape": f"T=24 512x512 movie, {tt_n} traces "
                  "(detect + LC track + photometry + step fits)",
     }), flush=True)
