@@ -399,12 +399,15 @@ def test_mpfit_fd_step_semantics_vs_true_mpfit():
     np.testing.assert_allclose(ours.params, theirs.params, rtol=1e-5,
                                atol=1e-6)
 
-    # mpmaxstep is per-iteration trust-region control the scipy backend
-    # cannot express: refuse loudly (the reference pipeline never sets it).
-    import pytest as _pytest
-    with _pytest.raises(NotImplementedError):
-        mpfit(fcn, parinfo=[{"value": 1.0, "mpmaxstep": 0.5},
-                            {"value": 1.0}, {"value": 1.0}])
+    # mpmaxstep is SUPPORTED since round 4 (capped-step LM path,
+    # tests/test_mpfit_parity.py proves oracle agreement + per-iteration
+    # capping): a fit with it set must converge to the same optimum as
+    # the uncapped run when the cap is generous.
+    capped = mpfit(fcn, parinfo=[{"value": 1.0, "mpmaxstep": 50.0},
+                                 {"value": 1.0}, {"value": 1.0}])
+    assert capped.status > 0, capped.errmsg
+    np.testing.assert_allclose(capped.params, theirs.params, rtol=1e-4,
+                               atol=1e-4)
 
 
 def test_mpfitexpr():

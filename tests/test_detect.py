@@ -250,14 +250,16 @@ def test_gather_strategy_resolution_and_equality(monkeypatch):
     from fluorosequencingimageanalysis_tpu.models.detect import (
         detect_and_fit)
 
-    # Resolution: concrete passes through, auto consults the probe,
-    # env var overrides, junk rejected.
+    # Resolution: concrete passes through, auto consults the probe
+    # registry (utils/probes since round 4), env var overrides, junk
+    # rejected.
+    from fluorosequencingimageanalysis_tpu.utils import probes
+
     assert cand.resolve_gather_strategy("gather") == "gather"
     assert cand.resolve_gather_strategy("onehot") == "onehot"
-    monkeypatch.setitem(cand._MXU_TFLOPS, "fake", 50.0)
-    monkeypatch.setattr(cand.jax, "default_backend", lambda: "fake")
+    monkeypatch.setattr(probes, "matmul_tflops", lambda: 50.0)
     assert cand.resolve_gather_strategy("auto") == "onehot"
-    cand._MXU_TFLOPS["fake"] = 0.5
+    monkeypatch.setattr(probes, "matmul_tflops", lambda: 0.5)
     assert cand.resolve_gather_strategy("auto") == "gather"
     monkeypatch.setenv("FSIA_GATHER", "onehot")
     assert cand.resolve_gather_strategy("auto") == "onehot"
