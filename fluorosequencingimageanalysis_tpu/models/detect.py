@@ -158,7 +158,7 @@ def _fit_chunk_packed(images, hs, ws, valid, num_iters=60, theta_starts=1,
 def detect_and_fit_exhaustive(images, median_filter_size=5,
                               correlation_matrix=None, c_std=2.0,
                               r_2_threshold=0.7, consolidation_radius=4.0,
-                              chunk=2048, num_iters=60, use_pallas=None,
+                              chunk=None, num_iters=60, use_pallas=None,
                               gather_strategy="auto", max_chunks=64):
     """Uncapped detect + fit: EVERY above-threshold candidate is fitted,
     matching the reference's no-cap semantics (pflib.py:217-258) on
@@ -183,6 +183,14 @@ def detect_and_fit_exhaustive(images, median_filter_size=5,
 
     images_np = np.asarray(images) if not isinstance(images, jax.Array) \
         else images
+    if chunk is None:
+        # Probed per backend: 4096 where the single-image program
+        # compiles there (half the rounds), 2048 where it crashes the
+        # compiler (utils/probes.detect_chunk; results are chunk-size
+        # invariant, parity-tested).
+        from ..utils import probes
+
+        chunk = probes.detect_chunk()
     if use_pallas is None:
         use_pallas = jax.default_backend() in ("tpu", "axon")
     gather_strategy = resolve_gather_strategy(gather_strategy)

@@ -167,9 +167,20 @@ def link_latency_s() -> float:
     return float(_probe("link_latency_s", run))
 
 
+_PROBE_PRELUDE = """
+import numpy as np
+import jax, jax.numpy as jnp
+np.asarray(jax.device_put(jnp.ones((8,), jnp.float32)) + 1)
+print("PROBE_BACKEND_READY", flush=True)
+"""
+
 _COMPILE_PROBES = {
     # name -> python body run in a fresh subprocess; it must COMPILE the
-    # real kernel at the contested shape and print PROBE_OK.
+    # real kernel at the contested shape and print PROBE_OK. The shared
+    # prelude prints PROBE_BACKEND_READY once the child has a working
+    # device — a crash BEFORE that marker is an environment failure
+    # (e.g. losing the race for a single tunneled chip against the
+    # parent), not a verdict on the shape, and is never cached.
     "stepfit_compile_4096": """
 import numpy as np
 import jax.numpy as jnp
@@ -181,6 +192,26 @@ x = jnp.asarray(np.zeros((4096, 110), np.float32))
 out = sb._ck_and_masks(x, window_lengths=(2, 4, 8, 16), window_radius=6,
                        p_threshold=0.01)
 np.asarray(out[1][:1, :1])
+print("PROBE_OK")
+""",
+    "detect_compile_4096": """
+import numpy as np
+import jax.numpy as jnp
+from fluorosequencingimageanalysis_tpu.ops.candidates import (
+    candidate_maps_batch, extract_candidates_chunk)
+from fluorosequencingimageanalysis_tpu.models.detect import (
+    _fit_chunk_packed)
+# The exhaustive driver's ACTUAL per-chunk programs at 4096 (the
+# monolithic detect_and_fit_batch at 4096 crashes for its own reasons —
+# the K x K NMS is host-side on the chunked path and must not veto it).
+img = np.random.default_rng(0).normal(400, 8, (1, 512, 512))
+cms = candidate_maps_batch(jnp.asarray(img.astype(np.float32)),
+                           use_pallas=True)
+excluded = jnp.zeros((1, 512 * 512), bool)
+hs, ws, valid, rem, _ = extract_candidates_chunk(cms, excluded, 4096, 2.0)
+pack = _fit_chunk_packed(jnp.asarray(img.astype(np.float32)), hs, ws,
+                         valid, num_iters=60)
+np.asarray(pack[:1, :1, :1])
 print("PROBE_OK")
 """,
     "v8_compile_65536": """
@@ -203,33 +234,54 @@ def compile_ok(name: str, timeout_s: float = 240.0) -> bool:
     """Subprocess compile-sanity probe (memoized per backend).
 
     True iff the contested-shape program compiles AND runs within the
-    timeout in a child process. SIGABRT/timeout/any nonzero exit mean
-    False — the child absorbs compiler crashes the parent must survive.
+    timeout in a child process. The child absorbs compiler crashes the
+    parent must survive; three outcomes:
+
+    - PROBE_OK printed                     -> True, cached;
+    - backend came up (PROBE_BACKEND_READY) but the compile crashed or
+      timed out                            -> False, cached (a real
+      verdict on the shape);
+    - the child never got a device (e.g. lost the race for a single
+      tunneled chip against the parent)    -> False for THIS call, NOT
+      cached — the next process retries instead of freezing a transient
+      environment failure into the per-backend cache.
     """
-    body = _COMPILE_PROBES[name]
-
-    def run():
-        env = dict(os.environ)
-        repo = os.path.dirname(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))))
-        env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
-        try:
-            proc = subprocess.run([sys.executable, "-c", body], env=env,
-                                  capture_output=True, text=True,
-                                  timeout=timeout_s)
-        except subprocess.TimeoutExpired:
-            logger.warning("compile probe %s timed out after %.0fs "
-                           "(treating the shape as uncompilable here)",
-                           name, timeout_s)
-            return False
-        ok = proc.returncode == 0 and "PROBE_OK" in proc.stdout
+    fp = backend_fingerprint()
+    data = _load(fp)
+    if name in data:
+        return bool(data[name])
+    body = _PROBE_PRELUDE + _COMPILE_PROBES[name]
+    env = dict(os.environ)
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    ready = False
+    try:
+        proc = subprocess.run([sys.executable, "-c", body], env=env,
+                              capture_output=True, text=True,
+                              timeout=timeout_s)
+        out = proc.stdout
+        ready = "PROBE_BACKEND_READY" in out
+        ok = proc.returncode == 0 and "PROBE_OK" in out
         if not ok:
-            logger.warning("compile probe %s failed (rc=%s):\n%s", name,
-                           proc.returncode,
-                           (proc.stdout + proc.stderr)[-1500:])
-        return ok
-
-    return bool(_probe(name, run))
+            logger.warning("compile probe %s failed (rc=%s, ready=%s):\n%s",
+                           name, proc.returncode, ready,
+                           (out + proc.stderr)[-1500:])
+    except subprocess.TimeoutExpired as e:
+        ready = "PROBE_BACKEND_READY" in (
+            (e.stdout or b"").decode(errors="replace")
+            if isinstance(e.stdout, bytes) else (e.stdout or ""))
+        ok = False
+        logger.warning("compile probe %s timed out after %.0fs (ready=%s)",
+                       name, timeout_s, ready)
+    if ok or ready:
+        data[name] = bool(ok)
+        _store(fp, data)
+        logger.info("probe[%s] %s = %r", fp, name, bool(ok))
+        return bool(ok)
+    logger.warning("compile probe %s: child had no working device; "
+                   "using the safe default WITHOUT caching", name)
+    return False
 
 
 # ---------------------------------------------------------------------------
@@ -274,6 +326,24 @@ def v8_chunk() -> int:
             else _V8_SAFE_CHUNK)
 
 
+_DETECT_BIG_CHUNK = 4096
+_DETECT_SAFE_CHUNK = 2048
+
+
+def detect_chunk() -> int:
+    """Candidate-chunk size for the exhaustive detection driver
+    (models/detect.detect_and_fit_exhaustive): 4096 where the
+    single-image detect program compiles there (halves the extraction/
+    fit rounds per image), 2048 where it SIGABRTs (the bench backend —
+    models/detect docstrings, DESIGN 20). Chunked results are
+    chunk-size-invariant (parity-tested), so this is pure performance
+    dispatch."""
+    if _mode() == "off" or _is_cpu():
+        return _DETECT_SAFE_CHUNK
+    return (_DETECT_BIG_CHUNK if compile_ok("detect_compile_4096")
+            else _DETECT_SAFE_CHUNK)
+
+
 def timetrace_prefetch() -> bool:
     """Upload-ahead for run_timetraces: wins on fast links, loses on
     serial tunnels (DESIGN 16's measured A/B)."""
@@ -293,5 +363,6 @@ def snapshot() -> dict:
         "gather_strategy": gather_strategy(),
         "stepfit_chunk": stepfit_chunk(),
         "v8_chunk": v8_chunk(),
+        "detect_chunk": detect_chunk(),
         "timetrace_prefetch": timetrace_prefetch(),
     }

@@ -82,3 +82,22 @@ def test_compile_probe_subprocess_failure_is_contained(monkeypatch,
     monkeypatch.setitem(probes._COMPILE_PROBES, "crashy",
                         "import os; os.abort()")
     assert probes.compile_ok("crashy", timeout_s=120) is False
+
+
+def test_compile_probe_ready_marker_caching(monkeypatch, tmp_path):
+    """Ready-then-crash caches False (a real verdict on the shape); a
+    child that never gets a device is NOT cached (transient environment
+    failure — e.g. losing the single-tunneled-chip race)."""
+    monkeypatch.setenv("HOME", str(tmp_path))
+    probes._CACHE.clear()
+    monkeypatch.setattr(probes, "_PROBE_PRELUDE",
+                        "print('PROBE_BACKEND_READY')\n")
+    monkeypatch.setitem(probes._COMPILE_PROBES, "ready_crash",
+                        "import os; os.abort()")
+    assert probes.compile_ok("ready_crash", timeout_s=120) is False
+    assert probes._load(probes.backend_fingerprint())["ready_crash"] is False
+
+    monkeypatch.setattr(probes, "_PROBE_PRELUDE", "import os; os.abort()\n")
+    monkeypatch.setitem(probes._COMPILE_PROBES, "no_device", "pass")
+    assert probes.compile_ok("no_device", timeout_s=120) is False
+    assert "no_device" not in probes._load(probes.backend_fingerprint())
