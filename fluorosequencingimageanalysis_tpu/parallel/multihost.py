@@ -137,26 +137,30 @@ def _allgather_pickled(obj):
             for p in range(nproc)]
 
 
-def run_experiment(local_stack, csv_path=None, config=None, mesh=None,
+def run_experiment(local_stacks, csv_path=None, config=None, mesh=None,
                    max_candidates=None, max_spots=None, candidate_radius=2,
                    channel="ch1"):
-    """Whole-experiment multihost front door (single channel, the
-    basic_experiment_script configuration: interpolate=True, no
-    MDMA/averages/keep_invalid).
+    """Whole-experiment multihost front door (the basic_experiment_script
+    configuration: interpolate=True, no MDMA/averages/keep_invalid).
 
-    1. ONE sharded experiment step runs over the global mesh — every
-       process's locally-loaded ``[F_local, C, H, W]`` fields stay on its
-       own chips (:func:`run_experiment_step`);
+    ``local_stacks``: this process's ``[F_local, C, H, W]`` fields —
+    one array (channel name from ``channel``) or a dict
+    ``{channel: [F_local, C, H, W]}`` like ``Pipeline.run_experiment``.
+
+    1. ONE sharded experiment step per channel runs over the global
+       mesh — every process's locally-loaded fields stay on its own
+       chips (:func:`run_experiment_step`);
     2. the HOST layer (psfs-dict reconstruction, tracking, trace
        interpolation, photometry reuse + hole gathers) runs per process
        for its OWN fields — frames never cross DCN;
     3. the per-field row payloads allgather (kilobytes), so EVERY host
-       assembles the full row set in global field order and, when
-       ``csv_path`` is given, writes an identical track-photometries CSV
-       (the reference's output contract, flexlibrary.py:2755-2892).
+       assembles the full row set in channel order / global field order
+       and, when ``csv_path`` is given, writes an identical
+       track-photometries CSV (the reference's output contract,
+       flexlibrary.py:2755-2892).
 
     Byte-identical to a single-process ``Pipeline.run_experiment`` over
-    the concatenated stack when mesh shapes match — proven with real
+    the concatenated stacks when mesh shapes match — proven with real
     two-process execution in tests/test_multihost.py.
 
     Returns {rows, category_counts, filtered_category_counts, csv_path}.
@@ -165,9 +169,18 @@ def run_experiment(local_stack, csv_path=None, config=None, mesh=None,
     from ..pipeline.fast_experiment import (_spot_lists, flush_hole_queue,
                                             run_experiment_stack)
 
-    local = np.asarray(local_stack)
-    if local.ndim != 4:
-        raise ValueError("local_stack must be [F_local, C, H, W]")
+    if not isinstance(local_stacks, dict):
+        local_stacks = {channel: local_stacks}
+    local_stacks = {ch: np.asarray(s) for ch, s in local_stacks.items()}
+    for ch, s in local_stacks.items():
+        if s.ndim != 4:
+            raise ValueError(
+                f"channel {ch!r}: local stack must be [F_local, C, H, W]")
+    cycle_counts = {s.shape[1] for s in local_stacks.values()}
+    if len(cycle_counts) != 1:
+        raise ValueError("every channel must have the same cycle count "
+                         f"(got {sorted(cycle_counts)})")
+    n_cycles = cycle_counts.pop()
     pipe = Pipeline(config=config)
     det = pipe.config.detect
     reg = pipe.config.registration
@@ -189,40 +202,51 @@ def run_experiment(local_stack, csv_path=None, config=None, mesh=None,
     keys = ("offsets_h", "offsets_w", "spot_rh", "spot_rw", "spot_state",
             "spot_cand_c", "spot_overflow", "cand_count") + \
         (() if host_phot else ("photometry",))
-    gathered = run_experiment_step(local, mesh=mesh, gather=True,
-                                   keys=keys, **step_kwargs)
 
     pid = jax.process_index()
-    f_local = local.shape[0]
-    lo = pid * f_local
-    local_out = {k: v[lo:lo + f_local] for k, v in gathered.items()}
-    Fg, C, H, W = local.shape
-    rhs, rws, spot_values = _spot_lists(local_out, Fg, C, H, W,
-                                        with_values=not host_phot)
-    hole_queue = [] if not host_phot else None
-    per_field = run_experiment_stack(
-        local, local_out["offsets_h"], local_out["offsets_w"], (rhs, rws),
-        photometry_method=phot.method, photometry_radius=phot.radius,
-        photometry_brim=phot.brim_size, candidate_radius=candidate_radius,
-        spot_values=None if host_phot else spot_values,
-        aperture_radius=phot.aperture_radius, box_size=phot.box_size,
-        filter_size=phot.filter_size, hole_queue=hole_queue)
-    if hole_queue:
-        flush_hole_queue(hole_queue)
-    rows_local = []
-    for f, field_rows in enumerate(per_field):
-        for (cat, h0, w0, ph) in field_rows:
-            rows_local.append((channel, lo + f, h0, w0, cat, ph))
+    rows_local_by_ch = {}
+    n_fields_global = None
+    for ch, local in local_stacks.items():
+        gathered = run_experiment_step(local, mesh=mesh, gather=True,
+                                       keys=keys, **step_kwargs)
+        f_local = local.shape[0]
+        lo = pid * f_local
+        n_fields_global = f_local * jax.process_count()
+        local_out = {k: v[lo:lo + f_local] for k, v in gathered.items()}
+        Fg, C, H, W = local.shape
+        rhs, rws, spot_values = _spot_lists(local_out, Fg, C, H, W,
+                                            with_values=not host_phot)
+        hole_queue = [] if not host_phot else None
+        per_field = run_experiment_stack(
+            local, local_out["offsets_h"], local_out["offsets_w"],
+            (rhs, rws),
+            photometry_method=phot.method, photometry_radius=phot.radius,
+            photometry_brim=phot.brim_size,
+            candidate_radius=candidate_radius,
+            spot_values=None if host_phot else spot_values,
+            aperture_radius=phot.aperture_radius, box_size=phot.box_size,
+            filter_size=phot.filter_size, hole_queue=hole_queue)
+        if hole_queue:
+            flush_hole_queue(hole_queue)
+        ch_rows = []
+        for f, field_rows in enumerate(per_field):
+            for (cat, h0, w0, ph) in field_rows:
+                ch_rows.append((ch, lo + f, h0, w0, cat, ph))
+        rows_local_by_ch[ch] = ch_rows
 
+    # One allgather of the whole per-channel payload; rows assemble in
+    # channel order, then process (= global field) order — the same
+    # iteration Pipeline.run_experiment produces.
+    all_payloads = _allgather_pickled(rows_local_by_ch)
     rows = []
-    for proc_rows in _allgather_pickled(rows_local):
-        rows.extend(proc_rows)
-    n_fields_global = f_local * jax.process_count()
-    n_cycles = C
-    category_counts = {channel: {f: {} for f in range(n_fields_global)}}
-    for (_, f, h0, w0, cat, ph) in rows:
-        category_counts[channel][f].setdefault(cat, 0)
-        category_counts[channel][f][cat] += 1
+    for ch in local_stacks:
+        for proc_payload in all_payloads:
+            rows.extend(proc_payload[ch])
+    category_counts = {ch: {f: {} for f in range(n_fields_global)}
+                       for ch in local_stacks}
+    for (ch, f, h0, w0, cat, ph) in rows:
+        category_counts[ch][f].setdefault(cat, 0)
+        category_counts[ch][f][cat] += 1
     filtered = {ch: {f: {cat: n for cat, n in d.items()
                          if tuple(sorted(cat, reverse=True)) == cat}
                      for f, d in by_f.items()}

@@ -72,6 +72,14 @@ def main(argv):
                                        config=experiment_config())
         np.savez(out_path, n_rows=np.int64(len(res["rows"])))
         return
+    if mode == "experiment2ch":
+        # Two channels (the MultichannelSequenceExperiment surface):
+        # ch2 is the same fields at a different gain.
+        stacks = {"ch1": local, "ch2": local * np.float32(0.8)}
+        res = multihost.run_experiment(stacks, csv_path=out_path + ".csv",
+                                       config=experiment_config())
+        np.savez(out_path, n_rows=np.int64(len(res["rows"])))
+        return
     if mode == "zstack":
         # Frame axis over the global mesh; ragged local count (3 frames
         # per process against a 4-device share exercises the pad path).

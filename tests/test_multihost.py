@@ -132,6 +132,29 @@ def test_two_process_run_experiment_csv_byte_identical(tmp_path):
 
 
 @pytest.mark.slow
+def test_two_process_run_experiment_two_channels(tmp_path):
+    """Multi-channel multihost front door: dict-of-channels input, rows
+    in channel order then global field order, CSV byte-identical to the
+    single-process two-channel Pipeline.run_experiment."""
+    _run_workers(tmp_path, nproc=2, f_local=4, mode="experiment2ch")
+    csv0 = tmp_path / "worker_0_a0.npz.csv"
+    if not csv0.exists():
+        csv0 = tmp_path / "worker_0_a1.npz.csv"
+    b0 = csv0.read_bytes()
+
+    from multihost_worker import synthetic_stack, experiment_config
+    from fluorosequencingimageanalysis_tpu.api import Pipeline
+
+    full = synthetic_stack(F=8)
+    oracle_csv = tmp_path / "oracle2.csv"
+    Pipeline(config=experiment_config()).run_experiment(
+        {"ch1": full, "ch2": full * np.float32(0.8)},
+        csv_path=str(oracle_csv))
+    assert b0 == oracle_csv.read_bytes(), \
+        "two-channel multihost CSV differs from the single-process oracle"
+
+
+@pytest.mark.slow
 def test_two_process_zstack_and_timetrace_sharding(tmp_path):
     """run_zstack's background estimator and run_timetrace's LC tracker
     through the same two-process harness: frame / spot axes shard over
