@@ -981,6 +981,15 @@ class Pipeline:
 
         Arguments:
             movie: [T, H, W] array — one continuously-filmed field.
+            max_candidates: None (default) = EXHAUSTIVE detection — the
+                chunked driver fits every above-threshold candidate
+                (the reference's uncapped semantics, zero truncation at
+                any spot density). An integer caps a single-dispatch
+                bucket with a loud truncation warning on overflow.
+                (The BATCHED stack surfaces — run_stack/run_experiment/
+                run_zstack — keep integer buckets inside their one
+                compiled program; None means config.detect's bucket
+                there.)
             csv_path: if given, write the Trace#/Hcoord/Wcoord/Frame#/
                 Photometry [...] CSV there (include_step_fits /
                 include_intermediates add the reference's step-fit and
