@@ -974,12 +974,20 @@ def main():
     }), flush=True)
 
     # Config 5, simulation half: batched Monte-Carlo dye simulation.
+    # This line fetches the FULL per-molecule product (counts + both
+    # colors' intensities, ~13 MB) in its one overlapped round, so it is
+    # transfer-bound on the tunnel — the per-moment link measure rides
+    # along for context (the production closure flow never fetches the
+    # intensities; that is the sim_fit line below).
+    sim_link = measure_link_bandwidth()
     sim_mps, sim_host_mps = bench_simulation()
     print(json.dumps({
         "metric": "sim_molecules_per_sec",
         "value": round(sim_mps, 1),
         "unit": "molecules/s",
         "vs_baseline": round(sim_mps / sim_host_mps, 1),
+        "link_MBps": round(sim_link, 1),
+        "fetch_MB": 13.0,
         "shape": "N=1e5 molecules, 2-color 18-mer, 12 count cycles "
                  "(counts + photometries, CLI-default model)",
     }), flush=True)

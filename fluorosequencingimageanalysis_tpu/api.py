@@ -379,6 +379,14 @@ class Pipeline:
         frames upload raw and cast on device) or an already-device-
         resident jax.Array.
 
+        ``max_candidates``: None = config.detect's bucket (one compiled
+        program, loud truncation warning on overflow); an integer sets
+        the bucket; the string ``"exhaustive"`` fits EVERY above-
+        threshold candidate of every frame through the chunked driver
+        (models.detect.detect_and_fit_exhaustive — the reference's
+        uncapped semantics at any spot density; backgrounds still
+        estimate/subtract on device per pipelined group).
+
         Returns a dict of host numpy arrays — the SpotFindResult schema
         batched over frames: cand_h/cand_w [T, K] int32, params [T, K, 7],
         center_h/center_w/rmse/r2/s_n [T, K], keep/cand_valid [T, K] bool,
@@ -407,15 +415,18 @@ class Pipeline:
             # the same key-uniqueness precondition as find_peptides_batch
             # (models/detect.py) and would silently drop spots.
             raise ValueError("consolidation_radius must be at least 2")
-        mc = max_candidates if max_candidates is not None \
-            else det.max_candidates
+        exhaustive = max_candidates == "exhaustive"
+        mc = (det.max_candidates if (max_candidates is None or exhaustive)
+              else max_candidates)
         key = None
         if self.store is not None and not psfs:
             from .utils.checkpoint import content_key
             if stack_key is None:
                 stack_key = content_key(np.asarray(stack))
             key = content_key("run_zstack", stack_key, self.config.asdict(),
-                              box_size, filter_size, mc, return_background)
+                              box_size, filter_size,
+                              "exhaustive" if exhaustive else mc,
+                              return_background)
             if self.store.exists(key):
                 return self.store.load(key)
         T = stack.shape[0]
@@ -456,6 +467,15 @@ class Pipeline:
             background = stack_background_jit(
                 dev, box_size=box_size, filter_size=filter_size)
             subtracted = dev.astype(jnp.float32) - background
+            if exhaustive:
+                # Defer detection: the chunked exhaustive driver runs
+                # once over the whole subtracted stack below (uploads
+                # and background programs still pipeline per group).
+                fetch = {}
+                if return_background:
+                    fetch["background"] = background
+                    background.copy_to_host_async()
+                return n, fetch, subtracted
             res = detect_and_fit_batch(
                 subtracted,
                 median_filter_size=det.median_filter_size,
@@ -479,15 +499,37 @@ class Pipeline:
                 fetch["subtracted"] = subtracted
             for v in fetch.values():
                 v.copy_to_host_async()
-            return n, fetch
+            return n, fetch, None
 
         with self._stage("api/run_zstack"):
             pending = [_dispatch_group(stack[lo:min(lo + g, T)])
                        for lo in range(0, T, g)]
-            out = {k: np.concatenate(
-                       [np.asarray(fetch[k])[:n] for n, fetch in pending])
-                   for k in pending[0][1]}
-        warn_candidate_overflow(out["cand_count"], mc, "run_zstack")
+            if exhaustive:
+                from .models.detect import detect_and_fit_exhaustive
+
+                sub_all = jnp.concatenate(
+                    [sub[:n] for n, _, sub in pending], axis=0)
+                res = detect_and_fit_exhaustive(
+                    sub_all, median_filter_size=det.median_filter_size,
+                    c_std=float(det.c_std),
+                    r_2_threshold=float(det.r_2_threshold),
+                    consolidation_radius=float(det.consolidation_radius),
+                    num_iters=det.num_iters, use_pallas=bool(use_pallas),
+                    gather_strategy=gather_strategy)
+                out = dict(res._asdict())
+                for k in list(pending[0][1]):
+                    out[k] = np.concatenate(
+                        [np.asarray(fetch[k])[:n]
+                         for n, fetch, _ in pending])
+                if psfs:
+                    out["subtracted"] = np.asarray(sub_all)
+            else:
+                out = {k: np.concatenate(
+                           [np.asarray(fetch[k])[:n]
+                            for n, fetch, _ in pending])
+                       for k in pending[0][1]}
+        if not exhaustive:
+            warn_candidate_overflow(out["cand_count"], mc, "run_zstack")
         if psfs:
             sub = out.pop("subtracted")
             out["psfs"] = psfs_dicts_from_batch(

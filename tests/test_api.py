@@ -321,3 +321,38 @@ def test_run_timetrace_honors_config_photometry_min():
                                        include_step_fits=False,
                                        include_intermediates=False)
     assert (out2["photometries"] < floor).any()
+
+
+def test_run_zstack_exhaustive_matches_capped():
+    """run_zstack(max_candidates='exhaustive'): the chunked uncapped
+    driver over background-subtracted frames gives the same kept spots
+    and psfs dicts as a generous single-bucket run."""
+    import jax
+
+    from fluorosequencingimageanalysis_tpu.api import Pipeline
+
+    rng = np.random.default_rng(12)
+    H = W = 80
+    stack = rng.normal(500, 5, (3, H, W)).astype(np.float32)
+    yy, xx = np.indices((H, W)).astype(np.float32)
+    stack += 0.4 * xx
+    for t in range(3):
+        for _ in range(6):
+            h, w = rng.integers(10, H - 10, 2)
+            stack[t] += 3000 * np.exp(
+                -(((yy - h) ** 2) + ((xx - w) ** 2)) / (2 * 1.2 ** 2))
+    pipe = Pipeline()
+    a = pipe.run_zstack(stack, box_size=8, filter_size=3,
+                        max_candidates=512, psfs=True)
+    b = pipe.run_zstack(stack, box_size=8, filter_size=3,
+                        max_candidates="exhaustive", psfs=True)
+    np.testing.assert_array_equal(a["cand_count"], b["cand_count"])
+    for t in range(3):
+        ka = set(zip(np.asarray(a["cand_h"])[t][
+                        np.asarray(a["keep"])[t]].tolist(),
+                     np.asarray(a["cand_w"])[t][
+                        np.asarray(a["keep"])[t]].tolist()))
+        kb = set(zip(b["cand_h"][t][b["keep"][t]].tolist(),
+                     b["cand_w"][t][b["keep"][t]].tolist()))
+        assert ka == kb
+        assert set(a["psfs"][t]) == set(b["psfs"][t])
