@@ -504,3 +504,43 @@ def test_find_peptides_exhaustive_default_no_truncation(caplog):
     for key in psfs:
         np.testing.assert_allclose(psfs[key][:7], ref[key][:7],
                                    rtol=0, atol=1e-12)
+
+
+def test_exhaustive_chunked_randomized_sweep():
+    """Randomized differential sweep: across random field geometries,
+    spot densities and noise levels, the chunked exhaustive driver at a
+    FORCED small chunk equals the single-bucket program candidate for
+    candidate (keep masks, centers, quality), and covers every
+    candidate (count == bucket occupancy of the generous capped run)."""
+    from fluorosequencingimageanalysis_tpu.models.detect import (
+        detect_and_fit, detect_and_fit_exhaustive)
+
+    rng = np.random.default_rng(13)
+    for trial in range(6):
+        H = int(rng.integers(48, 112))
+        W = int(rng.integers(48, 112))
+        n_spots = int(rng.integers(3, 16))
+        noise = float(rng.uniform(4, 12))
+        img, _ = _synthetic_field(rng, shape=(H, W), n_spots=n_spots,
+                                  noise=noise)
+        img = img.astype(np.float32)
+        ref = detect_and_fit(img, max_candidates=1024, num_iters=20)
+        count = int(ref.cand_count)
+        chunk = max(16, count // 3)  # force >= 3 chunks
+        res = detect_and_fit_exhaustive(img[None], chunk=chunk,
+                                        num_iters=20, use_pallas=False,
+                                        gather_strategy="gather")
+        assert int(res.cand_count[0]) == count, trial
+        k_ref = np.asarray(ref.keep)
+        k_chk = res.keep[0]
+        ref_kept = {(int(h), int(w)): (float(ch), float(cw))
+                    for h, w, ch, cw in zip(
+                        np.asarray(ref.cand_h)[k_ref],
+                        np.asarray(ref.cand_w)[k_ref],
+                        np.asarray(ref.center_h)[k_ref],
+                        np.asarray(ref.center_w)[k_ref])}
+        chk_kept = {(int(h), int(w)): (float(ch), float(cw))
+                    for h, w, ch, cw in zip(
+                        res.cand_h[0][k_chk], res.cand_w[0][k_chk],
+                        res.center_h[0][k_chk], res.center_w[0][k_chk])}
+        assert ref_kept == chk_kept, (trial, H, W, n_spots)
