@@ -94,6 +94,11 @@ def _enable_persistent_compile_cache():
             jax.config.update("jax_compilation_cache_dir", cache_dir)
             jax.config.update(
                 "jax_persistent_cache_min_compile_time_secs", 0.5)
+            # Concurrent compiles of one shape are normal here (probe
+            # subprocesses, multi-process tests/benches); jax's stock
+            # cache write is torn-entry-prone (utils/jaxcache docstring).
+            from .utils.jaxcache import ensure_atomic_cache_writes
+            ensure_atomic_cache_writes()
         else:
             os.environ["JAX_COMPILATION_CACHE_DIR"] = cache_dir
             os.environ.setdefault(

@@ -19,6 +19,10 @@ it jits with static shapes; N here is the number of R^2-passing fits
 from __future__ import annotations
 
 import jax
+
+from ..utils.jaxcache import ensure_atomic_cache_writes
+
+ensure_atomic_cache_writes()  # see utils/jaxcache (torn-cache-entry hazard)
 import jax.numpy as jnp
 import numpy as np
 from jax import lax

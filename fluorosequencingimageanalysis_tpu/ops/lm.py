@@ -36,6 +36,10 @@ from __future__ import annotations
 import functools
 
 import jax
+
+from ..utils.jaxcache import ensure_atomic_cache_writes
+
+ensure_atomic_cache_writes()  # see utils/jaxcache (torn-cache-entry hazard)
 import jax.numpy as jnp
 from jax import lax
 

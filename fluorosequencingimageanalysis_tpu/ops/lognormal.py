@@ -27,6 +27,10 @@ import itertools
 import math
 
 import jax
+
+from ..utils.jaxcache import ensure_atomic_cache_writes
+
+ensure_atomic_cache_writes()  # see utils/jaxcache (torn-cache-entry hazard)
 import jax.numpy as jnp
 import numpy as np
 

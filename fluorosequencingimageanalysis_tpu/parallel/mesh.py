@@ -29,6 +29,10 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ..utils.jaxcache import ensure_atomic_cache_writes
+
+ensure_atomic_cache_writes()  # compiles happen below; see utils/jaxcache
+
 
 def make_mesh(n_devices=None, data_axis=None, model_axis=None):
     """Create a ('data', 'model') mesh over the available devices.

@@ -28,6 +28,10 @@ import functools
 import math
 
 import jax
+
+from ..utils.jaxcache import ensure_atomic_cache_writes
+
+ensure_atomic_cache_writes()  # see utils/jaxcache (torn-cache-entry hazard)
 import jax.numpy as jnp
 import numpy as np
 
