@@ -502,28 +502,70 @@ class Pipeline:
             return n, fetch, None
 
         with self._stage("api/run_zstack"):
-            pending = [_dispatch_group(stack[lo:min(lo + g, T)])
-                       for lo in range(0, T, g)]
             if exhaustive:
+                # One-ahead window: group k+1's upload + background
+                # dispatch while the chunked driver (which synchronizes
+                # on per-image candidate counts) runs on group k, so
+                # device residency stays at ~2 groups of frames instead
+                # of the whole subtracted stack (a 1000-frame stack
+                # would otherwise hold ~2x its size on device before
+                # detection even starts).
                 from .models.detect import detect_and_fit_exhaustive
 
-                sub_all = jnp.concatenate(
-                    [sub[:n] for n, _, sub in pending], axis=0)
-                res = detect_and_fit_exhaustive(
-                    sub_all, median_filter_size=det.median_filter_size,
-                    c_std=float(det.c_std),
-                    r_2_threshold=float(det.r_2_threshold),
-                    consolidation_radius=float(det.consolidation_radius),
-                    num_iters=det.num_iters, use_pallas=bool(use_pallas),
-                    gather_strategy=gather_strategy)
-                out = dict(res._asdict())
-                for k in list(pending[0][1]):
-                    out[k] = np.concatenate(
-                        [np.asarray(fetch[k])[:n]
-                         for n, fetch, _ in pending])
-                if psfs:
-                    out["subtracted"] = np.asarray(sub_all)
+                groups = [stack[lo:min(lo + g, T)]
+                          for lo in range(0, T, g)]
+                cur = _dispatch_group(groups[0])
+                parts = []
+                for gi in range(len(groups)):
+                    n, fetch, sub = cur
+                    if gi + 1 < len(groups):
+                        cur = _dispatch_group(groups[gi + 1])
+                    res = detect_and_fit_exhaustive(
+                        sub[:n], median_filter_size=det.median_filter_size,
+                        c_std=float(det.c_std),
+                        r_2_threshold=float(det.r_2_threshold),
+                        consolidation_radius=float(
+                            det.consolidation_radius),
+                        num_iters=det.num_iters,
+                        theta_starts=det.theta_starts,
+                        use_pallas=bool(use_pallas),
+                        gather_strategy=gather_strategy)
+                    extra = {k: np.asarray(v)[:n]
+                             for k, v in fetch.items()}
+                    if psfs:
+                        extra["subtracted"] = np.asarray(sub[:n])
+                    parts.append((res, extra))
+                # Per-group candidate widths differ (K = chunks * chunk);
+                # pad to the max before concatenating — pad entries are
+                # invalid/unkept, exactly like in-driver padding.
+                k_max = max(r.cand_h.shape[1] for r, _ in parts)
+
+                def _pad_k(a, fill):
+                    pad = k_max - a.shape[1]
+                    if pad == 0:
+                        return a
+                    width = [(0, 0), (0, pad)] + \
+                        [(0, 0)] * (a.ndim - 2)
+                    return np.pad(a, width, constant_values=fill)
+
+                fills = {"cand_h": 2, "cand_w": 2, "keep": False,
+                         "cand_valid": False}
+                out = {}
+                for key_name in parts[0][0]._fields:
+                    if key_name == "cand_count":
+                        out[key_name] = np.concatenate(
+                            [getattr(r, key_name) for r, _ in parts])
+                        continue
+                    out[key_name] = np.concatenate(
+                        [_pad_k(getattr(r, key_name),
+                                fills.get(key_name, 0))
+                         for r, _ in parts])
+                for key_name in parts[0][1]:
+                    out[key_name] = np.concatenate(
+                        [extra[key_name] for _, extra in parts])
             else:
+                pending = [_dispatch_group(stack[lo:min(lo + g, T)])
+                           for lo in range(0, T, g)]
                 out = {k: np.concatenate(
                            [np.asarray(fetch[k])[:n]
                             for n, fetch, _ in pending])

@@ -158,8 +158,9 @@ def _fit_chunk_packed(images, hs, ws, valid, num_iters=60, theta_starts=1,
 def detect_and_fit_exhaustive(images, median_filter_size=5,
                               correlation_matrix=None, c_std=2.0,
                               r_2_threshold=0.7, consolidation_radius=4.0,
-                              chunk=None, num_iters=60, use_pallas=None,
-                              gather_strategy="auto", max_chunks=64):
+                              chunk=None, num_iters=60, theta_starts=1,
+                              use_pallas=None, gather_strategy="auto",
+                              max_chunks=None):
     """Uncapped detect + fit: EVERY above-threshold candidate is fitted,
     matching the reference's no-cap semantics (pflib.py:217-258) on
     backends whose compiler cannot build a single big-bucket program.
@@ -172,6 +173,10 @@ def detect_and_fit_exhaustive(images, median_filter_size=5,
     quality-ranked NMS runs on HOST over the chunk union
     (ops.consolidate.consolidate_host — property-tested identical to the
     device fixpoint). Chunked == single-bucket parity is CI-tested.
+
+    ``max_chunks``: None (default) = truly unlimited — every candidate
+    is fitted no matter the density (the reference has no cap either);
+    an integer bounds the rounds with a loud truncation warning.
 
     Returns a batch SpotFindResult (leading B axis) as NUMPY arrays with
     K = n_chunks * chunk; ``cand_count`` is the per-image true count.
@@ -208,7 +213,7 @@ def detect_and_fit_exhaustive(images, median_filter_size=5,
         cms, excluded, chunk, float(c_std))
     counts = np.asarray(remaining)              # first call: TRUE counts
     n_chunks = max(1, -(-int(counts.max()) // chunk))
-    if n_chunks > max_chunks:
+    if max_chunks is not None and n_chunks > max_chunks:
         import logging
         logging.getLogger(__name__).warning(
             "detect_and_fit_exhaustive: %d candidates need %d chunks; "
@@ -223,6 +228,7 @@ def detect_and_fit_exhaustive(images, median_filter_size=5,
                 cms, excluded, chunk, float(c_std))
         pack = _fit_chunk_packed(imgs, hs, ws, valid,
                                  num_iters=num_iters,
+                                 theta_starts=theta_starts,
                                  gather_strategy=gather_strategy)
         pack.copy_to_host_async()
         packs.append(pack)
@@ -339,8 +345,6 @@ def find_peptides(image, median_filter_size=5, correlation_matrix=None,
             consolidation_radius=consolidation_radius,
             max_candidates=max_candidates, n_iter=N_iter, rng_seed=rng_seed)
     elif max_candidates is None:
-        if consolidation_radius < 2:
-            raise ValueError("consolidation_radius must be at least 2")
         res_b = detect_and_fit_exhaustive(
             img_dev[None], median_filter_size=median_filter_size,
             correlation_matrix=correlation_matrix, c_std=float(c_std),

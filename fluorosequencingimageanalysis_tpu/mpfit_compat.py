@@ -53,10 +53,25 @@ def _lm_maxstep(residuals, fd_jacobian, x0, lo, hi, maxstep,
     for _ in range(max(int(maxiter), 1)):
         J = fd_jacobian(x)
         g = J.T @ f
+        # Pegged parameters (mpfit.py:1072-1091): a parameter sitting ON
+        # a limit whose gradient points OUT of the feasible box gets its
+        # Jacobian column zeroed, so the solve optimizes the others
+        # instead of producing an outward step whose bound clip would
+        # shrink alpha to 0 — a zero step the cost test would "accept"
+        # and the ftol check would misreport as convergence.
+        pegl = x <= lo
+        pegh = x >= hi
+        out_l = pegl & (g > 0)   # step ~ -g would go below the limit
+        out_h = pegh & (g < 0)
+        Jm = J
+        if out_l.any() or out_h.any():
+            Jm = J.copy()
+            Jm[:, out_l | out_h] = 0.0
+            g = Jm.T @ f
         if np.max(np.abs(g), initial=0.0) < gtol:
             status = 1
             break
-        jtj = J.T @ J
+        jtj = Jm.T @ Jm
         diag = np.maximum(np.diagonal(jtj), 1e-300)
         accepted = False
         for _try in range(40):
@@ -65,6 +80,10 @@ def _lm_maxstep(residuals, fd_jacobian, x0, lo, hi, maxstep,
             except np.linalg.LinAlgError:
                 lam *= 10.0
                 continue
+            # Pegged-step clip (mpfit.py:1186-1190): a pegged parameter
+            # may only step back INTO the box.
+            s = np.where(pegl, np.maximum(s, 0.0), s)
+            s = np.where(pegh, np.minimum(s, 0.0), s)
             # Bound clip: shorten to land exactly on the first-crossed
             # limit (mpfit.py:1183-1202's alpha).
             alpha = 1.0
@@ -82,6 +101,12 @@ def _lm_maxstep(residuals, fd_jacobian, x0, lo, hi, maxstep,
             if mrat > 1.0:
                 alpha = alpha / mrat
             xn = np.clip(x + alpha * s, lo, hi)
+            if not np.any(xn != x):
+                # A zero step (everything pegged/capped away) is not
+                # progress — treat like a failed damping trial, not an
+                # accepted iterate that ftol would misread as converged.
+                lam *= 10.0
+                continue
             fn = residuals(xn)
             nfev += 1
             costn = float(np.sum(fn ** 2))

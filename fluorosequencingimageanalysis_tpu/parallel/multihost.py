@@ -206,9 +206,29 @@ def run_experiment(local_stacks, csv_path=None, config=None, mesh=None,
     pid = jax.process_index()
     rows_local_by_ch = {}
     n_fields_global = None
+    import logging
+
     for ch, local in local_stacks.items():
         gathered = run_experiment_step(local, mesh=mesh, gather=True,
                                        keys=keys, **step_kwargs)
+        # Bucket overflow must be LOUD here like in the single-process
+        # front door (api.run_experiment) — truncation would otherwise
+        # silently drop rows from the "byte-identical" CSV.
+        n_over = int(np.asarray(gathered["spot_overflow"]).sum())
+        if n_over:
+            logging.getLogger(__name__).warning(
+                "multihost.run_experiment[%s]: %d (field, cycle) images "
+                "overflowed the max_spots bucket — their lowest-R^2 "
+                "spots were dropped; raise max_spots for complete "
+                "tracking", ch, n_over)
+        n_cand_over = int((np.asarray(gathered["cand_count"]) > mc).sum())
+        if n_cand_over:
+            logging.getLogger(__name__).warning(
+                "multihost.run_experiment[%s]: %d (field, cycle) images "
+                "found more than max_candidates=%d peaks — the weakest-"
+                "correlation candidates were dropped; raise "
+                "max_candidates for exhaustive coverage", ch,
+                n_cand_over, mc)
         f_local = local.shape[0]
         lo = pid * f_local
         n_fields_global = f_local * jax.process_count()

@@ -57,6 +57,7 @@ logger = logging.getLogger(__name__)
 logger.addHandler(logging.NullHandler())
 
 _CACHE: dict = {}          # in-process memo {fingerprint: dict}
+_TRANSIENT_FAILED: set = set()  # (fingerprint, probe): no-device children
 
 _STEPFIT_BIG_CHUNK = 4096
 _STEPFIT_SAFE_CHUNK = 2048
@@ -250,6 +251,13 @@ def compile_ok(name: str, timeout_s: float = 240.0) -> bool:
     data = _load(fp)
     if name in data:
         return bool(data[name])
+    if (fp, name) in _TRANSIENT_FAILED:
+        # A no-device child outcome earlier THIS process: don't re-spawn
+        # a jax subprocess (seconds each, up to timeout_s on a hang) on
+        # every chunk-decision call — the condition (e.g. the parent
+        # holding a single tunneled chip) persists for the process
+        # lifetime. The next process retries fresh.
+        return False
     body = _PROBE_PRELUDE + _COMPILE_PROBES[name]
     env = dict(os.environ)
     repo = os.path.dirname(os.path.dirname(os.path.dirname(
@@ -280,7 +288,9 @@ def compile_ok(name: str, timeout_s: float = 240.0) -> bool:
         logger.info("probe[%s] %s = %r", fp, name, bool(ok))
         return bool(ok)
     logger.warning("compile probe %s: child had no working device; "
-                   "using the safe default WITHOUT caching", name)
+                   "using the safe default WITHOUT caching (memoized "
+                   "for this process only)", name)
+    _TRANSIENT_FAILED.add((fp, name))
     return False
 
 
@@ -346,8 +356,10 @@ def detect_chunk() -> int:
 
 def timetrace_prefetch() -> bool:
     """Upload-ahead for run_timetraces: wins on fast links, loses on
-    serial tunnels (DESIGN 16's measured A/B)."""
-    if _mode() == "off":
+    serial tunnels (DESIGN 16's measured A/B). CPU keeps the safe
+    default without probing — its "link" is a host memcpy, and
+    prefetch there only doubles peak movie memory."""
+    if _mode() == "off" or _is_cpu():
         return False
     return link_bandwidth_MBps() >= _PREFETCH_MIN_MBPS
 

@@ -310,3 +310,25 @@ def test_mpmaxstep_caps_every_iteration():
     assert diffs.max() <= cap + 1e-9
     assert abs(got.params[0]) <= 12 * cap + 1e-9
     assert abs(got.params[0] - 50.0) > 1.0  # the cap really bound
+
+
+def test_mpmaxstep_pegged_parameter_does_not_stall():
+    """Regression (round-4 review): a parameter starting ON its limit
+    with the step pointing outward must not collapse the whole step to
+    zero and fake convergence — the other parameters keep optimizing
+    (mpfit's pegged-column handling, mpfit.py:1072-1091)."""
+    from fluorosequencingimageanalysis_tpu.mpfit_compat import mpfit as ours
+
+    x = np.linspace(0, 10, 50)
+    y = 0.0 * np.exp(-(x - 5) ** 2) + 100.0
+
+    def fcn(p, fjac=None):
+        return [0, y - (p[0] * np.exp(-(x - 5) ** 2) + p[1])]
+
+    got = ours(fcn, parinfo=[
+        {"value": 0.0, "limited": [1, 0], "limits": [0.0, 0.0],
+         "mpmaxstep": 1.0},
+        {"value": 0.0}])
+    assert got.status > 0, got.errmsg
+    assert abs(got.params[1] - 100.0) < 1e-6, got.params
+    assert got.params[0] >= 0.0
