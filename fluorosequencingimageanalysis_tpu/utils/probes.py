@@ -247,6 +247,11 @@ def compile_ok(name: str, timeout_s: float = 240.0) -> bool:
       cached — the next process retries instead of freezing a transient
       environment failure into the per-backend cache.
     """
+    body = _PROBE_PRELUDE + _COMPILE_PROBES[name]
+    # Key the verdict by the probe BODY too: editing a probe (e.g.
+    # changing the contested shape) must invalidate the cached verdict.
+    import hashlib
+    name = f"{name}@{hashlib.sha1(body.encode()).hexdigest()[:8]}"
     fp = backend_fingerprint()
     data = _load(fp)
     if name in data:
@@ -258,7 +263,6 @@ def compile_ok(name: str, timeout_s: float = 240.0) -> bool:
         # holding a single tunneled chip) persists for the process
         # lifetime. The next process retries fresh.
         return False
-    body = _PROBE_PRELUDE + _COMPILE_PROBES[name]
     env = dict(os.environ)
     repo = os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))

@@ -95,9 +95,12 @@ def test_compile_probe_ready_marker_caching(monkeypatch, tmp_path):
     monkeypatch.setitem(probes._COMPILE_PROBES, "ready_crash",
                         "import os; os.abort()")
     assert probes.compile_ok("ready_crash", timeout_s=120) is False
-    assert probes._load(probes.backend_fingerprint())["ready_crash"] is False
+    cached = probes._load(probes.backend_fingerprint())
+    key = [k for k in cached if k.startswith("ready_crash@")]
+    assert key and cached[key[0]] is False
 
     monkeypatch.setattr(probes, "_PROBE_PRELUDE", "import os; os.abort()\n")
     monkeypatch.setitem(probes._COMPILE_PROBES, "no_device", "pass")
     assert probes.compile_ok("no_device", timeout_s=120) is False
-    assert "no_device" not in probes._load(probes.backend_fingerprint())
+    assert not any(k.startswith("no_device")
+                   for k in probes._load(probes.backend_fingerprint()))
