@@ -364,3 +364,42 @@ def test_chi_squared_fit_batch_validation():
     with pytest.raises(ValueError):
         sf.chi_squared_fit_batch(traces[:, :1])  # T < 2
     assert sf.chi_squared_fit_batch(np.zeros((0, 20))) == []
+
+
+def test_chi_squared_fit_batch_adversarial_tie_sweep():
+    """Randomized stress for the native Kerssemakers core's bit-parity
+    claim: heavily QUANTIZED traces (values rounded to a coarse grid)
+    force exact residual ties in the <=-last / <-first tie rules, and
+    random parameter draws hit the counter-fit constraints from many
+    geometries. Every trace must match the host oracle bit-for-bit."""
+    rng = np.random.default_rng(17)
+    for trial in range(10):
+        T = int(rng.integers(12, 80))
+        n = int(rng.integers(3, 9))
+        traces = np.zeros((n, T))
+        for i in range(n):
+            nsteps = int(rng.integers(0, min(5, T // 4)))
+            drops = np.sort(rng.choice(np.arange(2, T - 2), nsteps,
+                                       replace=False))
+            level = float(nsteps + 1)
+            tr = np.full(T, level)
+            for d in drops:
+                level -= 1.0
+                tr[d:] = level
+            tr = tr * 2000 + rng.normal(0, 400, T)
+            # Quantize to force exact ties in split residuals.
+            q = float(rng.choice([250.0, 500.0, 1000.0]))
+            traces[i] = np.round(tr / q) * q
+        kwargs = dict(
+            num_steps=int(rng.integers(2, min(10, T - 2))),
+            min_step_length=int(rng.integers(0, 4)),
+            min_step_magnitude=float(rng.choice([0.0, 300.0, 900.0])),
+            ignore_counterfits=bool(rng.integers(0, 2)))
+        batch = sf.chi_squared_fit_batch(traces, **kwargs)
+        for i in range(n):
+            oracle = sf.chi_squared_step_fitter(
+                tuple(float(v) for v in traces[i]), **kwargs)
+            assert len(batch[i]) == len(oracle), (trial, i, kwargs)
+            for a, b in zip(batch[i], oracle):
+                assert a[0] == b[0] and a[1] == b[1] and a[2] == b[2], \
+                    (trial, i, kwargs, a, b)
