@@ -24,8 +24,10 @@ Decisions (each cites the A/B that set its threshold):
 - ``stepfit_chunk()``: 4096 when the fused CK+sliding-t kernel compiles
   there, else 2048 (DESIGN 14: 4096 SIGABRTs the bench backend);
 - ``v8_chunk()``: 65536 when _score_batch compiles there, else 32768
-  (DESIGN 8: 65536 hangs the bench compiler >9 min; throughput rises
-  with chunk size until then);
+  (DESIGN 8: an earlier backend phase hung >9 min on the 65536 compile;
+  throughput rises with chunk size);
+- ``detect_chunk()``: 4096 when the exhaustive driver's chunked
+  extraction/fit programs compile there, else 2048 (DESIGN 20);
 - ``timetrace_prefetch()``: True on >= 400 MB/s links (DESIGN 16: on the
   ~30-90 MB/s serial tunnel, prefetch contends with result fetches and
   measured 15-30% SLOWER; on PCIe/local-HBM links it hides the movie
