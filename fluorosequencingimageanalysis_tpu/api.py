@@ -1004,32 +1004,13 @@ class Pipeline:
                         for c in chans)
                 for f in range(n_fields)]
             rows = [r for r in rows if invalid_fields_mask[r[1]]]
-        filtered = {ch: {f: {cat: n for cat, n in d.items()
-                             if tuple(sorted(cat, reverse=True)) == cat}
-                         for f, d in by_f.items()}
-                    for ch, by_f in category_counts.items()}
+        from .pipeline.fast_experiment import (filter_monotone_categories,
+                                               write_track_rows_csv)
+
+        filtered = filter_monotone_categories(category_counts)
         if csv_path is not None:
-            import csv as csv_module
-            with open(csv_path, "w", newline="") as fh:
-                writer = csv_module.writer(fh, dialect="excel")
-                if save_averages:
-                    writer.writerow(["CHANNEL", "FIELD", "H", "W",
-                                     "CATEGORY", "AVERAGE_INTENSITY"])
-                    for (channel, f, h0, w0, cat, mean) in rows:
-                        writer.writerow([str(channel), str(f), str(h0),
-                                         str(w0), str(cat), str(mean)])
-                else:
-                    writer.writerow(
-                        ["CHANNEL", "FIELD", "H", "W", "CATEGORY"] +
-                        ["FRAME " + str(i) for i in range(n_cycles)])
-                    for (channel, f, h0, w0, cat, ph) in rows:
-                        # None photometries (keep_invalid's None Spots)
-                        # write '0' like the reference's row builder
-                        # (flexlibrary.py:2884-2886).
-                        writer.writerow([str(channel), str(f), str(h0),
-                                         str(w0), str(cat)] +
-                                        [str(v) if v is not None else "0"
-                                         for v in ph])
+            write_track_rows_csv(rows, n_cycles, csv_path,
+                                 save_averages=save_averages)
         if category_csv_path is not None:
             from .pipeline.experiment import write_category_counts_csv
             to_save = filtered if category_csv_filtered else category_counts
@@ -1065,11 +1046,14 @@ class Pipeline:
 
         Arguments:
             movie: [T, H, W] array — one continuously-filmed field.
-            max_candidates: None (default) = EXHAUSTIVE detection — the
-                chunked driver fits every above-threshold candidate
-                (the reference's uncapped semantics, zero truncation at
-                any spot density). An integer caps a single-dispatch
-                bucket with a loud truncation warning on overflow.
+            max_candidates: None (default) defers to
+                config.detect.single_field_cap — itself None by default,
+                meaning EXHAUSTIVE detection: the chunked driver fits
+                every above-threshold candidate (the reference's
+                uncapped semantics, zero truncation at any spot
+                density). An integer (per-call or via the config field)
+                caps a single-dispatch bucket with a loud truncation
+                warning on overflow.
                 (The BATCHED stack surfaces — run_stack/run_experiment/
                 run_zstack — keep integer buckets inside their one
                 compiled program; None means config.detect's bucket
@@ -1134,15 +1118,18 @@ class Pipeline:
             # Lean arrays path: the psfs-dict key semantics without the
             # sub/fit-image materialization (one dispatch + one fetch —
             # find_peptides costs ~3x more per image on remote links).
-            # max_candidates=None -> EXHAUSTIVE chunked detect (the
-            # reference's uncapped semantics, zero truncation at any
-            # candidate count); an int caps the single-dispatch bucket.
+            # max_candidates=None defers to config.detect.single_field_cap
+            # (default None = EXHAUSTIVE chunked detect — the reference's
+            # uncapped semantics, zero truncation at any candidate
+            # count); an int (per-call or config) caps the
+            # single-dispatch bucket.
             h0, w0, fits, _count = find_peptide_centers(
                 movie0_dev,
                 median_filter_size=det.median_filter_size, c_std=det.c_std,
                 r_2_threshold=det.r_2_threshold,
                 consolidation_radius=det.consolidation_radius,
-                max_candidates=max_candidates,
+                max_candidates=(max_candidates if max_candidates is not None
+                                else det.single_field_cap),
                 num_iters=det.num_iters,
                 gather_strategy=self._gather_strategy())
         if len(h0) == 0:

@@ -42,6 +42,12 @@ class DetectConfig:
     r_2_threshold: float = 0.7
     consolidation_radius: float = 4.0
     max_candidates: int = 1024
+    # Cap for the SINGLE-FIELD surfaces (run_timetrace's first-frame
+    # detect): None = exhaustive chunked detection, the reference's
+    # uncapped semantics (pflib.py:217-258). max_candidates above stays
+    # the [K] bucket of the batched stack programs (run_stack /
+    # run_experiment / run_zstack), which compile one fixed shape.
+    single_field_cap: int | None = None
     num_iters: int = 60
     use_pallas: bool | None = None
     # 2 adds a theta0=90 restart covering optima across the 0/360

@@ -46,8 +46,15 @@ def _prototypes(lib):
 _NATIVE = NativeLib(
     os.path.join(_HERE, "stepchain.cpp"),
     os.path.join(_HERE, "_stepchain.so"), _prototypes,
-    flag_sets=(["-O3", "-march=native", "-pthread"], ["-O3", "-pthread"],
-               ["-O2", "-pthread"]))
+    # -ffp-contract=off: GCC at -O3 contracts a*b+c accumulations into
+    # FMAs (verified: vfmadd emitted for the residual loops), whose
+    # single-rounding results differ in the last ulp from the
+    # Python float semantics this core promises bit-parity with —
+    # near-tied comparisons could then diverge, machine-dependently.
+    flag_sets=(["-O3", "-march=native", "-ffp-contract=off",
+                "-pthread"],
+               ["-O3", "-ffp-contract=off", "-pthread"],
+               ["-O2", "-ffp-contract=off", "-pthread"]))
 
 
 def _load():

@@ -128,8 +128,18 @@ def score_chunk_device(intensities, counts, seq_tab, log_fluor_means,
     MCsimlib.py:5423) and the category derivation (count != 0) run on
     device so the (N, F) intensities never cross the host link — only
     the per-trace winners do. Same _score_batch math as score_traces'
-    host path; closure equality with the two-step path is pinned in
-    tests/test_closure_full_stack.py."""
+    host path.
+
+    Precision boundary (documented, not hidden): the host path logs in
+    float64 and casts to f32; this path logs in f32 on device. The two
+    can differ by an ulp, so a trace whose two best sequence hypotheses
+    score within ~1 ulp could flip winners between the chained and
+    two-step paths — a measure-zero event for lognormal data
+    (beta_sigma >= 0.1 separates hypotheses by many ulps). Closure
+    equality with the two-step path is pinned at fixed seeds in
+    tests/test_sim.py / test_closure_full_stack.py; on TPU hardware an
+    isolated near-tie flip would change which of two
+    equally-well-scoring signals a single molecule reports."""
     cats = counts != 0
     log_int = jnp.where(intensities > 0, jnp.log(intensities),
                         -10000.0).astype(jnp.float32)

@@ -181,6 +181,14 @@ def run_experiment(local_stacks, csv_path=None, config=None, mesh=None,
         raise ValueError("every channel must have the same cycle count "
                          f"(got {sorted(cycle_counts)})")
     n_cycles = cycle_counts.pop()
+    field_counts = {s.shape[0] for s in local_stacks.values()}
+    if len(field_counts) != 1:
+        # The global field indexing below (lo = pid * f_local and the
+        # category_counts field range) assumes ONE local field count
+        # across channels; a mismatch would mis-index rows after all the
+        # device work completed.
+        raise ValueError("every channel must have the same local field "
+                         f"count (got {sorted(field_counts)})")
     pipe = Pipeline(config=config)
     det = pipe.config.detect
     reg = pipe.config.registration
@@ -267,21 +275,14 @@ def run_experiment(local_stacks, csv_path=None, config=None, mesh=None,
     for (ch, f, h0, w0, cat, ph) in rows:
         category_counts[ch][f].setdefault(cat, 0)
         category_counts[ch][f][cat] += 1
-    filtered = {ch: {f: {cat: n for cat, n in d.items()
-                         if tuple(sorted(cat, reverse=True)) == cat}
-                     for f, d in by_f.items()}
-                for ch, by_f in category_counts.items()}
+    from ..pipeline.fast_experiment import (filter_monotone_categories,
+                                            write_track_rows_csv)
+
+    filtered = filter_monotone_categories(category_counts)
     if csv_path is not None:
-        import csv as csv_module
-        with open(csv_path, "w", newline="") as fh:
-            writer = csv_module.writer(fh, dialect="excel")
-            writer.writerow(["CHANNEL", "FIELD", "H", "W", "CATEGORY"] +
-                            ["FRAME " + str(i) for i in range(n_cycles)])
-            for (ch, f, h0, w0, cat, ph) in rows:
-                writer.writerow([str(ch), str(f), str(h0), str(w0),
-                                 str(cat)] +
-                                [str(v) if v is not None else "0"
-                                 for v in ph])
+        # The SAME writer as api.run_experiment — byte-identity between
+        # the multihost and single-process CSVs holds by construction.
+        write_track_rows_csv(rows, n_cycles, csv_path)
     return {"rows": rows, "category_counts": category_counts,
             "filtered_category_counts": filtered, "csv_path": csv_path}
 

@@ -807,3 +807,44 @@ def _rows_by_field(pos, cats, phot, field_sizes, F):
         out.append(rows)
         start = stop
     return out
+
+
+def filter_monotone_categories(category_counts):
+    """One-drop monotone category filter over {channel: {field: {cat:
+    n}}} — tuple(sorted(cat, reverse=True)) == cat, the reference's
+    count_binary_trace_categories_filtered rule
+    (flexlibrary.py:2894-2946). Shared by the single-process and
+    multihost front doors so the rule cannot drift between them."""
+    return {ch: {f: {cat: n for cat, n in d.items()
+                     if tuple(sorted(cat, reverse=True)) == cat}
+                 for f, d in by_f.items()}
+            for ch, by_f in category_counts.items()}
+
+
+def write_track_rows_csv(rows, n_cycles, csv_path, save_averages=False):
+    """The track-photometries CSV writer over assembled row tuples
+    (channel, field, h, w, category, photometries-or-mean) — the
+    reference's CHANNEL,FIELD,H,W,CATEGORY[,FRAME i...] schema
+    (flexlibrary.py:2755-2892; None photometries write '0' like its row
+    builder, :2884-2886). ONE definition shared by api.run_experiment
+    and parallel/multihost.run_experiment: the multihost CSV's
+    byte-identity contract with the single-process writer holds by
+    construction."""
+    import csv as csv_module
+
+    with open(csv_path, "w", newline="") as fh:
+        writer = csv_module.writer(fh, dialect="excel")
+        if save_averages:
+            writer.writerow(["CHANNEL", "FIELD", "H", "W", "CATEGORY",
+                             "AVERAGE_INTENSITY"])
+            for (channel, f, h0, w0, cat, mean) in rows:
+                writer.writerow([str(channel), str(f), str(h0), str(w0),
+                                 str(cat), str(mean)])
+            return
+        writer.writerow(["CHANNEL", "FIELD", "H", "W", "CATEGORY"] +
+                        ["FRAME " + str(i) for i in range(n_cycles)])
+        for (channel, f, h0, w0, cat, ph) in rows:
+            writer.writerow([str(channel), str(f), str(h0), str(w0),
+                             str(cat)] +
+                            [str(v) if v is not None else "0"
+                             for v in ph])

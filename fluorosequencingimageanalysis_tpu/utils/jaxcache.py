@@ -46,12 +46,21 @@ def ensure_atomic_cache_writes() -> None:
         if getattr(cls, "_fluoro_atomic_put", False):
             _APPLIED = True
             return
-        # The patch reimplements put() against these internals; if any
-        # is missing in a future jax, leave jax stock rather than guess.
-        for attr in ("path", "eviction_enabled", "_evict_if_needed"):
-            if not (hasattr(cls, attr) or attr in ("path",
-                                                   "eviction_enabled")):
-                raise AttributeError(attr)
+        # The patch reimplements put() against jax's current internals.
+        # Verify the ORIGINAL put still looks like the function being
+        # replaced (the bare non-atomic write and every attribute the
+        # reimplementation touches); any drift in a future jax — a
+        # rename, or an upstream fix making the write atomic — leaves
+        # jax stock instead of installing a stale reimplementation.
+        import inspect
+
+        orig_src = inspect.getsource(cls.put)
+        for needle in ("cache_path.write_bytes(val)", "self.path",
+                       "self.eviction_enabled", "self._evict_if_needed",
+                       "self.lock", "self.max_size"):
+            if needle not in orig_src:
+                raise AttributeError(
+                    f"jax LRUCache.put drifted (missing {needle!r})")
         suffix = _lru._CACHE_SUFFIX
         atime_suffix = _lru._ATIME_SUFFIX
         import time

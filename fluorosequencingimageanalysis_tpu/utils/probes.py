@@ -208,8 +208,13 @@ from fluorosequencingimageanalysis_tpu.models.detect import (
 # monolithic detect_and_fit_batch at 4096 crashes for its own reasons —
 # the K x K NMS is host-side on the chunked path and must not veto it).
 img = np.random.default_rng(0).normal(400, 8, (1, 512, 512))
+# Same pallas gating as the production driver (detect_and_fit_exhaustive):
+# probing the pallas kernel on a non-TPU accelerator would fail for the
+# wrong reason and freeze a false verdict for that backend.
+import jax
+use_pallas = jax.default_backend() in ("tpu", "axon")
 cms = candidate_maps_batch(jnp.asarray(img.astype(np.float32)),
-                           use_pallas=True)
+                           use_pallas=use_pallas)
 excluded = jnp.zeros((1, 512 * 512), bool)
 hs, ws, valid, rem, _ = extract_candidates_chunk(cms, excluded, 4096, 2.0)
 pack = _fit_chunk_packed(jnp.asarray(img.astype(np.float32)), hs, ws,
