@@ -186,6 +186,13 @@ def fit_gaussians_batched(patches, p0=None, lo=None, hi=None, num_iters=60,
     float32 on TPU regardless of camera bit depth.
     """
     patches = jnp.asarray(patches)
+    if not jnp.issubdtype(patches.dtype, jnp.floating):
+        # Integer patches (raw camera dtypes) must not set the COMPUTE
+        # dtype: lam0=1e-3 truncates to 0 in an integer lam buffer,
+        # silently disabling damping (floor-damped Gauss-Newton stalls
+        # on ill-conditioned patches). The detect wrappers cast before
+        # calling; direct ops users get the same treatment here.
+        patches = patches.astype(jnp.float32)
     dt = patches.dtype
     n, S = patches.shape[0], patches.shape[-1]
     npix = S * S
@@ -283,6 +290,11 @@ def fit_gaussians_batched(patches, p0=None, lo=None, hi=None, num_iters=60,
         p90 = [jnp.where(intensity[i], p0[:, i] / scale, p0[:, i])
                for i in range(7)]
         p90[4], p90[5] = p90[5], p90[4]
+        # Re-clip the swapped sigmas into their OWN bounds: with
+        # asymmetric user sigma bounds the swap can start (and, on a
+        # patch no step improves, finish) out of bounds.
+        p90[4] = jnp.clip(p90[4], lo_l[4], hi_l[4])
+        p90[5] = jnp.clip(p90[5], lo_l[5], hi_l[5])
         p90[6] = jnp.clip(jnp.full((n,), 90.0, dt), lo_l[6], hi_l[6])
         state90 = (p90, jnp.full((n,), lam0, dt), cost_of(p90))
         q, _, cost90 = lax.fori_loop(0, num_iters, body, state90)

@@ -338,10 +338,11 @@ def _fill_traces(pos, present, cum, frame_shape, spot_radius=2,
     val = np.where(has_p[:, :, None],
                    np.where(has_n[:, :, None], val_interior, val_tail),
                    val_head)
-    filled_f = np.where(present[:, :, None], pos.astype(np.float64), val)
-    filled = _py2_round_arr(filled_f)
-    # Present frames keep their exact integer positions.
-    filled = np.where(present[:, :, None], pos, filled)
+    # Present frames keep their exact integer positions; only the hole
+    # values need the float64 Py2 rounding (rounding the present
+    # positions too would be a wasted full-array pass — they are
+    # integers already).
+    filled = np.where(present[:, :, None], pos, _py2_round_arr(val))
 
     # Validity: interpolated positions must fit the 5x5 spot box, and ALL
     # positions must fit the photometry window (trace_to_photometry with
@@ -736,7 +737,9 @@ def _resolve_photometry(pending, out):
     for lo, hi, dev in pending:
         out[lo:hi] = np.asarray(dev)[:hi - lo]
         profiling.bump("ledger/photometry_fetches")
-        profiling.bump("ledger/fetch_bytes", int((hi - lo) * dev.dtype.itemsize))
+        # The full pow2-padded bucket crosses the link, not just the
+        # consumed rows — the ledger must count transferred bytes.
+        profiling.bump("ledger/fetch_bytes", int(dev.size * dev.dtype.itemsize))
 
 
 def _dispatch_photometry(stack, img_id, hs, ws, method, window_radius,

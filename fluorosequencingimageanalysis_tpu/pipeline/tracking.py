@@ -384,13 +384,35 @@ def luminosity_centroid_particle_tracking(frames, initial_spots,
             ch = (gh + hs) - search_radius
             cw = (gw + ws) - search_radius
         lookup = {i: j for j, i in enumerate(idx)}
+        grid1 = np.arange(d, dtype=np.float64)
         new_prior = []
         for i, spot in enumerate(prior):
             next_spot = None
+            rc = None
             if in_bounds[i]:
                 j = lookup[i]
-                r_c_h, r_c_w = (int(_py2_round(ch[j])),
-                                int(_py2_round(cw[j])))
+                rc = (int(_py2_round(ch[j])), int(_py2_round(cw[j])))
+            else:
+                # Reference parity for the out-of-precheck cases: the
+                # reference gates on the SLICE SHAPE, not the origin
+                # (flexlibrary.py:1224-1229) — and numpy slicing returns
+                # a full-size window WRAPPED from the opposite edge when
+                # the origin is far enough negative (o <= -(r+1)), which
+                # that shape check passes. Replicate by doing the exact
+                # slice; partial/empty shapes mean None like the
+                # reference.
+                oh, ow = centers[i]
+                sl = frame.image[oh - search_radius:oh + search_radius + 1,
+                                 ow - search_radius:ow + search_radius + 1]
+                if sl.shape == (d, d):
+                    w64 = np.asarray(sl, dtype=np.float64)
+                    tot = w64.sum()
+                    gh1 = (w64 * grid1[:, None]).sum() / tot
+                    gw1 = (w64 * grid1[None, :]).sum() / tot
+                    rc = (int(_py2_round((gh1 + oh) - search_radius)),
+                          int(_py2_round((gw1 + ow) - search_radius)))
+            if rc is not None:
+                r_c_h, r_c_w = rc
                 try:
                     cand = Spot(frame, r_c_h, r_c_w, spot.size,
                                 gaussian_fit=None)

@@ -729,3 +729,64 @@ def test_histogram_equalization_float_branch_256_bins():
     ecdf = (np.searchsorted(np.sort(flat), flat, side="right")
             / flat.size).reshape(img.shape)
     assert (_histogram_equalization(img) != _intensity_scaling(ecdf)).any()
+
+
+def test_luminosity_centroid_tracking_wrapped_window_parity():
+    """Reference slice-shape parity (round-4 review): when drift pushes a
+    window origin far enough negative (o <= -(r+1)), the reference's
+    numpy slice WRAPS a full-size window from the opposite edge and its
+    shape check passes it (flexlibrary.py:1224-1229) — the tracker must
+    follow the same code path (centroid from the wrapped pixels, Spot
+    construction rules deciding the outcome), not silently emit None.
+    Differential-tested against a direct transcription of
+    next_frame_spot_by_luminosity_centroid."""
+    from scipy.ndimage import center_of_mass
+
+    from fluorosequencingimageanalysis_tpu.pipeline.tracking import (
+        luminosity_centroid_particle_tracking, _py2_round)
+
+    rng = np.random.default_rng(23)
+    r = 3
+    d = 2 * r + 1
+
+    def reference_next(frame, spot, offset, s_n_cutoff=2.0):
+        o_h = int(spot.h - offset[0])
+        o_w = int(spot.w - offset[1])
+        sl = frame.image[o_h - r:o_h + r + 1, o_w - r:o_w + r + 1]
+        if sl.shape != (d, d):
+            return None
+        c_h, c_w = center_of_mass(sl)
+        r_c_h = int(_py2_round(c_h + o_h - r))
+        r_c_w = int(_py2_round(c_w + o_w - r))
+        try:
+            cand = Spot(frame, r_c_h, r_c_w, spot.size, gaussian_fit=None)
+        except AttributeError:
+            return None
+        if cand.illumina_s_n() < s_n_cutoff:
+            try:
+                cand = Spot(frame, int(_py2_round(spot.h)),
+                            int(_py2_round(spot.w)), spot.size,
+                            gaussian_fit=None)
+            except AttributeError:
+                cand = None
+        return cand
+
+    # Offsets that drive origins through every regime: in-bounds,
+    # partial-slice (None), and the wrapped full-slice quirk.
+    for off_h in (0, 25, 28, 31, 34, 37, 58):
+        frames = [Image(image=rng.normal(400, 6, (64, 64)))
+                  for _ in range(2)]
+        frames[0].image[28:33, 28:33] += 4000.0
+        s0 = Spot(frames[0], 30, 30, 5)
+        frames[0].spots.append(s0)
+        offsets = [(0, 0), (off_h, -2)]
+        tracks = luminosity_centroid_particle_tracking(
+            frames, [s0], search_radius=r, s_n_cutoff=2.0,
+            offsets=offsets)
+        got = tracks[0][1]
+        want = reference_next(frames[1], s0, offsets[1])
+        if want is None:
+            assert got is None, off_h
+        else:
+            assert got is not None, off_h
+            assert (got.h, got.w) == (want.h, want.w), off_h
