@@ -369,6 +369,14 @@ void run_chisq_trace(const double* lum, int32_t T, int32_t num_plateaus,
             apply_split(best, i);
         }
         if (!fits.empty() && best.size() == fits.back().pl.size()) break;
+        if (p + 1 > T) {
+            // Host parity: _fit_steps(seq, p + 1) raises ValueError when
+            // p + 1 > T (the reference's stepfitting_library.py:277-280;
+            // reachable with num_steps = T - 1 and min_step_length = 0).
+            // Flag the trace; the Python wrapper raises identically.
+            *out_n = -1;
+            return;
+        }
         double bf_res = plateaus_seq_residuals(lum, best);
         std::vector<Plat> cf = counterfit(cb, best, p + 1, forbid,
                                           bf_index, bf_hit);

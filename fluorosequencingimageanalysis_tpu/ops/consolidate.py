@@ -151,18 +151,22 @@ def consolidate_host(centers_h, centers_w, r2, valid, radius=4.0):
 
     Spatial binning (cell = radius, 3x3 neighborhood probe of KEPT spots)
     makes it O(N x rivals) instead of O(N^2); ~10k spots take ~10 ms.
-    Distances are computed in float32 like the device kernel so boundary
-    cases (d^2 == radius^2 exactly) cannot diverge.
+    Distances are computed in the centers' own float dtype, exactly like
+    the device kernel (which compares in ``ch.dtype``), so boundary cases
+    (d^2 == radius^2 exactly) cannot diverge for float32 OR float64
+    inputs.
     """
-    ch = np.asarray(centers_h, np.float32)
-    cw = np.asarray(centers_w, np.float32)
-    r2a = np.asarray(r2, np.float32)
+    dt = (np.float64 if np.asarray(centers_h).dtype == np.float64
+          else np.float32)
+    ch = np.asarray(centers_h, dt)
+    cw = np.asarray(centers_w, dt)
+    r2a = np.asarray(r2, dt)
     v = np.asarray(valid, bool)
     n = ch.shape[0]
     score = np.where(v & ~np.isnan(r2a), r2a, -np.inf)
     order = np.argsort(-score, kind="stable")
     keep = np.zeros(n, bool)
-    rad2 = np.float32(float(radius)) ** 2
+    rad2 = dt(float(radius)) ** 2
     cell = max(float(radius), 1e-6)
     grid: dict = {}
     for i in order:

@@ -279,6 +279,14 @@ def chi_squared_fit_batch(traces, num_steps_multiplier=1, num_steps=None,
         n, start, stop, height = _ncf.chisq_fit_batch_native(
             traces, num_plateaus, min_step_length, min_step_magnitude,
             ignore_counterfits, n_threads=n_threads)
+        if (n < 0).any():
+            # Native flags the trace whose counterfit target p + 1
+            # exceeded T (num_steps = T - 1 with min_step_length = 0 and
+            # a best fit that grew to T plateaus); the host chain raises
+            # inside _fit_steps there — mirror its exact error.
+            raise ValueError("num_plateaus = " + str(T + 1) +
+                             " is greater than len(luminosities) = " +
+                             str(T))
         return [
             [(int(start[i, j]), int(stop[i, j]), float(height[i, j]))
              for j in range(int(n[i]))]

@@ -57,7 +57,8 @@ def ensure_atomic_cache_writes() -> None:
         orig_src = inspect.getsource(cls.put)
         for needle in ("cache_path.write_bytes(val)", "self.path",
                        "self.eviction_enabled", "self._evict_if_needed",
-                       "self.lock", "self.max_size"):
+                       "self.lock", "self.lock_timeout_secs",
+                       "self.max_size"):
             if needle not in orig_src:
                 raise AttributeError(
                     f"jax LRUCache.put drifted (missing {needle!r})")

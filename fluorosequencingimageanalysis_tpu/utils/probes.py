@@ -293,6 +293,14 @@ def compile_ok(name: str, timeout_s: float = 240.0) -> bool:
         ok = False
         logger.warning("compile probe %s timed out after %.0fs (ready=%s)",
                        name, timeout_s, ready)
+    except OSError as e:
+        # Spawn failure (fork/exec denied, interpreter missing): an
+        # environment failure like the no-device case, not a verdict on
+        # the shape — fall through to the uncached transient path so
+        # production chunk-decision callers get the safe default instead
+        # of a crash.
+        ready, ok = False, False
+        logger.warning("compile probe %s could not spawn: %s", name, e)
     if ok or ready:
         data[name] = bool(ok)
         _store(fp, data)

@@ -544,3 +544,31 @@ def test_exhaustive_chunked_randomized_sweep():
                         res.cand_h[0][k_chk], res.cand_w[0][k_chk],
                         res.center_h[0][k_chk], res.center_w[0][k_chk])}
         assert ref_kept == chk_kept, (trial, H, W, n_spots)
+
+
+def test_consolidate_host_float64_boundary_equals_scan():
+    """Float64 inputs must compare distances in float64 on host exactly
+    like the device scan does in the centers' own dtype (ADVICE r4): a
+    center pair exactly radius apart in f64 — but not after an f32
+    round — must resolve the same d^2 <= r^2 boundary both ways."""
+    import jax
+    import jax.numpy as jnp
+    from fluorosequencingimageanalysis_tpu.ops.consolidate import (
+        consolidate_host, _consolidate_scan)
+
+    # d = 4 exactly along one axis at an f32-unrepresentable offset:
+    # h = 0.1 and h = 4.1 differ by exactly 4.0 in f64 arithmetic.
+    ch = np.array([0.1, 4.1, 20.0, 20.0 + 4.0000001], np.float64)
+    cw = np.array([1.0, 1.0, 1.0, 1.0], np.float64)
+    r2 = np.array([0.9, 0.8, 0.9, 0.95], np.float64)
+    valid = np.ones(4, bool)
+    with jax.enable_x64(True):
+        dev = np.asarray(_consolidate_scan(
+            jnp.asarray(ch), jnp.asarray(cw), jnp.asarray(r2),
+            jnp.asarray(valid), radius=4.0))
+    host = consolidate_host(ch, cw, r2, valid, radius=4.0)
+    np.testing.assert_array_equal(host, dev)
+    # The exact-boundary pair must consolidate (d^2 <= r^2 inclusive)
+    # while the 4.0000001 pair must NOT (> radius in f64; an f32 path
+    # would round it onto the boundary).
+    assert host.tolist() == [True, False, True, True]

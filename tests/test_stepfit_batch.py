@@ -403,3 +403,21 @@ def test_chi_squared_fit_batch_adversarial_tie_sweep():
             for a, b in zip(batch[i], oracle):
                 assert a[0] == b[0] and a[1] == b[1] and a[2] == b[2], \
                     (trial, i, kwargs, a, b)
+
+
+def test_chi_squared_overfull_counterfit_raises_like_host():
+    """num_steps = T - 1 with min_step_length = 0 on a strictly stepping
+    trace: the host chain raises ValueError when the counterfit target
+    p + 1 exceeds T (the reference's stepfitting_library.py:277-280); the
+    native batch core must flag the trace and raise the identical error
+    instead of silently returning a fit (ADVICE r4)."""
+    import pytest
+
+    T = 6
+    trace = np.array([6000.0, 5000.0, 4000.0, 3000.0, 2000.0, 1000.0])
+    kwargs = dict(num_steps=T - 1, min_step_length=0,
+                  min_step_magnitude=0.0)
+    with pytest.raises(ValueError, match="num_plateaus = 7 is greater"):
+        sf.chi_squared_step_fitter(tuple(trace), **kwargs)
+    with pytest.raises(ValueError, match="num_plateaus = 7 is greater"):
+        sf.chi_squared_fit_batch(trace[None], **kwargs)
