@@ -39,6 +39,18 @@ XLA CSEs the duplicate FFTs, so the hoist can only lose) and sigma-clip
 masked reductions vs the prefix-sum form (DESIGN 19b). Both defaults
 are backend-independent no-regret choices, not tunnel-specific tuning.
 
+Round 5 splits the registry into BACKEND properties and SESSION
+properties. Compile-sanity verdicts and matmul TFLOP/s are properties of
+the hardware + compiler — legitimately stable under the backend
+fingerprint, disk-cached. Link bandwidth/latency are properties of THIS
+process's moment: the tunnel's bandwidth swings several-fold between
+health phases (bench.py's measured record), so a slow-phase measurement
+must never freeze ``timetrace_prefetch`` for every later session. Link
+probes are therefore memoized in-process only (never written to disk;
+stale link keys in pre-split disk caches are ignored on load), and
+``snapshot()`` labels every value ``disk-cache`` / ``measured-now`` /
+``session`` so a recorded run shows exactly what was fresh.
+
 ``FSIA_PROBES=off`` disables everything (conservative static defaults);
 ``FSIA_PROBES=refresh`` re-measures, ignoring the disk cache. Probes are
 lazy: nothing runs until a decision is first requested.
@@ -60,6 +72,14 @@ logger.addHandler(logging.NullHandler())
 
 _CACHE: dict = {}          # in-process memo {fingerprint: dict}
 _TRANSIENT_FAILED: set = set()  # (fingerprint, probe): no-device children
+_SESSION: dict = {}        # per-PROCESS measurements (never on disk)
+_FRESH: set = set()        # backend-probe names measured THIS process
+
+# Session-scoped (per-process) probe names: these measure the link's
+# CURRENT health phase, which is not a backend property — a pre-split
+# disk cache may still carry them; they are ignored on load.
+_SESSION_KEYS = ("link_bandwidth_MBps", "link_latency_s",
+                 "fetch_bandwidth_MBps")
 
 _STEPFIT_BIG_CHUNK = 4096
 _STEPFIT_SAFE_CHUNK = 2048
@@ -97,6 +117,8 @@ def _load(fp: str) -> dict:
                 data = json.load(fh)
         except (OSError, ValueError):
             data = {}
+    # Session properties must not be resurrected from pre-split caches.
+    data = {k: v for k, v in data.items() if k not in _SESSION_KEYS}
     _CACHE[fp] = data
     return data
 
@@ -113,15 +135,32 @@ def _store(fp: str, data: dict) -> None:
 
 
 def _probe(name: str, fn):
-    """Memoized probe: run fn() once per backend, persist the result."""
+    """Memoized BACKEND probe: run fn() once per backend fingerprint,
+    persist the result to disk (hardware/compiler properties only)."""
     fp = backend_fingerprint()
     data = _load(fp)
     if name not in data:
         value = fn()
         data[name] = value
+        _FRESH.add(name)
         _store(fp, data)
         logger.info("probe[%s] %s = %r", fp, name, value)
     return data[name]
+
+
+def _session_probe(name: str, fn):
+    """Memoized SESSION probe: run fn() once per process, never persisted
+    — the measured quantity (link health) varies between sessions."""
+    if name not in _SESSION:
+        _SESSION[name] = fn()
+        logger.info("session probe %s = %r", name, _SESSION[name])
+    return _SESSION[name]
+
+
+def refresh_session() -> None:
+    """Drop this process's session measurements (the next decision
+    re-measures). For long-lived processes that outlive a link phase."""
+    _SESSION.clear()
 
 
 # ---------------------------------------------------------------------------
@@ -135,6 +174,8 @@ def matmul_tflops() -> float:
 
 
 def link_bandwidth_MBps() -> float:
+    """Host->device upload bandwidth of THIS process's link phase
+    (session-scoped: measured once per process, never disk-cached)."""
     def run():
         import jax
 
@@ -150,10 +191,36 @@ def link_bandwidth_MBps() -> float:
             del x
         return 8.0 / best
 
-    return float(_probe("link_bandwidth_MBps", run))
+    return float(_session_probe("link_bandwidth_MBps", run))
+
+
+def fetch_bandwidth_MBps() -> float:
+    """Device->host fetch bandwidth of THIS process's link phase
+    (session-scoped). Measured separately from upload because serial
+    tunnels are often asymmetric — the round-5 zstack diagnosis found
+    fetch 3-5x slower than upload in some phases, making result-fetch
+    bytes the binding resource for fetch-heavy configs."""
+    def run():
+        import jax
+        import jax.numpy as jnp
+
+        x = jax.device_put(jnp.zeros(8 * 1024 * 1024 // 2, jnp.uint16))
+        np.asarray(x[:1])  # materialize on device
+        best = float("inf")
+        for i in range(3):
+            t0 = time.perf_counter()
+            np.asarray(x)
+            dt = time.perf_counter() - t0
+            if i:
+                best = min(best, dt)
+        return 8.0 / best
+
+    return float(_session_probe("fetch_bandwidth_MBps", run))
 
 
 def link_latency_s() -> float:
+    """Per-round-trip link latency of THIS process's link phase
+    (session-scoped)."""
     def run():
         import jax
         import jax.numpy as jnp
@@ -167,7 +234,7 @@ def link_latency_s() -> float:
             times.append(time.perf_counter() - t0)
         return float(np.median(times))
 
-    return float(_probe("link_latency_s", run))
+    return float(_session_probe("link_latency_s", run))
 
 
 _PROBE_PRELUDE = """
@@ -385,15 +452,25 @@ def timetrace_prefetch() -> bool:
 
 def snapshot() -> dict:
     """All probe values + decisions (bench.py emits this next to
-    link_MBps so recorded runs carry their backend calibration)."""
-    return {
+    link_MBps so recorded runs carry their backend calibration). Every
+    measured value is labeled by provenance: ``disk-cache`` (a backend
+    property loaded from a previous process), ``measured-now`` (a backend
+    property measured and cached this process) or ``session`` (a
+    per-process link measurement that is never disk-cached)."""
+    tf = round(matmul_tflops(), 3)
+    snap = {
         "fingerprint": backend_fingerprint(),
-        "matmul_tflops": round(matmul_tflops(), 3),
+        "matmul_tflops": tf,
+        "matmul_tflops_source": ("measured-now" if "matmul_tflops" in _FRESH
+                                 else "disk-cache"),
         "link_bandwidth_MBps": round(link_bandwidth_MBps(), 1),
+        "fetch_bandwidth_MBps": round(fetch_bandwidth_MBps(), 1),
         "link_latency_ms": round(link_latency_s() * 1e3, 2),
+        "link_source": "session",
         "gather_strategy": gather_strategy(),
         "stepfit_chunk": stepfit_chunk(),
         "v8_chunk": v8_chunk(),
         "detect_chunk": detect_chunk(),
         "timetrace_prefetch": timetrace_prefetch(),
     }
+    return snap

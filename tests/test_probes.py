@@ -104,3 +104,48 @@ def test_compile_probe_ready_marker_caching(monkeypatch, tmp_path):
     assert probes.compile_ok("no_device", timeout_s=120) is False
     assert not any(k.startswith("no_device")
                    for k in probes._load(probes.backend_fingerprint()))
+
+
+def test_link_probes_are_session_scoped(tmp_path, monkeypatch):
+    """Link bandwidth/latency are SESSION properties (VERDICT r4 item 5):
+    measured per process, never persisted, and stale pre-split disk
+    entries are ignored — a slow-phase measurement can no longer freeze
+    timetrace_prefetch for later sessions."""
+    monkeypatch.setenv("HOME", str(tmp_path))
+    probes._CACHE.clear()
+    probes._SESSION.clear()
+    # A pre-split cache carrying frozen link numbers must be ignored.
+    fp = probes.backend_fingerprint()
+    os.makedirs(os.path.dirname(probes._cache_path(fp)), exist_ok=True)
+    with open(probes._cache_path(fp), "w") as fh:
+        json.dump({"link_bandwidth_MBps": 99999.0,
+                   "link_latency_s": 1e-9,
+                   "matmul_tflops": 1.23}, fh)
+    loaded = probes._load(fp)
+    assert "link_bandwidth_MBps" not in loaded
+    assert "link_latency_s" not in loaded
+    assert loaded["matmul_tflops"] == 1.23  # backend props survive
+
+    # Session measurement memoizes in-process, and never lands on disk.
+    probes._SESSION["link_bandwidth_MBps"] = 42.0
+    assert probes.link_bandwidth_MBps() == 42.0
+    snap_keys = probes._load(fp)
+    assert "link_bandwidth_MBps" not in snap_keys
+    # refresh_session drops it so the next call re-measures.
+    probes.refresh_session()
+    assert "link_bandwidth_MBps" not in probes._SESSION
+
+
+def test_snapshot_labels_provenance(tmp_path, monkeypatch):
+    monkeypatch.setenv("HOME", str(tmp_path))
+    probes._CACHE.clear()
+    probes._SESSION.clear()
+    snap = probes.snapshot()
+    assert snap["link_source"] == "session"
+    assert snap["matmul_tflops_source"] in ("measured-now", "disk-cache")
+    assert "fetch_bandwidth_MBps" in snap
+    # A second process-alike (fresh _CACHE, same disk) reports disk-cache.
+    probes._CACHE.clear()
+    probes._FRESH.clear()
+    snap2 = probes.snapshot()
+    assert snap2["matmul_tflops_source"] == "disk-cache"
