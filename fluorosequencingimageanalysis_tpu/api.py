@@ -223,7 +223,7 @@ class Pipeline:
 
     def _stack_step_groups(self, stack, keys, max_candidates=None,
                            max_spots=None, stack_key=None,
-                           group_fields=8, dispatch="eager", pack=False):
+                           group_fields=None, dispatch="eager", pack=False):
         """Generator form of run_stack: the host->device upload is split
         into field groups and EVERYTHING is dispatched up front (upload
         k+1 is in flight while the step on group k computes); groups are
@@ -273,8 +273,16 @@ class Pipeline:
             mesh = self.mesh
             n_data = mesh.shape["data"]
             F = stack.shape[0]
-            g = max(int(group_fields), n_data)
-            g += (-g) % n_data
+            if group_fields is None:
+                # Probed from the SESSION link (utils/probes): groups
+                # sized so per-group upload time dominates round-trip
+                # latency, replacing the frozen group_fields=8.
+                from .utils import probes
+                field_mb = stack[0].nbytes / (1024 * 1024)
+                g = probes.upload_group_items(field_mb, n_data, F)
+            else:
+                g = max(int(group_fields), n_data)
+                g += (-g) % n_data
             step_kwargs = dict(
                 median_filter_size=det.median_filter_size, c_std=det.c_std,
                 r_2_threshold=det.r_2_threshold,
@@ -361,7 +369,8 @@ class Pipeline:
 
     def run_zstack(self, stack, box_size=10, filter_size=10,
                    max_candidates=None, return_background=False,
-                   psfs=False, stack_key=None):
+                   psfs=False, stack_key=None, lean=False,
+                   max_spots=None):
         """Background estimation + batched PSF fits over a z/time stack
         (BASELINE.json config 2: one field observed over a z or time axis).
 
@@ -386,6 +395,17 @@ class Pipeline:
         (models.detect.detect_and_fit_exhaustive — the reference's
         uncapped semantics at any spot density; backgrounds still
         estimate/subtract on device per pipelined group).
+
+        ``lean``: keep-first compacted fetch (integer-bucket mode only).
+        Every candidate is still detected and fitted on device, but only
+        ``max_spots`` slots per frame cross the link, kept fits first
+        (models.detect.pack_spot_buckets) — the reference's product per
+        image is the consolidated fits (pflib.py:479-519), and on
+        asymmetric tunnels the device->host fetch of all K slots is the
+        binding resource. Returned arrays are then [T, max_spots]
+        spot-major (kept-first; ``keep``/``cand_valid`` still mask), with
+        an extra ``spot_count`` [T] (exact keep totals — values above
+        max_spots mean kept fits were truncated; a loud warning fires).
 
         Returns a dict of host numpy arrays — the SpotFindResult schema
         batched over frames: cand_h/cand_w [T, K] int32, params [T, K, 7],
@@ -418,6 +438,13 @@ class Pipeline:
         exhaustive = max_candidates == "exhaustive"
         mc = (det.max_candidates if (max_candidates is None or exhaustive)
               else max_candidates)
+        if lean and (exhaustive or psfs):
+            # The lean pack compacts a fixed-bucket device result; the
+            # exhaustive driver has its own chunked transfer scheme, and
+            # the psfs build needs the full per-candidate schema.
+            raise ValueError("lean=True requires an integer "
+                             "max_candidates bucket and psfs=False")
+        n_spots_bucket = int(max_spots) if max_spots is not None else 2048
         key = None
         if self.store is not None and not psfs:
             from .utils.checkpoint import content_key
@@ -426,7 +453,8 @@ class Pipeline:
             key = content_key("run_zstack", stack_key, self.config.asdict(),
                               box_size, filter_size,
                               "exhaustive" if exhaustive else mc,
-                              return_background)
+                              return_background,
+                              ("lean", n_spots_bucket) if lean else None)
             if self.store.exists(key):
                 return self.store.load(key)
         T = stack.shape[0]
@@ -442,17 +470,23 @@ class Pipeline:
         # Frame groups pipeline host->device transfer against compute:
         # all groups' uploads + programs dispatch eagerly (JAX dispatch
         # is async), so group k's background+detect run while group k+1
-        # uploads — the upload alone is ~50% of a single-dispatch wall
-        # clock on the tunnel chip. Group size is >=8 frames rounded up
-        # to a mesh-first-axis multiple so every dispatch shards evenly
-        # and hits ONE compiled program (tail groups pad with the last
-        # frame, sliced off after the fetch). A device-resident stack
-        # has no upload to overlap and dispatches whole.
+        # uploads. Group size is sized from the SESSION link probes
+        # (utils/probes.upload_group_items): big enough that per-group
+        # transfer time dominates the measured round-trip latency (the
+        # round-5 diagnosis: 8-frame groups on a 50 ms-latency tunnel
+        # paid ~4x latency on a 0.3 s upload), small enough to keep at
+        # least two groups in flight; rounded to a mesh-axis multiple so
+        # every dispatch hits ONE compiled program (tail groups pad with
+        # the last frame, sliced off after the fetch). A device-resident
+        # stack has no upload to overlap and dispatches whole.
         if isinstance(stack, jax.Array):
             g = T + (-T) % n_dev
         else:
-            g = max(8, n_dev)
-            g += (-g) % n_dev
+            from .utils import probes
+            frame_mb = stack[0].nbytes / (1024 * 1024)
+            g = probes.upload_group_items(frame_mb, n_dev, T)
+
+        from .utils import profiling
 
         def _dispatch_group(grp):
             n = grp.shape[0]
@@ -463,6 +497,10 @@ class Pipeline:
                 else:
                     grp = np.concatenate(
                         [grp, np.repeat(grp[-1:], g - n, axis=0)], axis=0)
+            if not isinstance(grp, jax.Array):
+                profiling.bump("ledger/uploads")
+                profiling.bump("ledger/upload_bytes", int(grp.nbytes))
+            profiling.bump("ledger/step_dispatches")
             dev = jax.device_put(grp, sharding)
             background = stack_background_jit(
                 dev, box_size=box_size, filter_size=filter_size)
@@ -492,7 +530,17 @@ class Pipeline:
             # full-resolution maps transfer only when actually needed
             # (background is [T, H, W] float32 — 32 MB on the bench
             # shape).
-            fetch = dict(res._asdict())
+            if lean:
+                from .models.detect import pack_spot_buckets
+                coord_dt = (jnp.int16
+                            if max(stack.shape[1:]) <= 32767 else jnp.int32)
+                f32b, intsb, flagsb, spotc, candc = pack_spot_buckets(
+                    res, n_spots_bucket, coord_dtype=coord_dt)
+                fetch = {"_lean_f32": f32b, "_lean_ints": intsb,
+                         "_lean_flags": flagsb, "_lean_spot_count": spotc,
+                         "_lean_cand_count": candc}
+            else:
+                fetch = dict(res._asdict())
             if return_background:
                 fetch["background"] = background
             if psfs:
@@ -530,8 +578,12 @@ class Pipeline:
                         theta_starts=det.theta_starts,
                         use_pallas=bool(use_pallas),
                         gather_strategy=gather_strategy)
-                    extra = {k: np.asarray(v)[:n]
-                             for k, v in fetch.items()}
+                    extra = {}
+                    for k, v in fetch.items():
+                        a = np.asarray(v)[:n]
+                        profiling.bump("ledger/result_fetches")
+                        profiling.bump("ledger/fetch_bytes", int(a.nbytes))
+                        extra[k] = a
                     if psfs:
                         extra["subtracted"] = np.asarray(sub[:n])
                     parts.append((res, extra))
@@ -566,12 +618,37 @@ class Pipeline:
             else:
                 pending = [_dispatch_group(stack[lo:min(lo + g, T)])
                            for lo in range(0, T, g)]
-                out = {k: np.concatenate(
-                           [np.asarray(fetch[k])[:n]
-                            for n, fetch, _ in pending])
-                       for k in pending[0][1]}
+                fetched = {}
+                for k in pending[0][1]:
+                    parts_k = []
+                    for n, fetch, _ in pending:
+                        a = np.asarray(fetch[k])[:n]
+                        profiling.bump("ledger/result_fetches")
+                        profiling.bump("ledger/fetch_bytes", int(a.nbytes))
+                        parts_k.append(a)
+                    fetched[k] = np.concatenate(parts_k)
+                if lean:
+                    from .models.detect import unpack_spot_buckets
+                    out = unpack_spot_buckets(
+                        fetched.pop("_lean_f32"),
+                        fetched.pop("_lean_ints"),
+                        fetched.pop("_lean_flags"),
+                        fetched.pop("_lean_spot_count"),
+                        fetched.pop("_lean_cand_count"))
+                    out.update(fetched)  # background, if requested
+                else:
+                    out = fetched
         if not exhaustive:
             warn_candidate_overflow(out["cand_count"], mc, "run_zstack")
+            if lean and (out["spot_count"] > n_spots_bucket).any():
+                import warnings
+                worst = int(out["spot_count"].max())
+                warnings.warn(
+                    f"run_zstack(lean=True): {worst} kept fits exceed "
+                    f"max_spots={n_spots_bucket}; the weakest-ranked "
+                    "kept fits were dropped from the transfer. Re-run "
+                    "with a larger max_spots (or lean=False) for full "
+                    "coverage.", stacklevel=2)
         if psfs:
             sub = out.pop("subtracted")
             out["psfs"] = psfs_dicts_from_batch(
@@ -1105,8 +1182,12 @@ class Pipeline:
             # dispatch + fetch below overlap the rest of the movie's
             # upload instead of waiting behind it (uploads are serial on
             # remote links; detect only needs frame 0).
+            from .utils import profiling
             movie0_dev = jnp.asarray(movie[0])
             movie_dev = jnp.asarray(movie)
+            profiling.bump("ledger/uploads", 2)
+            profiling.bump("ledger/upload_bytes",
+                           int(movie.nbytes + movie[0].nbytes))
         if movie_dev.dtype != jnp.float32:
             # Raw camera dtypes upload as-is (half the bytes for uint16 —
             # the upload IS the detect stage's dominant cost on remote

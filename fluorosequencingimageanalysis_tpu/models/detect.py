@@ -136,6 +136,74 @@ def detect_and_fit_batch(images, median_filter_size=5,
                           keep, valid, count)
 
 
+@functools.partial(jax.jit, static_argnames=("max_spots", "coord_dtype"))
+def pack_spot_buckets(res: SpotFindResult, max_spots: int,
+                      coord_dtype=jnp.int16):
+    """Keep-first transfer compaction of a batched SpotFindResult.
+
+    The full result schema fetches every candidate slot's fit product —
+    [B, K] x 9 float arrays — but the reference's product per image is
+    only the CONSOLIDATED R^2-passing fits (pflib.py:479-519 returns the
+    surviving dict entries; rejected candidates never leave
+    find_peptides). On asymmetric links where device->host bytes are the
+    binding resource (the round-5 zstack diagnosis: fetch 3-5x slower
+    than upload in bad tunnel phases), fetching all K slots is the
+    bottleneck. This packs each image's slots KEPT-FIRST (stable within
+    each class, so kept spots preserve candidate order) and slices to
+    ``max_spots``, emitting THREE transfer arrays:
+
+      f32 [B, S, 12]: center_h, center_w, rmse, r2, s_n, params[0..6]
+      ints [B, S, 2]: cand_h, cand_w (``coord_dtype``; int16 is exact
+                      for images narrower than 32768 px)
+      flags [B, S, 2]: keep, cand_valid  (bool)
+
+    plus spot_count [B] (exact per-image keep totals — the overflow
+    check: spot_count > max_spots means kept fits were truncated) and
+    the pass-through cand_count [B]. At S=2048 this is ~4.4x fewer
+    fetch bytes than the full K=8192 schema, with bit-identical values
+    for every kept slot.
+    """
+    order = jnp.argsort(~res.keep, axis=1, stable=True)[:, :max_spots]
+
+    def take(a):
+        return jnp.take_along_axis(a, order, axis=1)
+
+    dt = res.params.dtype
+    f32 = jnp.stack(
+        [take(res.center_h).astype(dt), take(res.center_w).astype(dt),
+         take(res.rmse).astype(dt), take(res.r2).astype(dt),
+         take(res.s_n).astype(dt)] +
+        [jnp.take_along_axis(res.params[:, :, i], order, axis=1)
+         for i in range(7)], axis=-1)
+    ints = jnp.stack([take(res.cand_h).astype(coord_dtype),
+                      take(res.cand_w).astype(coord_dtype)], axis=-1)
+    flags = jnp.stack([take(res.keep), take(res.cand_valid)], axis=-1)
+    spot_count = res.keep.sum(axis=1).astype(jnp.int32)
+    return f32, ints, flags, spot_count, res.cand_count
+
+
+def unpack_spot_buckets(f32, ints, flags, spot_count, cand_count):
+    """Host-side inverse of :func:`pack_spot_buckets`: rebuild the
+    SpotFindResult field dict (numpy, spot-major keep-first arrays)."""
+    f32 = np.asarray(f32)
+    ints = np.asarray(ints)
+    flags = np.asarray(flags)
+    return {
+        "cand_h": ints[..., 0].astype(np.int32),
+        "cand_w": ints[..., 1].astype(np.int32),
+        "params": f32[..., 5:12],
+        "center_h": f32[..., 0],
+        "center_w": f32[..., 1],
+        "rmse": f32[..., 2],
+        "r2": f32[..., 3],
+        "s_n": f32[..., 4],
+        "keep": flags[..., 0],
+        "cand_valid": flags[..., 1],
+        "spot_count": np.asarray(spot_count),
+        "cand_count": np.asarray(cand_count),
+    }
+
+
 @functools.partial(jax.jit, static_argnames=(
     "num_iters", "theta_starts", "gather_strategy"))
 def _fit_chunk_packed(images, hs, ws, valid, num_iters=60, theta_starts=1,

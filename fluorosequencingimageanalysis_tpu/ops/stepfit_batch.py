@@ -265,6 +265,8 @@ def stepfit_batched(photometries, mirror_start=0, chung_kennedy=0,
     # pipelines them (JAX dispatch is async). fn may return one array or
     # a tuple of same-leading-dim arrays.
     def run_chunked(fn, x):
+        from ..utils import profiling
+
         n = x.shape[0]
         pending = []
         for lo in range(0, n, chunk):
@@ -281,13 +283,23 @@ def stepfit_batched(photometries, mirror_start=0, chung_kennedy=0,
                 dev = jax.device_put(piece, row_sharding)
             else:
                 dev = jnp.asarray(piece)
+            profiling.bump("ledger/uploads")
+            profiling.bump("ledger/upload_bytes", int(piece.nbytes))
+            profiling.bump("ledger/step_dispatches")
             out = fn(dev)
             pending.append((m, out if isinstance(out, tuple) else (out,)))
         # n >= 1 always holds here (the N == 0 early return above), so
         # pending is never empty.
-        cols = tuple(
-            np.concatenate([np.asarray(d[j])[:m] for m, d in pending])
-            for j in range(len(pending[0][1])))
+        cols = []
+        for j in range(len(pending[0][1])):
+            parts = []
+            for m, d in pending:
+                a = np.asarray(d[j])[:m]
+                profiling.bump("ledger/result_fetches")
+                profiling.bump("ledger/fetch_bytes", int(a.nbytes))
+                parts.append(a)
+            cols.append(np.concatenate(parts))
+        cols = tuple(cols)
         return cols if len(cols) > 1 else cols[0]
 
     if chung_kennedy > 0:

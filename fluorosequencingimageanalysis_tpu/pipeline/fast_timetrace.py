@@ -275,10 +275,16 @@ def lc_track_and_photometry(movie_dev, h0, w0, method, search_radius=3,
             for i in range(0, bucket, chunk)])
     for arr in (full_h, full_w, present_full, phot_d):
         arr.copy_to_host_async()
+    from ..utils import profiling
+    profiling.bump("ledger/step_dispatches")
+    profiling.bump("ledger/result_fetches", 4)
     rec_h = np.asarray(full_h)
     rec_w = np.asarray(full_w)
     present = np.asarray(present_full)
     vals = np.asarray(phot_d)[:T * N].astype(np.float64).reshape(T, N)
+    profiling.bump("ledger/fetch_bytes",
+                   int(rec_h.nbytes + rec_w.nbytes + present.nbytes +
+                       np.asarray(phot_d).nbytes))
 
     interior = ((rec_h >= win_r) & (rec_h < H - win_r) &
                 (rec_w >= win_r) & (rec_w < W - win_r))

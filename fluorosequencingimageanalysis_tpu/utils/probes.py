@@ -440,6 +440,40 @@ def detect_chunk() -> int:
             else _DETECT_SAFE_CHUNK)
 
 
+_GROUP_LATENCY_MULT = 4.0   # per-group transfer time >= 4x link latency
+_GROUP_FLOOR_ITEMS = 8
+
+
+def upload_group_items(item_mb: float, n_dev: int, total: int,
+                       floor: int = _GROUP_FLOOR_ITEMS) -> int:
+    """Items (frames/fields) per pipelined host->device upload group.
+
+    Replaces the frozen group-size constants (zstack g=8, experiment
+    group_fields=8 — the reference's analog is the candidate-count load
+    balancer, pflib.py:1000-1111, which sized work per process instead
+    of per transfer). Sizing rule from the SESSION link measurements:
+    per-group upload time must be at least ``_GROUP_LATENCY_MULT`` x the
+    round-trip latency (the round-5 zstack diagnosis: 4.2 MB groups on a
+    50 ms tunnel paid ~4 latencies over a 0.3 s transfer, ~half the
+    upload wall clock), while keeping >= 2 groups in flight when the
+    workload allows so upload still overlaps compute. Rounded up to a
+    mesh-axis multiple so every dispatch hits one compiled program.
+    """
+    if _mode() == "off" or _is_cpu():
+        g = max(floor, n_dev)
+    else:
+        lat = link_latency_s()
+        bw = link_bandwidth_MBps()
+        g = int(np.ceil(_GROUP_LATENCY_MULT * lat * bw /
+                        max(item_mb, 1e-6)))
+        g = max(g, floor, n_dev)
+        two_groups = -(-total // 2)  # ceil: the 2-in-flight cap
+        if two_groups >= max(floor, n_dev):
+            g = min(g, two_groups)
+    g += (-g) % max(n_dev, 1)
+    return g
+
+
 def timetrace_prefetch() -> bool:
     """Upload-ahead for run_timetraces: wins on fast links, loses on
     serial tunnels (DESIGN 16's measured A/B). CPU keeps the safe

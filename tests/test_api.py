@@ -356,3 +356,66 @@ def test_run_zstack_exhaustive_matches_capped():
                      b["cand_w"][t][b["keep"][t]].tolist()))
         assert ka == kb
         assert set(a["psfs"][t]) == set(b["psfs"][t])
+
+
+def test_run_zstack_lean_matches_full():
+    """lean=True (keep-first compacted fetch) returns bit-identical kept
+    fits and metrics to the full-schema fetch, with spot_count exact and
+    ledger counters showing fewer fetch bytes."""
+    from fluorosequencingimageanalysis_tpu.api import Pipeline
+    from fluorosequencingimageanalysis_tpu.utils import profiling
+
+    rng = np.random.default_rng(7)
+    H = W = 80
+    stack = rng.normal(500, 5, (4, H, W)).astype(np.float32)
+    yy, xx = np.indices((H, W)).astype(np.float32)
+    for t in range(4):
+        for _ in range(5):
+            h, w = rng.integers(10, H - 10, 2)
+            stack[t] += 3000 * np.exp(
+                -(((yy - h) ** 2) + ((xx - w) ** 2)) / (2 * 1.2 ** 2))
+    pipe = Pipeline()
+    profiling.reset_counters()
+    full = pipe.run_zstack(stack, box_size=8, filter_size=3,
+                           max_candidates=256)
+    full_bytes = profiling.counters()["ledger/fetch_bytes"]
+    profiling.reset_counters()
+    lean = pipe.run_zstack(stack, box_size=8, filter_size=3,
+                           max_candidates=256, lean=True, max_spots=64)
+    lean_ledger = profiling.counters()
+    assert lean_ledger["ledger/fetch_bytes"] < full_bytes
+    assert lean_ledger["ledger/uploads"] >= 1
+
+    np.testing.assert_array_equal(full["cand_count"], lean["cand_count"])
+    for t in range(4):
+        fk = np.asarray(full["keep"])[t].astype(bool)
+        lk = lean["keep"][t].astype(bool)
+        assert int(lean["spot_count"][t]) == int(fk.sum()) == int(lk.sum())
+        # Kept fits: identical sets of (cand, center, params, metrics).
+        def rows(out, t, m):
+            return {tuple(np.asarray(x)[t][m][i] for x in
+                          (out["cand_h"], out["cand_w"], out["center_h"],
+                           out["center_w"], out["rmse"], out["r2"],
+                           out["s_n"]))
+                    for i in range(int(m.sum()))}
+        assert rows(full, t, fk) == rows(lean, t, lk)
+
+
+def test_run_zstack_lean_overflow_warns():
+    from fluorosequencingimageanalysis_tpu.api import Pipeline
+
+    rng = np.random.default_rng(8)
+    H = W = 64
+    stack = rng.normal(500, 5, (2, H, W)).astype(np.float32)
+    yy, xx = np.indices((H, W)).astype(np.float32)
+    for t in range(2):
+        for _ in range(8):
+            h, w = rng.integers(8, H - 8, 2)
+            stack[t] += 3000 * np.exp(
+                -(((yy - h) ** 2) + ((xx - w) ** 2)) / (2 * 1.2 ** 2))
+    pipe = Pipeline()
+    with pytest.warns(UserWarning, match="kept fits exceed"):
+        pipe.run_zstack(stack, box_size=8, filter_size=3,
+                        max_candidates=256, lean=True, max_spots=2)
+    with pytest.raises(ValueError, match="lean=True requires"):
+        pipe.run_zstack(stack, max_candidates="exhaustive", lean=True)

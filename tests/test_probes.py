@@ -149,3 +149,28 @@ def test_snapshot_labels_provenance(tmp_path, monkeypatch):
     probes._FRESH.clear()
     snap2 = probes.snapshot()
     assert snap2["matmul_tflops_source"] == "disk-cache"
+
+
+def test_upload_group_items_sizing(monkeypatch):
+    """Group sizing from the session link: groups grow until per-group
+    upload time dominates latency, capped to keep 2 groups in flight,
+    rounded to a mesh multiple; off-mode/CPU keep the static default."""
+    monkeypatch.setattr(probes, "_is_cpu", lambda: False)
+    monkeypatch.setattr(probes, "link_latency_s", lambda: 0.05)
+    monkeypatch.setattr(probes, "link_bandwidth_MBps", lambda: 60.0)
+    # 0.5 MB frames (the zstack shape): 4*0.05*60/0.5 = 24 frames.
+    assert probes.upload_group_items(0.5, 1, 64) == 24
+    # Mesh multiple rounding.
+    assert probes.upload_group_items(0.5, 8, 64) % 8 == 0
+    # 2-in-flight cap: a 32-frame stack caps at ceil(32/2)=16.
+    assert probes.upload_group_items(0.5, 1, 32) == 16
+    # 4 MB fields (config 4): 4*0.05*60/4 = 3 -> floor 8 wins.
+    assert probes.upload_group_items(4.0, 1, 32) == 8
+    # Tiny latency: floor wins.
+    monkeypatch.setattr(probes, "link_latency_s", lambda: 1e-5)
+    assert probes.upload_group_items(0.5, 1, 64) == 8
+    # off-mode: static default, no link measurement.
+    monkeypatch.setenv("FSIA_PROBES", "off")
+    monkeypatch.setattr(probes, "link_latency_s",
+                        lambda: (_ for _ in ()).throw(AssertionError))
+    assert probes.upload_group_items(0.5, 4, 64) == 8
