@@ -208,11 +208,16 @@ def fetch_bandwidth_MBps() -> float:
         np.asarray(x[:1])  # materialize on device
         best = float("inf")
         for i in range(3):
+            # Fresh buffer each round: jax.Array caches its host copy,
+            # so re-fetching the same array times a memcpy, not the link.
+            y = x + jnp.uint16(i)
+            np.asarray(y[:1])
             t0 = time.perf_counter()
-            np.asarray(x)
+            np.asarray(y)
             dt = time.perf_counter() - t0
             if i:
                 best = min(best, dt)
+            del y
         return 8.0 / best
 
     return float(_session_probe("fetch_bandwidth_MBps", run))
