@@ -255,6 +255,38 @@ def simulate_photometries_batched(counts, beta, beta_sigma, seed=0,
     return np.asarray(out).astype(np.float64)
 
 
+FIXED16_SCALE = 2048  # intensity quantum = beta/2048 (see encode docs)
+
+
+@jax.jit
+def encode_intensities_fixed16(intensities, beta):
+    """uint16 fixed-point transfer encoding for simulated intensities:
+    round(I / beta * 2048), clipped to [0, 65535] (covers 0..32x beta —
+    a 5-dye molecule at +4 sigma of the reference's beta_sigma=0.2
+    lognormal is ~11x beta). HALVES the device->host bytes of a float32
+    intensity fetch on links where the fetch direction is the binding
+    resource (measured 9-30 MB/s on the serial tunnel).
+
+    Precision budget: quantization error <= beta/4096 absolute, i.e.
+    <= 2.4e-4 relative at I >= beta/2 — three orders of magnitude below
+    the model's own lognormal noise floor (beta_sigma ~= 0.2 means ~20%
+    draws; MCsimlib.py:863-1074 / peptide_simulator.py:322-435), and
+    pinned by tests/test_sim.py's codec test. float32 cannot represent
+    the quantized grid exactly above 2^24/2048*beta, far beyond any
+    simulated intensity.
+    """
+    x = jnp.asarray(intensities, jnp.float32) / jnp.float32(beta)
+    return jnp.round(jnp.clip(x * FIXED16_SCALE, 0, 65535)) \
+        .astype(jnp.uint16)
+
+
+def decode_intensities_fixed16(encoded, beta):
+    """Host-side inverse of :func:`encode_intensities_fixed16` (float32
+    product, like the direct fetch path)."""
+    return np.asarray(encoded).astype(np.float32) * \
+        np.float32(beta / FIXED16_SCALE)
+
+
 def peptide_simulation_batched(sequence, labels, num_mocks, num_edmans,
                                num_simulations, seed=0, beta=None,
                                beta_sigma=None, ddif=None, **params):

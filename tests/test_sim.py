@@ -360,3 +360,31 @@ def test_simulate_and_fit_chained_validates_quench():
         simulate_and_fit_batched("AKA", {"K"}, 1, 2, 10, beta=1e4,
                                  beta_sigma=0.2, ddif=[0.0], p=0.9, b=0.1,
                                  u=0.1)
+
+
+def test_fixed16_intensity_codec_precision_budget():
+    """The uint16 fixed-point transfer codec for simulated intensities:
+    round trip within beta/4096 absolute (<= 2.4e-4 relative at
+    I >= beta/2 — three orders below the model's beta_sigma~0.2 lognormal
+    noise), zeros exact, and values beyond the clip range saturate."""
+    import jax.numpy as jnp
+    from fluorosequencingimageanalysis_tpu.sim.dye_sim import (
+        FIXED16_SCALE, decode_intensities_fixed16,
+        encode_intensities_fixed16)
+
+    beta = 70000.0
+    rng = np.random.default_rng(0)
+    counts = rng.integers(0, 6, (512, 12))
+    intens = np.where(
+        counts > 0,
+        np.exp(np.log(beta * np.maximum(counts, 1)) +
+               0.2 * rng.normal(0, 1, counts.shape)), 0.0
+    ).astype(np.float32)
+    enc = encode_intensities_fixed16(jnp.asarray(intens), beta)
+    assert np.asarray(enc).dtype == np.uint16
+    dec = decode_intensities_fixed16(enc, beta)
+    assert dec.dtype == np.float32
+    np.testing.assert_allclose(dec, intens, atol=beta / (2 * FIXED16_SCALE))
+    assert (dec[intens == 0] == 0).all()
+    big = encode_intensities_fixed16(jnp.asarray([beta * 1e4]), beta)
+    assert int(np.asarray(big)[0]) == 65535
