@@ -287,6 +287,162 @@ def run_experiment(local_stacks, csv_path=None, config=None, mesh=None,
             "filtered_category_counts": filtered, "csv_path": csv_path}
 
 
+def run_timetrace(movie, csv_path=None, config=None, mesh=None,
+                  search_radius=3, s_n_cutoff=3.0, max_candidates=None,
+                  photometry_min="config", mirror_start=None,
+                  chung_kennedy=None, p_threshold=None,
+                  include_step_fits=True, include_intermediates=True):
+    """Whole-movie multihost front door — the timetrace workflow
+    (basic_timetrace_script.py; flexlibrary.py:3266-3709) across
+    processes.
+
+    Every process passes the SAME ``[T, H, W]`` movie (one continuously
+    filmed field — replicated per process, like :func:`lc_track`'s
+    layout). Flow:
+
+    1. frame-0 detection runs on each process's local devices; process
+       0's spot list is then broadcast to all (one kilobyte-scale DCN
+       allgather), so cross-host float nondeterminism can never fork the
+       sharded tracker's inputs;
+    2. LC tracking shards the SPOT axis over the global mesh
+       (:func:`lc_track`); tracked positions replicate to every host;
+    3. per-trace photometry and the batched step-fit chain (CK ->
+       sliding-t -> refit -> t-merge) run per process on its CONTIGUOUS
+       spot share only, against its local movie copy — pure data
+       parallelism over traces (SURVEY P2), frames never cross DCN;
+    4. the per-share products allgather (kilobytes), every host
+       assembles the full trace set in global spot order and, when
+       ``csv_path`` is given, writes an identical
+       ``save_experiment_as_csv`` CSV — the reference's whole-experiment
+       movie output contract (flexlibrary.py:3550-3709, plateau-start
+       caching included via the class writer).
+
+    Byte-identical to a single-process ``Pipeline.run_timetrace`` —
+    proven with real two-process execution in tests/test_multihost.py.
+
+    Returns the ``Pipeline.run_timetrace`` result dict (traces,
+    photometries, step_fits, step_fit_intermediates, trace_count,
+    csv_path).
+    """
+    from ..api import Pipeline, _normalize_stack
+    from ..models.detect import find_peptide_centers
+    from ..ops.stepfit_batch import stepfit_batched
+    from ..pipeline.fast_timetrace import timetrace_photometries
+    from ..pipeline.traces import PhotometryTrace, PlateauTrace
+
+    pipe = Pipeline(config=config)
+    det = pipe.config.detect
+    phot = pipe.config.photometry
+    sf = pipe.config.stepfit
+    mirror_start = (sf.mirror_start if mirror_start is None
+                    else mirror_start)
+    chung_kennedy = (sf.chung_kennedy if chung_kennedy is None
+                     else chung_kennedy)
+    p_threshold = sf.p_threshold if p_threshold is None else p_threshold
+    if isinstance(photometry_min, str):  # the "config" sentinel
+        photometry_min = phot.photometry_min
+
+    movie = _normalize_stack(movie)
+    movie = np.asarray(movie)
+    if movie.ndim != 3:
+        raise ValueError("movie must be [frames, H, W]")
+    import jax.numpy as jnp
+    movie_dev = jnp.asarray(movie)
+    if movie_dev.dtype != jnp.float32:
+        movie_dev = movie_dev.astype(jnp.float32)
+
+    # 1. frame-0 detect (local devices), process 0's list wins.
+    h0_l, w0_l, fits_l, _count = find_peptide_centers(
+        movie_dev[0],
+        median_filter_size=det.median_filter_size, c_std=det.c_std,
+        r_2_threshold=det.r_2_threshold,
+        consolidation_radius=det.consolidation_radius,
+        max_candidates=(max_candidates if max_candidates is not None
+                        else det.single_field_cap),
+        num_iters=det.num_iters,
+        gather_strategy=pipe._gather_strategy())
+    h0, w0, fits = _allgather_pickled((h0_l, w0_l, fits_l))[0]
+    N = len(h0)
+    if N == 0:
+        if csv_path is not None:
+            from ..pipeline.experiment import TimetraceExperiment
+            TimetraceExperiment(
+                frames=[None] * movie.shape[0], spot_traces=[],
+                step_fits={}, step_fit_intermediates={}
+            ).save_experiment_as_csv(
+                csv_path, include_step_fits=include_step_fits,
+                include_intermediates=None,
+                photometry_method=phot.method)
+        return {"traces": {"h": [], "w": [], "present": None,
+                           "rec_h": None, "rec_w": None},
+                "photometries": np.zeros((0, movie.shape[0])),
+                "step_fits": {}, "step_fit_intermediates": {},
+                "trace_count": 0, "csv_path": csv_path}
+
+    # 2. spot axis over the global mesh.
+    rec_h, rec_w, present = lc_track(movie, h0, w0,
+                                     search_radius=search_radius,
+                                     s_n_cutoff=s_n_cutoff, mesh=mesh)
+
+    # 3. this process's contiguous spot share.
+    nproc = jax.process_count()
+    pidx = jax.process_index()
+    share = -(-N // nproc)
+    lo, hi = pidx * share, min(N, (pidx + 1) * share)
+    phot_local = timetrace_photometries(
+        movie_dev, rec_h[:, lo:hi], rec_w[:, lo:hi], present[:, lo:hi],
+        phot.method, initial_fits=[fits[i] for i in range(lo, hi)],
+        photometry_radius=phot.radius, photometry_brim=phot.brim_size,
+        photometry_min=photometry_min,
+        aperture_radius=phot.aperture_radius, box_size=phot.box_size,
+        filter_size=phot.filter_size)
+    results_local = stepfit_batched(phot_local, mirror_start=mirror_start,
+                                    chung_kennedy=chung_kennedy,
+                                    p_threshold=p_threshold,
+                                    window_radius=sf.window_radius)
+
+    # 4. kilobyte-scale product allgather; global spot order.
+    parts = _allgather_pickled((phot_local, results_local))
+    photometries = np.concatenate(
+        [p[0] for p in parts if p[0].shape[0]], axis=0)
+    results = []
+    for p in parts:
+        results.extend(p[1])
+
+    step_fits = {}
+    intermediates = {}
+    spot_traces = []
+    for i, (hh, ww) in enumerate(zip(h0, w0)):
+        hw = (hh, ww)
+        if hw in step_fits:
+            raise Exception("Two tracks have initial Spots with "
+                            "identical (h, w).")
+        phots, ck, plateaus, t_filtered = results[i]
+        step_fits[hw] = PlateauTrace(t_filtered, hh, ww)
+        intermediates[hw] = {
+            "photometries": PhotometryTrace(phots, hh, ww),
+            "ck_filtered_photometries": PhotometryTrace(ck, hh, ww),
+            "plateaus": PlateauTrace(plateaus, hh, ww),
+            "t_filtered_plateaus": PlateauTrace(t_filtered, hh, ww),
+        }
+        spot_traces.append(PhotometryTrace(
+            tuple(float(v) for v in photometries[i]), hh, ww))
+    if csv_path is not None:
+        from ..pipeline.experiment import TimetraceExperiment
+        tte = TimetraceExperiment(
+            frames=[None] * movie.shape[0], spot_traces=spot_traces,
+            step_fits=step_fits, step_fit_intermediates=intermediates)
+        tte.save_experiment_as_csv(
+            csv_path, include_step_fits=include_step_fits,
+            include_intermediates=include_intermediates,
+            photometry_method=phot.method)
+    return {"traces": {"h": h0, "w": w0, "present": present,
+                       "rec_h": rec_h, "rec_w": rec_w},
+            "photometries": photometries, "step_fits": step_fits,
+            "step_fit_intermediates": intermediates,
+            "trace_count": len(spot_traces), "csv_path": csv_path}
+
+
 def lc_track(movie, h0, w0, search_radius=3, s_n_cutoff=3.0, mesh=None):
     """Multihost LC tracking (the timetrace front door's sharded tracker,
     pipeline/fast_timetrace.lc_track, over a MULTI-PROCESS mesh).

@@ -32,6 +32,28 @@ def synthetic_stack(F, C=2, H=64, W=64, seed=0):
     return stack.astype(np.float32)
 
 
+def synthetic_movie(T=12, H=64, W=64, seed=3):
+    """One filmed field with bleaching spots (shared by the run_timetrace
+    workers and the single-process oracle — same bits)."""
+    rng = np.random.default_rng(seed)
+    movie = rng.normal(100.0, 3.0, (T, H, W)).astype(np.float32)
+    hh, ww = np.mgrid[0:5, 0:5]
+    psf = np.exp(-((hh - 2.2) ** 2 + (ww - 2.4) ** 2) / 2.0)
+    spots = [(12, 12, 5), (30, 40, 7), (50, 20, 9), (20, 52, 4)]
+    for (h, w, drop) in spots:
+        for f in range(T):
+            level = 2.0 if f < drop else 1.0
+            movie[f, h - 2:h + 3, w - 2:w + 3] += \
+                (800.0 * level * psf).astype(np.float32)
+    return movie
+
+
+def timetrace_kwargs():
+    """Shared run_timetrace parameters (worker AND oracle)."""
+    return dict(search_radius=3, s_n_cutoff=3.0, mirror_start=3,
+                chung_kennedy=1, p_threshold=0.01)
+
+
 def experiment_config():
     """Shared by the workers and the single-process oracle — one config."""
     from fluorosequencingimageanalysis_tpu.config import (DetectConfig,
@@ -95,6 +117,15 @@ def main(argv):
         xs = np.array([12.1, 40.2, 20.4, 52.2])
         rec_h, rec_w, present = multihost.lc_track(movie, ys, xs)
         np.savez(out_path, rec_h=rec_h, rec_w=rec_w, present=present)
+        return
+    if mode == "run_timetrace":
+        # Whole-movie front door: every host writes the full
+        # save_experiment_as_csv CSV (flexlibrary.py:3550-3709 contract).
+        res = multihost.run_timetrace(synthetic_movie(),
+                                      csv_path=out_path + ".csv",
+                                      config=experiment_config(),
+                                      **timetrace_kwargs())
+        np.savez(out_path, n_traces=np.int64(res["trace_count"]))
         return
     out = multihost.run_experiment_step(
         local, max_candidates=64, num_iters=20, upsample_factor=5)

@@ -188,6 +188,38 @@ def test_two_process_zstack_and_timetrace_sharding(tmp_path):
 
 
 @pytest.mark.slow
+def test_two_process_run_timetrace_csv_byte_identical(tmp_path):
+    """The whole-movie multihost front door (VERDICT r4 item 4): two
+    processes, movie replicated, spot axis sharded over the global mesh
+    for tracking, per-process photometry + step-fit shares, product
+    allgather — each host's save_experiment_as_csv CSV must be
+    BYTE-identical to the other host's AND to a single-process
+    Pipeline.run_timetrace. Output contract:
+    /root/reference/flexlibrary.py:3550-3709."""
+    res = _run_workers(tmp_path, nproc=2, f_local=4, mode="run_timetrace")
+    assert int(res[0]["n_traces"]) == int(res[1]["n_traces"]) >= 4
+    csv0 = tmp_path / "worker_0_a0.npz.csv"
+    csv1 = tmp_path / "worker_1_a0.npz.csv"
+    if not csv0.exists():  # the retry attempt wrote _a1 outputs
+        csv0 = tmp_path / "worker_0_a1.npz.csv"
+        csv1 = tmp_path / "worker_1_a1.npz.csv"
+    b0 = csv0.read_bytes()
+    b1 = csv1.read_bytes()
+    assert b0 == b1, "hosts wrote different timetrace CSVs"
+
+    from multihost_worker import (experiment_config, synthetic_movie,
+                                  timetrace_kwargs)
+    from fluorosequencingimageanalysis_tpu.api import Pipeline
+
+    oracle_csv = tmp_path / "oracle_tt.csv"
+    out = Pipeline(config=experiment_config()).run_timetrace(
+        synthetic_movie(), csv_path=str(oracle_csv), **timetrace_kwargs())
+    assert out["trace_count"] == int(res[0]["n_traces"])
+    assert b0 == oracle_csv.read_bytes(), \
+        "multihost timetrace CSV differs from the single-process oracle"
+
+
+@pytest.mark.slow
 def test_two_process_padding_roundtrip(tmp_path):
     """F_local=3 forces the data-axis padding path (3 % 4 != 0): padded
     rows must be dropped and real fields returned in process order."""
