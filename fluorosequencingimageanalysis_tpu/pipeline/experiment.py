@@ -416,7 +416,16 @@ class SequenceExperiment(Experiment):
                                                 method="mexican_hat",
                                                 **kwargs):
         """Per-frame photometric drift factors from persistent remainders
-        (flexlibrary.py:2131-2200)."""
+        (flexlibrary.py:2131-2200).
+
+        QUIRK (kept bug-for-bug, PARITY.md "MDMA tag"): the reference's
+        docstring promises "supply an alternate tag to create a new
+        entry", but its code ignores ``tag`` and always stores under the
+        literal ``'mdma'`` key (flexlibrary.py:2198-2200 —
+        ``setdefault('mdma', [])`` then ``['mdma'] = ...``). We reproduce
+        that: a non-default ``tag`` is accepted and ignored, exactly like
+        the reference, so mdma_adjustment (which reads ``'mdma'``) always
+        sees the latest run's factors."""
         btc_photometries = self.binary_trace_categories_photometry(
             method=method, interpolate=False, discard_invalid=False, **kwargs)
         all_on = tuple([True] * len(self.peptide_frames))
@@ -432,8 +441,10 @@ class SequenceExperiment(Experiment):
                    for r in ratios]
         if self.photometry_adjustments is None:
             self.photometry_adjustments = {}
-        self.photometry_adjustments[tag] = tuple(medians)
-        return self.photometry_adjustments[tag]
+        # tag is IGNORED like the reference (see docstring QUIRK note).
+        self.photometry_adjustments.setdefault("mdma", [])
+        self.photometry_adjustments["mdma"] = tuple(medians)
+        return self.photometry_adjustments["mdma"]
 
     @staticmethod
     def mdma_adjustment(photometry, frame, adjustments):

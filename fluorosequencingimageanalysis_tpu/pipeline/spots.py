@@ -160,7 +160,13 @@ class Spot:
         # per-row interleaving.
         edge = np.concatenate([sl[0, :], sl[-1, :],
                                sl[1:-1, [0, -1]].ravel()])
-        return float((sl.max() - edge.mean()) / edge.std())
+        # Saturated-flat edges have std == 0; the reference divides by it
+        # anyway (pflib.py:281) and yields nan (flat patch: 0/0) or inf —
+        # values the s_n < cutoff gates compare against as-is. Keep the
+        # value (reference parity, pinned in tests/test_compat.py) but
+        # suppress numpy's RuntimeWarning from leaking into user runs.
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return float((sl.max() - edge.mean()) / edge.std())
 
 
 class CircularAperture:

@@ -552,3 +552,22 @@ def test_imageio_read_and_convert(tmp_path):
     converted_path, image = read_image(tif)
     assert converted_path == out_png
     np.testing.assert_array_equal(image, arr)
+
+
+def test_illumina_s_n_flat_patch_is_nan_without_warning():
+    """Saturated-flat windows: the reference divides by a zero edge std
+    (pflib.py:281) yielding nan (0/0), and the s_n gates compare against
+    it as-is. Pin the value AND that no RuntimeWarning leaks into user
+    runs (VERDICT r4 weak item 7)."""
+    import warnings
+
+    import numpy as np
+    from fluorosequencingimageanalysis_tpu.pipeline.spots import Image, Spot
+
+    img = Image(image=np.full((21, 21), 4095.0),
+                metadata={"filepath": "mem://flat"}, spots=None)
+    spot = Spot(img, 10, 10, 5)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any warning -> test failure
+        v = spot.illumina_s_n()
+    assert np.isnan(v)

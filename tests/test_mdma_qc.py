@@ -177,3 +177,27 @@ def test_custom_adjustment_function_matches_class_path(tmp_path, with_mdma):
             tuple(ref[:5]), (i, (ch, f, h, w, cat), ref[:5])
         np.testing.assert_allclose(ph, [float(x) for x in ref[5:]],
                                    rtol=1e-5, atol=1e-2, err_msg=f"row {i}")
+
+
+def test_mdma_tag_is_ignored_like_reference(tmp_path):
+    """PARITY 'MDMA tag': the reference's docstring promises an alternate
+    tag creates a new photometry_adjustments entry, but its code always
+    stores under the literal 'mdma' key
+    (/root/reference/flexlibrary.py:2197-2200). Pin the quirk: a custom
+    tag is accepted, ignored, and the factors land under 'mdma'."""
+    stack = make_stack(F=1, C=4, seed=23, n_spots=16, presence_p=0.8)
+    mfmc = _class_experiment(stack)
+    ref = mfmc.multiplicative_delta_median_adjustments()
+
+    mfmc2 = _class_experiment(stack)
+    got = mfmc2.multiplicative_delta_median_adjustments(tag="custom")
+    assert got == ref
+    checked = 0
+    for field in mfmc2.experimental_fields:
+        for ex in field.channels.values():
+            adjs = ex.photometry_adjustments
+            if adjs is not None:
+                assert "mdma" in adjs
+                assert "custom" not in adjs
+                checked += 1
+    assert checked > 0
