@@ -62,6 +62,7 @@ def test_decision_thresholds(monkeypatch):
     monkeypatch.setattr(probes, "matmul_tflops", lambda: 0.3)
     assert probes.gather_strategy() == "gather"
     monkeypatch.setattr(probes, "compile_ok", lambda name, **kw: True)
+    monkeypatch.setattr(probes, "measured_rates", lambda name, **kw: None)
     assert probes.stepfit_chunk() == 4096
     assert probes.v8_chunk() == 65536
     monkeypatch.setattr(probes, "compile_ok", lambda name, **kw: False)
@@ -174,3 +175,58 @@ def test_upload_group_items_sizing(monkeypatch):
     monkeypatch.setattr(probes, "link_latency_s",
                         lambda: (_ for _ in ()).throw(AssertionError))
     assert probes.upload_group_items(0.5, 4, 64) == 8
+
+
+def test_measured_chunk_tier_decisions(monkeypatch):
+    """The measured 4096-vs-8192 tier (VERDICT r4 item 6): the bigger
+    chunk must WIN the throughput A/B by >5%, not merely compile; a
+    failed/absent measurement keeps the compile-gated default."""
+    monkeypatch.setattr(probes, "_is_cpu", lambda: False)
+    monkeypatch.setattr(probes, "compile_ok", lambda name, **kw: True)
+    monkeypatch.setattr(probes, "measured_rates",
+                        lambda name, **kw: {"4096": 100.0, "8192": 120.0})
+    assert probes.stepfit_chunk() == 8192
+    assert probes.detect_chunk() == 8192
+    monkeypatch.setattr(probes, "measured_rates",
+                        lambda name, **kw: {"4096": 100.0, "8192": 103.0})
+    assert probes.stepfit_chunk() == 4096  # a tie is not a win
+    monkeypatch.setattr(probes, "measured_rates", lambda name, **kw: None)
+    assert probes.stepfit_chunk() == 4096
+    assert probes.detect_chunk() == 4096
+    monkeypatch.setattr(probes, "compile_ok", lambda name, **kw: False)
+    assert probes.stepfit_chunk() == 2048
+    assert probes.detect_chunk() == 2048
+
+
+def test_measured_rates_subprocess_and_caching(tmp_path, monkeypatch):
+    """measured_rates: a real child emits PROBE_RESULT json (cached); a
+    ready-then-crash child caches None; a no-device child is transient."""
+    monkeypatch.setenv("HOME", str(tmp_path))
+    probes._CACHE.clear()
+    # Trivial prelude: the real one initializes a jax backend in the
+    # child, which can take minutes through an unhealthy device tunnel —
+    # the real-prelude integration is covered by the compile-probe tests.
+    monkeypatch.setattr(probes, "_PROBE_PRELUDE",
+                        "print('PROBE_BACKEND_READY')\n")
+    monkeypatch.setitem(
+        probes._MEASURE_PROBES, "fake_rates",
+        "import json\n"
+        "print('PROBE_RESULT ' + json.dumps({'4096': 10.0, '8192': 20.0}))\n"
+        "print('PROBE_OK')\n")
+    got = probes.measured_rates("fake_rates", timeout_s=120)
+    assert got == {"4096": 10.0, "8192": 20.0}
+    cached = probes._load(probes.backend_fingerprint())
+    assert any(k.startswith("fake_rates@") for k in cached)
+
+    monkeypatch.setitem(probes._MEASURE_PROBES, "crash_rates",
+                        "import os; os.abort()")
+    assert probes.measured_rates("crash_rates", timeout_s=120) is None
+    cached = probes._load(probes.backend_fingerprint())
+    key = [k for k in cached if k.startswith("crash_rates@")]
+    assert key and cached[key[0]] is None  # real verdict: cached
+
+    monkeypatch.setattr(probes, "_PROBE_PRELUDE", "import os; os.abort()\n")
+    monkeypatch.setitem(probes._MEASURE_PROBES, "nodev_rates", "pass")
+    assert probes.measured_rates("nodev_rates", timeout_s=120) is None
+    assert not any(k.startswith("nodev_rates@")
+                   for k in probes._load(probes.backend_fingerprint()))
