@@ -239,7 +239,8 @@ def chi_squared_step_fitter(luminosity_sequence, num_steps_multiplier=1,
 
 def chi_squared_fit_batch(traces, num_steps_multiplier=1, num_steps=None,
                           min_step_length=2, min_step_magnitude=0.0,
-                          ignore_counterfits=False, n_threads=None):
+                          ignore_counterfits=False, n_threads=None,
+                          engine=None):
     """Batched Kerssemakers chi-squared fitter over an (N, T) trace stack.
 
     Per-trace results are bit-equal to :func:`chi_squared_step_fitter`
@@ -249,6 +250,16 @@ def chi_squared_fit_batch(traces, num_steps_multiplier=1, num_steps=None,
     embarrassingly parallel across traces, so the native C++ core
     (native/chisqfit.cpp) threads the batch; when the native build is
     unavailable it falls back to the exact host loop.
+
+    ``engine``: None (default) asks the backend probe registry
+    (utils/probes.chisq_engine — a measured native-vs-device A/B, the
+    native core preferred unless the device wins clearly); "native"
+    forces the C++ core (host loop if unbuilt); "device" forces the
+    jitted [N, T] program (ops/chisq_batch_device — equal in exact
+    arithmetic, may diverge from the oracle on last-ulp-tied split
+    decisions; heights are the host's exact np.mean either way). The
+    ``num_steps = T - 1`` ValueError edge routes to native/host
+    regardless (the device engine statically excludes it).
 
     Returns a list of N step fits (each a list of (start, stop, height)
     plateau triples).
@@ -273,6 +284,16 @@ def chi_squared_fit_batch(traces, num_steps_multiplier=1, num_steps=None,
     num_plateaus = num_steps + 1
     if N == 0:
         return []
+    if engine is None:
+        from .utils import probes
+        engine = probes.chisq_engine()
+    if engine == "device" and num_steps <= T - 2:
+        from .ops.chisq_batch_device import chi_squared_fit_device
+        return chi_squared_fit_device(
+            traces, num_steps=num_steps,
+            min_step_length=min_step_length,
+            min_step_magnitude=min_step_magnitude,
+            ignore_counterfits=ignore_counterfits)
     from .native import chisqfit as _ncf
 
     if _ncf.have_native():

@@ -342,6 +342,46 @@ for chunk in (4096, 8192):
 print("PROBE_RESULT " + json.dumps(rates))
 print("PROBE_OK")
 """,
+    "chisq_engine_rates": """
+# v2: scan-structured device program (constant-in-P compile cost)
+import json, time
+import numpy as np
+rng = np.random.default_rng(0)
+N, T = 512, 100
+traces = np.zeros((N, T))
+for i in range(N):
+    nsteps = int(rng.integers(0, 4))
+    drops = np.sort(rng.choice(np.arange(4, T - 4), nsteps, replace=False))
+    level = float(nsteps + 1)
+    tr = np.full(T, level)
+    for d in drops:
+        level -= 1.0
+        tr[d:] = level
+    traces[i] = tr * 2500 + rng.normal(0, 300, T)
+rates = {}
+from fluorosequencingimageanalysis_tpu.native import chisqfit as ncf
+if ncf.have_native():
+    from fluorosequencingimageanalysis_tpu import stepfitting as sf
+    sf.chi_squared_fit_batch(traces[:64], num_steps=10)  # warm threads
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        sf.chi_squared_fit_batch(traces, num_steps=10)
+        best = min(best, time.perf_counter() - t0)
+    rates["native"] = N / best
+from fluorosequencingimageanalysis_tpu.ops.chisq_batch_device import (
+    chi_squared_fit_device)
+chi_squared_fit_device(traces[:64], num_steps=10)  # compile small shape
+chi_squared_fit_device(traces, num_steps=10)       # compile + warm
+best = float("inf")
+for _ in range(3):
+    t0 = time.perf_counter()
+    chi_squared_fit_device(traces, num_steps=10)
+    best = min(best, time.perf_counter() - t0)
+rates["device"] = N / best
+print("PROBE_RESULT " + json.dumps(rates))
+print("PROBE_OK")
+""",
     "detect_chunk_rates": """
 import json, time
 import numpy as np
@@ -622,6 +662,26 @@ def upload_group_items(item_mb: float, n_dev: int, total: int,
     return g
 
 
+_CHISQ_DEVICE_MARGIN = 1.2  # device must beat the bit-exact core clearly
+
+
+def chisq_engine() -> str:
+    """Kerssemakers batch engine: 'native' (the C++ core, bit-equal to
+    the host oracle) or 'device' (ops/chisq_batch_device — the same
+    chain as one jitted [N, T] program; equal in exact arithmetic, may
+    diverge on last-ulp-tied split decisions). The device engine is
+    chosen only when the measured A/B (VERDICT r4 item 8) shows it
+    >= 1.2x faster on this backend — exactness wins anything close. The
+    CPU "backend" is the native core's own platform; no probe there."""
+    if _mode() == "off" or _is_cpu():
+        return "native"
+    rates = measured_rates("chisq_engine_rates")
+    if (rates and rates.get("device") and rates.get("native")
+            and rates["device"] > _CHISQ_DEVICE_MARGIN * rates["native"]):
+        return "device"
+    return "native"
+
+
 def timetrace_prefetch() -> bool:
     """Upload-ahead for run_timetraces: wins on fast links, loses on
     serial tunnels (DESIGN 16's measured A/B). CPU keeps the safe
@@ -653,6 +713,7 @@ def snapshot() -> dict:
         "stepfit_chunk": stepfit_chunk(),
         "v8_chunk": v8_chunk(),
         "detect_chunk": detect_chunk(),
+        "chisq_engine": chisq_engine(),
         "timetrace_prefetch": timetrace_prefetch(),
     }
     return snap
