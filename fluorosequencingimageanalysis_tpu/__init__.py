@@ -37,20 +37,36 @@ __version__ = "0.1.0"
 
 
 def _machine_cache_key():
-    """Short stable key for this machine type: arch + OS + CPU feature
-    flags (the exact inputs XLA:CPU AOT results depend on). Hashed so
-    the directory name stays short."""
+    """Short stable key for this machine type: arch + OS + CPU model +
+    CPU feature flags. XLA:CPU AOT results bake in LLVM's host-detected
+    target features, which include per-MODEL tuning flags (e.g.
+    ``prefer-no-gather``) that two machines with identical cpuinfo
+    feature lists can still disagree on — so the model name is part of
+    the key, not just the flags. Hashed so the directory name stays
+    short."""
     import hashlib
     import platform
 
     bits = [platform.machine(), platform.system()]
     try:
         with open("/proc/cpuinfo") as f:
+            # First processor block only: model name plus the raw
+            # family/model/stepping numbers LLVM's CPUID-based host
+            # detection keys its tuning on.
+            want = ("model name", "cpu family", "model\t", "model:",
+                    "stepping", "flags", "Features")
+            seen = set()
             for line in f:
-                if line.startswith(("flags", "Features")):
-                    bits.append(" ".join(sorted(
-                        line.split(":", 1)[1].split())))
-                    break
+                if line.strip() == "" and seen:
+                    break  # end of the first processor block
+                for w in want:
+                    if line.startswith(w) and w not in seen:
+                        seen.add(w)
+                        val = line.split(":", 1)[1].strip()
+                        if w in ("flags", "Features"):
+                            val = " ".join(sorted(val.split()))
+                        bits.append(f"{w}={val}")
+                        break
     except OSError:
         bits.append(platform.processor() or "unknown")
     return hashlib.sha1("|".join(bits).encode()).hexdigest()[:12]
