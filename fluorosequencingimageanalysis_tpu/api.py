@@ -319,16 +319,21 @@ class Pipeline:
                     x = shard_fields(grp, mesh)
                     o = experiment_step_sharded(x, mesh, **step_kwargs)
                     if pack:
-                        # Start the device->host copies NOW (they queue
-                        # right behind this group's step, ahead of later
-                        # uploads): the link charges ~30 ms latency per
-                        # fetch, so eight lazily-blocking per-key
-                        # np.asarray calls would serialize ~0.25 s of
-                        # pure latency per group. The async copies land
-                        # in the arrays' host cache; np.asarray below
-                        # just waits for its own copy.
-                        for k in keys:
-                            o[k].copy_to_host_async()
+                        # Pack the result dict into per-byte-width blobs
+                        # (utils/transfer) and start the device->host
+                        # copies NOW (they queue right behind this
+                        # group's step, ahead of later uploads): the
+                        # link charges ~30-60 ms latency per fetch, so
+                        # nine per-key fetches per group would serialize
+                        # ~0.25-0.5 s of pure latency; the packed form
+                        # is <= 3 round trips, bit-exact (bitcasts, no
+                        # rounding).
+                        from .utils.transfer import pack_for_transfer
+                        blobs, spec = pack_for_transfer(
+                            {k: o[k] for k in keys})
+                        for b in blobs.values():
+                            b.copy_to_host_async()
+                        return (blobs, spec), hi - lo, x
                     return o, hi - lo, x
             # dispatch='eager' (default) enqueues every group's upload +
             # step up front; 'window' keeps a sliding window of 2 in
@@ -343,8 +348,9 @@ class Pipeline:
             # pressure.
             n_prime = 2 if dispatch == "window" else len(lows)
             pending = [_dispatch(lo) for lo in lows[:n_prime]]
-            names = [k for k in pending[0][0]
-                     if keys is None or k in keys]
+            names = (list(keys) if pack
+                     else [k for k in pending[0][0]
+                           if keys is None or k in keys])
         parts = [] if key is not None else None
         for gi, lo in enumerate(lows):
             o, ga, dev = pending[gi]
@@ -352,8 +358,15 @@ class Pipeline:
                 from .utils import profiling
 
                 # np.asarray blocks only on THIS group's step.
-                grp_out = {k: np.asarray(o[k])[:ga] for k in names}
-                profiling.bump("ledger/result_fetches", len(names))
+                if pack:
+                    from .utils.transfer import unpack_transfer
+                    blobs, spec = o
+                    grp_out = {k: v[:ga] for k, v in
+                               unpack_transfer(blobs, spec).items()}
+                    profiling.bump("ledger/result_fetches", len(blobs))
+                else:
+                    grp_out = {k: np.asarray(o[k])[:ga] for k in names}
+                    profiling.bump("ledger/result_fetches", len(names))
                 profiling.bump("ledger/fetch_bytes",
                                sum(int(v.nbytes) for v in grp_out.values()))
                 if gi + n_prime < len(lows):
