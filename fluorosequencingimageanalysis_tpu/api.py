@@ -501,6 +501,8 @@ class Pipeline:
 
         from .utils import profiling
 
+        lean_spec = {}  # per-group transfer spec (identical across groups)
+
         def _dispatch_group(grp):
             n = grp.shape[0]
             if n < g:
@@ -545,13 +547,19 @@ class Pipeline:
             # shape).
             if lean:
                 from .models.detect import pack_spot_buckets
+                from .utils.transfer import pack_for_transfer
                 coord_dt = (jnp.int16
                             if max(stack.shape[1:]) <= 32767 else jnp.int32)
                 f32b, intsb, flagsb, spotc, candc = pack_spot_buckets(
                     res, n_spots_bucket, coord_dtype=coord_dt)
-                fetch = {"_lean_f32": f32b, "_lean_ints": intsb,
-                         "_lean_flags": flagsb, "_lean_spot_count": spotc,
-                         "_lean_cand_count": candc}
+                # One fetch per byte width instead of five (each fetch is
+                # a full link round trip — utils/transfer).
+                blobs, spec = pack_for_transfer(
+                    {"_lean_f32": f32b, "_lean_ints": intsb,
+                     "_lean_flags": flagsb, "_lean_spot_count": spotc,
+                     "_lean_cand_count": candc})
+                lean_spec["spec"] = spec
+                fetch = {f"_blob{size}": b for size, b in blobs.items()}
             else:
                 fetch = dict(res._asdict())
             if return_background:
@@ -642,12 +650,20 @@ class Pipeline:
                     fetched[k] = np.concatenate(parts_k)
                 if lean:
                     from .models.detect import unpack_spot_buckets
+                    from .utils.transfer import unpack_transfer
+                    blobs = {int(k[len("_blob"):]): fetched.pop(k)
+                             for k in list(fetched)
+                             if k.startswith("_blob")}
+                    # Blob rows concatenated across groups: widen the
+                    # per-group spec's leading axis to the total frames.
+                    T_total = next(iter(blobs.values())).shape[0]
+                    spec = tuple((k, (T_total,) + shape[1:], dt)
+                                 for (k, shape, dt) in lean_spec["spec"])
+                    parts = unpack_transfer(blobs, spec)
                     out = unpack_spot_buckets(
-                        fetched.pop("_lean_f32"),
-                        fetched.pop("_lean_ints"),
-                        fetched.pop("_lean_flags"),
-                        fetched.pop("_lean_spot_count"),
-                        fetched.pop("_lean_cand_count"))
+                        parts["_lean_f32"], parts["_lean_ints"],
+                        parts["_lean_flags"], parts["_lean_spot_count"],
+                        parts["_lean_cand_count"])
                     out.update(fetched)  # background, if requested
                 else:
                     out = fetched
