@@ -2,10 +2,17 @@
 """Benchmarks: the detect step AND the full experiment, per chip.
 
 Prints one JSON line per metric; the driver parses the LAST one (the
-headline). Round 4 adds: backend_probes (the probe registry snapshot),
-transfer_ledger inside experiment_fields_per_sec (counted round trips),
-chisq_traces_per_sec (native Kerssemakers batch) and
-sim_fit_molecules_per_sec (device-chained simulate->fit closure).
+headline). Round 5 instrumentation contract: every transfer-bound line
+carries its exact ``transfer_ledger`` (uploads / dispatches / fetches +
+bytes each way) and a ``stages_sec`` floor decomposition priced at the
+per-direction link bandwidths measured at that line's own moment
+(``measure_link``: the tunnel is asymmetric and swings between health
+phases), with ``residual_sec`` explicit — a value move between rounds is
+attributable to link vs pipeline from the artifact alone. CPU
+denominators record their best-of-2 spread. The zstack line uses the
+lean keep-first fetch; the sim line fetches uint16 fixed-point
+intensities over pipelined reps; the chisq line reports the measured
+native-vs-device engine rates from the probe registry.
 
   {"metric": "experiment_fields_per_sec", ...}        <- config 4 (full
       multi-field multi-cycle experiment: registration + detect/fit +
