@@ -491,7 +491,7 @@ def bench_chisq(N=2048, T=100, num_steps=10, host_sample=12):
     # minutes every run). Exact-agreement CI lives in
     # tests/test_chisq_device.py.
     from fluorosequencingimageanalysis_tpu.utils import probes
-    engine_rates = probes.measured_rates("chisq_engine_rates")
+    engine_rates = probes.chisq_engine_rates()
     engine = probes.chisq_engine()
 
     t0 = time.perf_counter()
@@ -1008,8 +1008,12 @@ def _floor_decomposition(ledger, link, host_sec=0.0, compute_sec=0.0):
     fetch_b = ledger.get("ledger/fetch_bytes", 0)
     trips = (ledger.get("ledger/uploads", 0) +
              ledger.get("ledger/result_fetches", 0))
-    up_s = up_b / 1e6 / max(link["up_MBps"], 1e-9)
-    fetch_s = fetch_b / 1e6 / max(link["down_MBps"], 1e-9)
+    # measure_link's bandwidths are MiB/s (it times MiB-sized buffers),
+    # so floors must price bytes in MiB too — a 1e6 divisor would
+    # understate every floor by ~4.7% and book it as phantom residual.
+    mib = 1024.0 * 1024.0
+    up_s = up_b / mib / max(link["up_MBps"], 1e-9)
+    fetch_s = fetch_b / mib / max(link["down_MBps"], 1e-9)
     # Latency is an UPPER attribution, not part of the floor: result
     # copies start async at dispatch time, so most round trips overlap
     # transfers/compute (counting them serially put the r5 config-4
@@ -1085,7 +1089,7 @@ def main():
         "stages_sec": stages,
         "floor_decomposition": exp_floor,
         "floor_fields_per_sec": round(
-            exp_stack.shape[0] / exp_floor["floor_sec"], 2),
+            exp_stack.shape[0] / max(exp_floor["floor_sec"], 1e-6), 2),
         # Exact round-trip census of the timed run (uploads, step
         # dispatches, result fetches, hole-photometry dispatches,
         # bytes each way) — the DESIGN.md section 15b transfer ledger.
@@ -1110,7 +1114,8 @@ def main():
         "link": z_link,
         "stages_sec": z_floor,
         "transfer_ledger": z_ledger,
-        "floor_frames_per_sec": round(32 / z_floor["floor_sec"], 2),
+        "floor_frames_per_sec": round(
+            32 / max(z_floor["floor_sec"], 1e-6), 2),
         "shape": f"T=32 512x512 frames, ~{z_cands} candidates/frame "
                  "(sextractor background + subtract + detect + PSF fits; "
                  "lean keep-first fetch)",

@@ -359,16 +359,23 @@ class Pipeline:
 
                 # np.asarray blocks only on THIS group's step.
                 if pack:
-                    from .utils.transfer import unpack_transfer
+                    from .utils.transfer import (transfer_nbytes,
+                                                 unpack_transfer)
                     blobs, spec = o
                     grp_out = {k: v[:ga] for k, v in
                                unpack_transfer(blobs, spec).items()}
                     profiling.bump("ledger/result_fetches", len(blobs))
+                    # Padded group rows transfer too: count the blob
+                    # bytes that crossed the link, not the sliced views.
+                    profiling.bump("ledger/fetch_bytes",
+                                   transfer_nbytes(blobs))
                 else:
-                    grp_out = {k: np.asarray(o[k])[:ga] for k in names}
+                    full = {k: np.asarray(o[k]) for k in names}
+                    grp_out = {k: v[:ga] for k, v in full.items()}
                     profiling.bump("ledger/result_fetches", len(names))
-                profiling.bump("ledger/fetch_bytes",
-                               sum(int(v.nbytes) for v in grp_out.values()))
+                    profiling.bump("ledger/fetch_bytes",
+                                   sum(int(v.nbytes)
+                                       for v in full.values()))
                 if gi + n_prime < len(lows):
                     pending.append(_dispatch(lows[gi + n_prime]))
             if parts is not None:
@@ -467,7 +474,8 @@ class Pipeline:
                               box_size, filter_size,
                               "exhaustive" if exhaustive else mc,
                               return_background,
-                              ("lean", n_spots_bucket) if lean else None)
+                              *((("lean", n_spots_bucket),) if lean
+                                else ()))
             if self.store.exists(key):
                 return self.store.load(key)
         T = stack.shape[0]
@@ -601,10 +609,11 @@ class Pipeline:
                         gather_strategy=gather_strategy)
                     extra = {}
                     for k, v in fetch.items():
-                        a = np.asarray(v)[:n]
+                        a_full = np.asarray(v)
                         profiling.bump("ledger/result_fetches")
-                        profiling.bump("ledger/fetch_bytes", int(a.nbytes))
-                        extra[k] = a
+                        profiling.bump("ledger/fetch_bytes",
+                                       int(a_full.nbytes))
+                        extra[k] = a_full[:n]
                     if psfs:
                         extra["subtracted"] = np.asarray(sub[:n])
                     parts.append((res, extra))
@@ -643,10 +652,13 @@ class Pipeline:
                 for k in pending[0][1]:
                     parts_k = []
                     for n, fetch, _ in pending:
-                        a = np.asarray(fetch[k])[:n]
+                        a_full = np.asarray(fetch[k])
                         profiling.bump("ledger/result_fetches")
-                        profiling.bump("ledger/fetch_bytes", int(a.nbytes))
-                        parts_k.append(a)
+                        # Padded rows transfer too: count what crossed
+                        # the link, not the post-slice view.
+                        profiling.bump("ledger/fetch_bytes",
+                                       int(a_full.nbytes))
+                        parts_k.append(a_full[:n])
                     fetched[k] = np.concatenate(parts_k)
                 if lean:
                     from .models.detect import unpack_spot_buckets
@@ -674,8 +686,9 @@ class Pipeline:
                 worst = int(out["spot_count"].max())
                 warnings.warn(
                     f"run_zstack(lean=True): {worst} kept fits exceed "
-                    f"max_spots={n_spots_bucket}; the weakest-ranked "
-                    "kept fits were dropped from the transfer. Re-run "
+                    f"max_spots={n_spots_bucket}; kept fits beyond the "
+                    "first max_spots (in candidate order, NOT by "
+                    "quality) were dropped from the transfer. Re-run "
                     "with a larger max_spots (or lean=False) for full "
                     "coverage.", stacklevel=2)
         if psfs:

@@ -158,7 +158,9 @@ def pack_spot_buckets(res: SpotFindResult, max_spots: int,
       flags [B, S, 2]: keep, cand_valid  (bool)
 
     plus spot_count [B] (exact per-image keep totals — the overflow
-    check: spot_count > max_spots means kept fits were truncated) and
+    check: spot_count > max_spots means kept fits were truncated, in
+    CANDIDATE order: the slots beyond max_spots are dropped regardless
+    of fit quality) and
     the pass-through cand_count [B]. At S=2048 this is ~4.4x fewer
     fetch bytes than the full K=8192 schema, with bit-identical values
     for every kept slot.

@@ -154,7 +154,11 @@ def consolidate_host(centers_h, centers_w, r2, valid, radius=4.0):
     Distances are computed in the centers' own float dtype, exactly like
     the device kernel (which compares in ``ch.dtype``), so boundary cases
     (d^2 == radius^2 exactly) cannot diverge for float32 OR float64
-    inputs.
+    inputs. Caveat: "the device kernel's dtype" means the dtype the
+    array actually HAS on device — without jax.enable_x64, jax silently
+    downcasts float64 inputs to float32 at jnp.asarray, so f64 parity
+    with the device scan requires x64 (the pinned test enables it);
+    the production detect paths feed float32 everywhere.
     """
     dt = (np.float64 if np.asarray(centers_h).dtype == np.float64
           else np.float32)

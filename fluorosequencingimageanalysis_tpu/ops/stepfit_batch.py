@@ -294,10 +294,12 @@ def stepfit_batched(photometries, mirror_start=0, chung_kennedy=0,
         for j in range(len(pending[0][1])):
             parts = []
             for m, d in pending:
-                a = np.asarray(d[j])[:m]
+                a_full = np.asarray(d[j])
                 profiling.bump("ledger/result_fetches")
-                profiling.bump("ledger/fetch_bytes", int(a.nbytes))
-                parts.append(a)
+                # Bucket padding transfers too: count what crossed the
+                # link, not the post-slice view.
+                profiling.bump("ledger/fetch_bytes", int(a_full.nbytes))
+                parts.append(a_full[:m])
             cols.append(np.concatenate(parts))
         cols = tuple(cols)
         return cols if len(cols) > 1 else cols[0]

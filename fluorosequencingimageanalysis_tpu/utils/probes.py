@@ -343,7 +343,8 @@ print("PROBE_RESULT " + json.dumps(rates))
 print("PROBE_OK")
 """,
     "chisq_engine_rates": """
-# v2: scan-structured device program (constant-in-P compile cost)
+# v3: explicit engines (engine=None would re-enter chisq_engine() ->
+# measured_rates() in this CHILD and fork grandchildren recursively)
 import json, time
 import numpy as np
 rng = np.random.default_rng(0)
@@ -362,11 +363,12 @@ rates = {}
 from fluorosequencingimageanalysis_tpu.native import chisqfit as ncf
 if ncf.have_native():
     from fluorosequencingimageanalysis_tpu import stepfitting as sf
-    sf.chi_squared_fit_batch(traces[:64], num_steps=10)  # warm threads
+    sf.chi_squared_fit_batch(traces[:64], num_steps=10,
+                             engine="native")  # warm threads
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        sf.chi_squared_fit_batch(traces, num_steps=10)
+        sf.chi_squared_fit_batch(traces, num_steps=10, engine="native")
         best = min(best, time.perf_counter() - t0)
     rates["native"] = N / best
 from fluorosequencingimageanalysis_tpu.ops.chisq_batch_device import (
@@ -426,6 +428,14 @@ def measured_rates(name: str, timeout_s: float = 420.0):
     disk-caching under the backend fingerprint is sound. The round-4
     registry only asked "does the big chunk COMPILE"; this tier answers
     VERDICT r4 item 6's "does it actually HELP"."""
+    if _mode() == "off":
+        return None
+    if os.environ.get("FSIA_PROBE_CHILD"):
+        # Reentrancy guard: a probe child whose body reaches a decision
+        # function must NOT fork grandchildren (unbounded recursion
+        # until the parent's timeout); it gets the safe default,
+        # uncached.
+        return None
     body = _PROBE_PRELUDE + _MEASURE_PROBES[name]
     import hashlib
     key = f"{name}@{hashlib.sha1(body.encode()).hexdigest()[:8]}"
@@ -439,6 +449,7 @@ def measured_rates(name: str, timeout_s: float = 420.0):
     repo = os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
     env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    env["FSIA_PROBE_CHILD"] = "1"
     ready, result = False, None
     try:
         proc = subprocess.run([sys.executable, "-c", body], env=env,
@@ -489,6 +500,10 @@ def compile_ok(name: str, timeout_s: float = 240.0) -> bool:
       cached — the next process retries instead of freezing a transient
       environment failure into the per-backend cache.
     """
+    if os.environ.get("FSIA_PROBE_CHILD"):
+        # Reentrancy guard (see measured_rates): probe children never
+        # fork grandchildren; safe default, uncached.
+        return False
     body = _PROBE_PRELUDE + _COMPILE_PROBES[name]
     # Key the verdict by the probe BODY too: editing a probe (e.g.
     # changing the contested shape) must invalidate the cached verdict.
@@ -509,6 +524,7 @@ def compile_ok(name: str, timeout_s: float = 240.0) -> bool:
     repo = os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
     env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    env["FSIA_PROBE_CHILD"] = "1"
     ready = False
     try:
         proc = subprocess.run([sys.executable, "-c", body], env=env,
@@ -658,11 +674,26 @@ def upload_group_items(item_mb: float, n_dev: int, total: int,
         two_groups = -(-total // 2)  # ceil: the 2-in-flight cap
         if two_groups >= max(floor, n_dev):
             g = min(g, two_groups)
+    # Never exceed the workload itself (rounded up to the mesh): the
+    # latency-derived g is unbounded, and a tiny stack padded to it
+    # would multiply upload bytes and compile a one-off inflated shape.
+    cap = total + (-total) % max(n_dev, 1)
+    if cap >= max(n_dev, 1):
+        g = min(g, cap)
     g += (-g) % max(n_dev, 1)
     return g
 
 
 _CHISQ_DEVICE_MARGIN = 1.2  # device must beat the bit-exact core clearly
+
+
+def chisq_engine_rates():
+    """Guarded access to the native-vs-device Kerssemakers A/B rates
+    (None in off-mode, on the CPU backend, and on backends whose probe
+    failed)."""
+    if _mode() == "off" or _is_cpu():
+        return None
+    return measured_rates("chisq_engine_rates")
 
 
 def chisq_engine() -> str:
@@ -673,9 +704,7 @@ def chisq_engine() -> str:
     chosen only when the measured A/B (VERDICT r4 item 8) shows it
     >= 1.2x faster on this backend — exactness wins anything close. The
     CPU "backend" is the native core's own platform; no probe there."""
-    if _mode() == "off" or _is_cpu():
-        return "native"
-    rates = measured_rates("chisq_engine_rates")
+    rates = chisq_engine_rates()
     if (rates and rates.get("device") and rates.get("native")
             and rates["device"] > _CHISQ_DEVICE_MARGIN * rates["native"]):
         return "device"

@@ -230,3 +230,44 @@ def test_measured_rates_subprocess_and_caching(tmp_path, monkeypatch):
     assert probes.measured_rates("nodev_rates", timeout_s=120) is None
     assert not any(k.startswith("nodev_rates@")
                    for k in probes._load(probes.backend_fingerprint()))
+
+
+def test_upload_group_items_capped_at_workload(monkeypatch):
+    """The latency-derived group size must never exceed the workload
+    itself (review r5): a tiny stack on a high-latency link would
+    otherwise pad to a giant repeated-frame group, multiplying upload
+    bytes and compiling a one-off inflated shape."""
+    monkeypatch.setattr(probes, "_is_cpu", lambda: False)
+    monkeypatch.setattr(probes, "link_latency_s", lambda: 0.05)
+    monkeypatch.setattr(probes, "link_bandwidth_MBps", lambda: 60.0)
+    # 0.016 MB frames: unbounded g would be 750.
+    assert probes.upload_group_items(0.016, 1, 12) == 12
+    assert probes.upload_group_items(0.016, 8, 12) == 16  # mesh multiple
+    assert probes.upload_group_items(0.016, 1, 1) == 1
+
+
+def test_probe_children_never_fork_grandchildren(monkeypatch, tmp_path):
+    """Reentrancy guard (review r5): inside a probe child, decision
+    functions return safe defaults without spawning (the chisq probe
+    body calls chi_squared_fit_batch, whose engine=None path consults
+    the registry — unguarded, that forked grandchildren until the
+    parent's timeout)."""
+    monkeypatch.setenv("HOME", str(tmp_path))
+    monkeypatch.setenv("FSIA_PROBE_CHILD", "1")
+    probes._CACHE.clear()
+    spawned = []
+    monkeypatch.setattr(probes.subprocess, "run",
+                        lambda *a, **k: spawned.append(1))
+    assert probes.measured_rates("chisq_engine_rates") is None
+    assert probes.compile_ok("stepfit_compile_4096") is False
+    assert spawned == []
+
+
+def test_measured_rates_off_mode(monkeypatch):
+    monkeypatch.setenv("FSIA_PROBES", "off")
+    spawned = []
+    monkeypatch.setattr(probes.subprocess, "run",
+                        lambda *a, **k: spawned.append(1))
+    assert probes.measured_rates("chisq_engine_rates") is None
+    assert probes.chisq_engine_rates() is None
+    assert spawned == []
