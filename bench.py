@@ -128,18 +128,29 @@ def bench_tpu(stack, iters=5):
         # a host transfer of one element is the only trustworthy barrier.
         np.asarray(out["photometry"]).ravel()[:1]
 
+    # Resolve the patch-gather strategy through the probe registry like
+    # every Pipeline path does ('onehot' on real-MXU hardware — the
+    # round-5 latency-differenced probe measures 33 TFLOP/s on the bench
+    # chip, where the old one-matmul probe read the tunnel latency as
+    # 0.7 and froze 'gather'; the measured A/B: onehot +26% on the
+    # detect program).
+    from fluorosequencingimageanalysis_tpu.ops.candidates import (
+        resolve_gather_strategy)
+    gs = resolve_gather_strategy("auto")
     mesh = make_mesh(len(jax.devices()))
     x = shard_fields(jnp.asarray(stack), mesh)
     with mesh:
         # upsample_factor=20 is the reference experiment configuration
         # (flexlibrary.py:1735-1739).
         out = experiment_step_sharded(x, mesh, max_candidates=2048,
-                                      num_iters=40, upsample_factor=20)
+                                      num_iters=40, upsample_factor=20,
+                                      gather_strategy=gs)
         force(out)  # compile + warm
         t0 = time.perf_counter()
         for _ in range(iters):
             out = experiment_step_sharded(x, mesh, max_candidates=2048,
-                                          num_iters=40, upsample_factor=20)
+                                          num_iters=40, upsample_factor=20,
+                                          gather_strategy=gs)
         force(out)
         dt = (time.perf_counter() - t0) / iters
     n_images = stack.shape[0] * stack.shape[1]

@@ -359,44 +359,65 @@ def measured_mxu_tflops(repeats: int = 3) -> float:
     """Measured dense-matmul throughput (f32, precision=HIGHEST) of the
     default backend, memoized per process.
 
-    One jitted 2048x2048 matmul reduced to a scalar on device (the sum
-    forces the full product; the 4-byte fetch is the completion barrier
-    — block_until_ready is unreliable over tunneled transports).
+    LATENCY-CANCELLING design (round-5 fix): a single matmul per
+    dispatch measures the LINK on tunneled backends, not the MXU — one
+    2048^3 f32 product is ~17 GFLOP, under a millisecond on real MXU
+    hardware, so a 30-60 ms round trip dominates and a fast chip reads
+    as ~0.5 TFLOP/s (exactly what round 1-4 caches recorded, freezing
+    gather_strategy='gather' forever). The fix times a SHORT chain and a
+    LONG chain of device-resident matmuls (fori_loop, per-step
+    max-normalization so values stay finite) and differences them:
+    rate = extra_flops / (t_long - t_short), which cancels the constant
+    per-dispatch latency exactly.
 
     Safe to reach from inside an outer jit trace (detect_and_fit with
     gather_strategy='auto' under a user's jax.jit): the probe runs under
     ensure_compile_time_eval, so it executes eagerly at trace time
     instead of being staged into the caller's program."""
     import time
+    from functools import partial
 
     backend = jax.default_backend()
     if backend in _MXU_TFLOPS:
         return _MXU_TFLOPS[backend]
     n = 2048
+    k_short, k_long = 4, 36
     x = np.random.default_rng(0).normal(size=(n, n)).astype(np.float32)
 
-    @jax.jit
-    def probe(a):
-        return jnp.sum(lax.dot(a, a, precision=lax.Precision.HIGHEST))
+    @partial(jax.jit, static_argnames=("k",))
+    def probe(a, k):
+        def body(_, y):
+            z = lax.dot(y, a, precision=lax.Precision.HIGHEST)
+            # Keep magnitudes finite across the chain; the VPU max +
+            # divide are noise next to a 2048^3 MXU product.
+            return z / jnp.max(jnp.abs(z))
+
+        return jnp.sum(lax.fori_loop(0, k, body, a))
+
+    def best_time(k):
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            float(probe(x, k))
+            best = min(best, time.perf_counter() - t0)
+        return best
 
     with jax.ensure_compile_time_eval():
         # Commit the operand to device FIRST: a numpy argument would
         # re-upload 16.8 MB per repeat and the probe would measure the
-        # host link, not the MXU (misclassifying fast hardware behind a
-        # slow link).
+        # host link on top of everything else.
         x = jax.device_put(x)
-        float(probe(x))  # compile + warm
-        best = float("inf")
-        for _ in range(repeats):
-            t0 = time.perf_counter()
-            float(probe(x))
-            best = min(best, time.perf_counter() - t0)
-    tflops = 2.0 * n ** 3 / best / 1e12
+        float(probe(x, k_short))  # compile + warm both shapes
+        float(probe(x, k_long))
+        t_short = best_time(k_short)
+        t_long = best_time(k_long)
+    dt = max(t_long - t_short, 1e-9)
+    tflops = 2.0 * n ** 3 * (k_long - k_short) / dt / 1e12
     _MXU_TFLOPS[backend] = tflops
     import logging
     logging.getLogger(__name__).info(
-        "measured_mxu_tflops[%s] = %.3f TFLOP/s (f32 HIGHEST)",
-        backend, tflops)
+        "measured_mxu_tflops[%s] = %.3f TFLOP/s (f32 HIGHEST, "
+        "latency-differenced)", backend, tflops)
     return tflops
 
 
@@ -436,9 +457,13 @@ def gather_patches_onehot(image, hs, ws, radius=2):
     gather_patches (one-hot entries are exactly 0/1; precision=HIGHEST
     keeps f32 products unrounded).
 
-    Note: on the axon remote chip the MXU measures ~500x below v5e spec
-    (see DESIGN.md), so the default path remains gather_patches there;
-    switch to this on real TPU pods.
+    Note: rounds 1-4 believed the axon remote chip's MXU ran ~500x below
+    v5e spec and kept gather_patches there — that number was the OLD
+    one-matmul probe measuring the tunnel's round-trip latency, not the
+    MXU. The round-5 latency-differenced probe reads 33 TFLOP/s on the
+    same chip, and the measured A/B has this onehot path +26% on the
+    full detect program — selected automatically wherever
+    resolve_gather_strategy('auto') runs.
     """
     S = 2 * radius + 1
     H, W = image.shape

@@ -170,7 +170,12 @@ def refresh_session() -> None:
 def matmul_tflops() -> float:
     from ..ops.candidates import measured_mxu_tflops
 
-    return float(_probe("matmul_tflops", measured_mxu_tflops))
+    # v2 key: the round-1..4 probe measured one matmul per dispatch,
+    # which on tunneled backends recorded the LINK latency as ~0.5-0.7
+    # "TFLOP/s" (freezing gather_strategy='gather' on fast MXUs). The
+    # latency-differenced probe is a different measurement; old cached
+    # values must not serve it.
+    return float(_probe("matmul_tflops_v2", measured_mxu_tflops))
 
 
 def link_bandwidth_MBps() -> float:

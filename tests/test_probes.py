@@ -24,8 +24,8 @@ def test_snapshot_structure_and_caching(tmp_path, monkeypatch):
     assert os.path.exists(path)
     with open(path) as fh:
         disk = json.load(fh)
-    assert disk["matmul_tflops"] == pytest.approx(snap["matmul_tflops"],
-                                                  abs=5e-4)
+    assert disk["matmul_tflops_v2"] == pytest.approx(
+        snap["matmul_tflops"], abs=5e-4)
     # Second call must come from the memo (no new measurement): poison
     # the measuring function and require the cached value.
     monkeypatch.setattr(probes, "_probe",
