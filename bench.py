@@ -146,13 +146,21 @@ def bench_tpu(stack, iters=5):
                                       num_iters=40, upsample_factor=20,
                                       gather_strategy=gs)
         force(out)  # compile + warm
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = experiment_step_sharded(x, mesh, max_candidates=2048,
-                                          num_iters=40, upsample_factor=20,
-                                          gather_strategy=gs)
-        force(out)
-        dt = (time.perf_counter() - t0) / iters
+        # Best of two timed rounds: each dispatch still traverses the
+        # tunnel, so one mid-loop link stall would otherwise poison the
+        # whole mean (measured: 310 vs 464 fields/s across phases of a
+        # single session).
+        dt = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                out = experiment_step_sharded(x, mesh,
+                                              max_candidates=2048,
+                                              num_iters=40,
+                                              upsample_factor=20,
+                                              gather_strategy=gs)
+            force(out)
+            dt = min(dt, (time.perf_counter() - t0) / iters)
     n_images = stack.shape[0] * stack.shape[1]
     n_chips = len(jax.devices())
     return n_images / dt / n_chips, out
