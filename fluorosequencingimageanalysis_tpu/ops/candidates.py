@@ -350,8 +350,11 @@ _MXU_TFLOPS: dict = {}
 # 2048-candidate 512x512 image, ~160 GFLOP for a 32-image batch — under
 # 45 ms whenever the measured f32/HIGHEST matmul rate exceeds ~4 TFLOP/s.
 # 5.0 adds margin. Real MXU hardware measures 30-45 TFLOP/s at HIGHEST
-# (bf16 peak / 6 passes); the tunnel bench chip ~0.3 — the two regimes
-# are three orders of magnitude apart, so the threshold is not delicate.
+# (bf16 peak / 6 passes; the bench chip itself reads 33.4 with the
+# round-5 latency-differenced probe — rounds 1-4's "~0.3" was the
+# tunnel's dispatch latency, not the MXU); XLA-CPU measures well under
+# 1 — the regimes stay orders of magnitude apart, so the threshold is
+# not delicate.
 ONEHOT_MIN_TFLOPS = 5.0
 
 
@@ -407,11 +410,40 @@ def measured_mxu_tflops(repeats: int = 3) -> float:
         # re-upload 16.8 MB per repeat and the probe would measure the
         # host link on top of everything else.
         x = jax.device_put(x)
+        if backend == "cpu":
+            # In-process backend: there is no dispatch latency to
+            # cancel, and the chained form would cost minutes of
+            # single-host matmuls for nothing — one timed matmul is the
+            # honest measurement here.
+            float(probe(x, 1))  # compile + warm
+            tflops = 2.0 * n ** 3 / max(best_time(1), 1e-9) / 1e12
+            _MXU_TFLOPS[backend] = tflops
+            return tflops
         float(probe(x, k_short))  # compile + warm both shapes
         float(probe(x, k_long))
         t_short = best_time(k_short)
         t_long = best_time(k_long)
-    dt = max(t_long - t_short, 1e-9)
+        dt = t_long - t_short
+        if dt <= 0.05 * t_short:
+            # No measurable delta: jitter swallowed the extra chain
+            # (possible when per-dispatch latency noise exceeds the
+            # chain's compute). Retry once with a 4x longer chain
+            # before giving up — an inverted difference must never be
+            # clamped into an absurd rate and frozen to disk.
+            k_long2 = k_long * 4
+            float(probe(x, k_long2))
+            t_long2 = best_time(k_long2)
+            if t_long2 - t_short > 0.05 * t_short:
+                dt = t_long2 - t_short
+                k_long = k_long2
+            else:
+                import logging
+                logging.getLogger(__name__).warning(
+                    "measured_mxu_tflops: timing jitter swallowed the "
+                    "matmul chain twice; reporting 0.0 (conservative "
+                    "'gather' decision), not cached to disk")
+                _MXU_TFLOPS[backend] = 0.0
+                return 0.0
     tflops = 2.0 * n ** 3 * (k_long - k_short) / dt / 1e12
     _MXU_TFLOPS[backend] = tflops
     import logging

@@ -7,8 +7,10 @@ This registry replaces the frozen constants with MEASURED probes, cached
 on disk per backend fingerprint, so a production deployment gets the
 decisions for ITS hardware without reading a doc:
 
-- ``matmul_tflops``: one jitted f32/HIGHEST matmul (the gather-strategy
-  probe, ops/candidates.measured_mxu_tflops);
+- ``matmul_tflops``: latency-differenced chained f32/HIGHEST matmuls
+  (the gather-strategy probe, ops/candidates.measured_mxu_tflops — a
+  single matmul per dispatch would measure the tunnel's round-trip
+  latency, not the MXU; DESIGN 31);
 - ``link_bandwidth_MBps`` / ``link_latency_s``: one 8 MB upload and the
   median tiny-fetch round trip;
 - ``compile_ok(<kernel>@<shape>)``: can this backend's compiler build a
@@ -174,8 +176,19 @@ def matmul_tflops() -> float:
     # which on tunneled backends recorded the LINK latency as ~0.5-0.7
     # "TFLOP/s" (freezing gather_strategy='gather' on fast MXUs). The
     # latency-differenced probe is a different measurement; old cached
-    # values must not serve it.
-    return float(_probe("matmul_tflops_v2", measured_mxu_tflops))
+    # values must not serve it. A degenerate measurement (0.0: timing
+    # jitter swallowed the chain twice) stays session-local — the next
+    # process re-measures instead of inheriting a frozen failure.
+    fp = backend_fingerprint()
+    data = _load(fp)
+    if "matmul_tflops_v2" in data:
+        return float(data["matmul_tflops_v2"])
+    value = float(measured_mxu_tflops())
+    if value > 0.0:
+        data["matmul_tflops_v2"] = value
+        _FRESH.add("matmul_tflops_v2")
+        _store(fp, data)
+    return value
 
 
 def link_bandwidth_MBps() -> float:
@@ -290,12 +303,18 @@ img = np.random.default_rng(0).normal(400, 8, (1, 512, 512))
 # wrong reason and freeze a false verdict for that backend.
 import jax
 use_pallas = jax.default_backend() in ("tpu", "axon")
+# Probe the SAME gather strategy production resolves (round-5 probe fix
+# flipped fast-MXU backends to 'onehot'; a 'gather'-variant verdict must
+# not gate the onehot program production actually runs).
+from fluorosequencingimageanalysis_tpu.ops.candidates import (
+    resolve_gather_strategy)
+gs = resolve_gather_strategy("auto")
 cms = candidate_maps_batch(jnp.asarray(img.astype(np.float32)),
                            use_pallas=use_pallas)
 excluded = jnp.zeros((1, 512 * 512), bool)
 hs, ws, valid, rem, _ = extract_candidates_chunk(cms, excluded, 4096, 2.0)
 pack = _fit_chunk_packed(jnp.asarray(img.astype(np.float32)), hs, ws,
-                         valid, num_iters=60)
+                         valid, num_iters=60, gather_strategy=gs)
 np.asarray(pack[:1, :1, :1])
 print("PROBE_OK")
 """,
@@ -401,13 +420,17 @@ img = np.random.default_rng(0).normal(400, 8, (1, 512, 512))
 use_pallas = jax.default_backend() in ("tpu", "axon")
 imgs = jnp.asarray(img.astype(np.float32))
 cms = candidate_maps_batch(imgs, use_pallas=use_pallas)
+from fluorosequencingimageanalysis_tpu.ops.candidates import (
+    resolve_gather_strategy)
+gs = resolve_gather_strategy("auto")  # rate the production program
 rates = {}
 for chunk in (4096, 8192):
     excluded = jnp.zeros((1, 512 * 512), bool)
     def run():
         hs, ws, valid, rem, _ = extract_candidates_chunk(
             cms, excluded, chunk, 2.0)
-        pack = _fit_chunk_packed(imgs, hs, ws, valid, num_iters=60)
+        pack = _fit_chunk_packed(imgs, hs, ws, valid, num_iters=60,
+                                 gather_strategy=gs)
         np.asarray(pack[:1, :1, :1])
     run()  # compile + warm
     best = float("inf")
@@ -575,10 +598,13 @@ def compile_ok(name: str, timeout_s: float = 240.0) -> bool:
 
 def gather_strategy() -> str:
     """'onehot' on full-speed MXU hardware, 'gather' elsewhere
-    (bit-exact either way — DESIGN 18)."""
+    (bit-exact either way — DESIGN 18). The CPU backend short-circuits
+    to 'gather' without measuring, like the chunk decisions — it is the
+    host-fallback platform, XLA-CPU matmul rates never clear the
+    threshold, and the probe is real matmul time."""
     from ..ops.candidates import ONEHOT_MIN_TFLOPS
 
-    if _mode() == "off":
+    if _mode() == "off" or _is_cpu():
         return "gather"
     return ("onehot" if matmul_tflops() >= ONEHOT_MIN_TFLOPS else "gather")
 
@@ -737,7 +763,8 @@ def snapshot() -> dict:
     snap = {
         "fingerprint": backend_fingerprint(),
         "matmul_tflops": tf,
-        "matmul_tflops_source": ("measured-now" if "matmul_tflops" in _FRESH
+        "matmul_tflops_source": ("measured-now"
+                                 if "matmul_tflops_v2" in _FRESH
                                  else "disk-cache"),
         "link_bandwidth_MBps": round(link_bandwidth_MBps(), 1),
         "fetch_bandwidth_MBps": round(fetch_bandwidth_MBps(), 1),
